@@ -1,0 +1,336 @@
+package graft.corpus
+
+import java.nio.charset.StandardCharsets
+import java.sql.Timestamp
+
+import graft.model.PageRow
+
+/** Deterministic golden-corpus generator (FIXTURES.md §2-§3).
+  *
+  * Pure function of (seed, index): emits both the input PageRow and the expected
+  * extraction, derived from the page's construction — NOT by running the extractor
+  * (that would be circular). The reference analog is the TIPC golden compare
+  * (test_tipc/compare_results.py:11-60): same input ⇒ identical output, except our
+  * compare is exact bytes (text is discrete).
+  *
+  * Category taxonomy per FIXTURES.md §3 (index % 14 → F01..F14).
+  */
+object Corpus {
+
+  final case class Golden(
+      row: PageRow,
+      expectedText: String,
+      expectedLabels: Vector[String],
+      category: String
+  )
+
+  /** splitmix64 — tiny, deterministic, platform-independent PRNG. */
+  final class Rng(seed0: Long) {
+    private var state = seed0
+    def nextLong(): Long = {
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def nextInt(n: Int): Int = {
+      val r = nextLong() % n
+      (if (r < 0) r + n else r).toInt
+    }
+    def pick[T](xs: IndexedSeq[T]): T = xs(nextInt(xs.length))
+  }
+
+  private val WORDS: IndexedSeq[String] = Vector(
+    "data", "engine", "spark", "query", "table", "batch", "stream", "merge",
+    "filter", "window", "partition", "shuffle", "column", "record", "schema",
+    "vector", "tokens", "corpus", "crawler", "page", "document", "content",
+    "extract", "block", "layout", "region", "order", "system", "process",
+    "measure", "signal", "value", "index", "range", "bound", "model", "result",
+    "output", "input", "state", "metric", "sample", "source", "target", "buffer")
+
+  private val BOILER_LINKS = Vector("Home", "About", "Contact", "Login", "Register",
+    "Privacy", "Terms", "Sitemap", "Archive", "Subscribe")
+
+  def sentence(r: Rng): String = {
+    val k = 6 + r.nextInt(9)
+    val ws = (0 until k).map(_ => r.pick(WORDS))
+    ws.head.capitalize + " " + ws.tail.mkString(" ") + "."
+  }
+
+  def paragraph(r: Rng): String =
+    (0 until (2 + r.nextInt(4))).map(_ => sentence(r)).mkString(" ")
+
+  private def mix(seed: Long, index: Long): Long = {
+    var z = seed ^ (index * 0x9e3779b97f4a7c15L)
+    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+    z ^ (z >>> 33)
+  }
+
+  private val t0 = 1577836800000L // 2020-01-01T00:00:00Z
+
+  def page(seed: Long, index: Int): Golden = {
+    val cat = index % 14
+    val r = new Rng(mix(seed, if (cat == 13) 1414L else index.toLong))
+    val url = f"https://example.org/f${cat + 1}%02d/doc$index"
+    val ts = new Timestamp(t0 + index.toLong * 3600000L)
+
+    val g: Golden = cat match {
+      case 0  => f01Article(r, url, ts)
+      case 1  => f02Boiler(r, url, ts)
+      case 2  => f03TwoColHtml(r, url, ts)
+      case 3  => f04Table(r, url, ts)
+      case 4  => f05Fragmented(r, url, ts)
+      case 5  => f06PdfShuffled(r, url, ts)
+      case 6  => f07LowConf(r, url, ts)
+      case 7  => f08Mega(r, url, ts)
+      case 8  => f09TagSoup(r, url, ts)
+      case 9  => f10Charset(r, url, ts, index)
+      case 10 => f11Entities(r, url, ts)
+      case 11 => f12PdfTwoCol(r, url, ts)
+      case 12 => f13Degenerate(r, url, ts, index)
+      case 13 => f01Article(r, url, ts).copy(category = "F14") // dup content, own url
+    }
+    g
+  }
+
+  def pages(seed: Long, n: Int): Vector[Golden] =
+    (0 until n).map(page(seed, _)).toVector
+
+  private def html(row: (String, Timestamp), body: String, lang: String = "en",
+                   head: String = ""): PageRow =
+    PageRow(row._1, row._2,
+      s"<html><head>$head<title>ignored head title</title></head><body>$body</body></html>"
+        .getBytes(StandardCharsets.UTF_8),
+      null, lang)
+
+  // F01: simple article — title + paragraphs, nothing dropped
+  private def f01Article(r: Rng, url: String, ts: Timestamp): Golden = {
+    val title = sentence(r).dropRight(1)
+    val ps = (0 until (2 + r.nextInt(3))).map(_ => paragraph(r))
+    val body = s"<h1>$title</h1>" + ps.map(p => s"<p>$p</p>").mkString
+    val expected = (title +: ps).mkString("\n\n")
+    Golden(html((url, ts), body), expected,
+      ("title" +: ps.map(_ => "content")).toVector, "F01")
+  }
+
+  // F02: boilerplate-heavy page — nav/header/footer/sidebar stripped
+  private def f02Boiler(r: Rng, url: String, ts: Timestamp): Golden = {
+    val title = sentence(r).dropRight(1)
+    val ps = (0 until (2 + r.nextInt(3))).map(_ => paragraph(r))
+    val nav = "<nav><ul>" + BOILER_LINKS.take(5).map(l => s"""<li><a href="/$l">$l</a></li>""").mkString + "</ul></nav>"
+    val header = s"""<header><div class="masthead">Site ${r.pick(WORDS)}</div></header>"""
+    val sidebar = s"""<div class="sidebar"><p>${paragraph(r)}</p><a href="/x">More</a></div>"""
+    val footer = """<footer><p>Copyright 2020. All rights reserved.</p></footer>"""
+    val article = s"""<div class="article"><h1>$title</h1>""" +
+      ps.map(p => s"<p>$p</p>").mkString + "</div>"
+    val body = header + nav + sidebar + article + footer
+    val expected = (title +: ps).mkString("\n\n")
+    Golden(html((url, ts), body), expected,
+      ("title" +: ps.map(_ => "content")).toVector, "F02")
+  }
+
+  // F03: two-column layout in HTML — extraction in DOM order (left div, right div)
+  private def f03TwoColHtml(r: Rng, url: String, ts: Timestamp): Golden = {
+    val left = (0 until 2).map(_ => paragraph(r))
+    val right = (0 until 2).map(_ => paragraph(r))
+    val body =
+      s"""<div class="content" style="float:left;width:48%">""" +
+        left.map(p => s"<p>$p</p>").mkString + "</div>" +
+        s"""<div class="content" style="float:right;width:48%">""" +
+        right.map(p => s"<p>$p</p>").mkString + "</div>"
+    val expected = (left ++ right).mkString("\n\n")
+    Golden(html((url, ts), body), expected,
+      (left ++ right).map(_ => "content").toVector, "F03")
+  }
+
+  // F04: table page — cells row-major, " | " within row, "\n" across rows
+  private def f04Table(r: Rng, url: String, ts: Timestamp): Golden = {
+    val intro = paragraph(r)
+    val nRows = 2 + r.nextInt(3)
+    val nCols = 2 + r.nextInt(2)
+    val headerCells = (0 until nCols).map(_ => r.pick(WORDS).capitalize)
+    val rows = (0 until nRows).map(_ => (0 until nCols).map(_ =>
+      r.pick(WORDS) + " " + (1 + r.nextInt(999))))
+    val tableHtml = "<table><thead><tr>" +
+      headerCells.map(c => s"<th>$c</th>").mkString + "</tr></thead><tbody>" +
+      rows.map(row => "<tr>" + row.map(c => s"<td>$c</td>").mkString + "</tr>").mkString +
+      "</tbody></table>"
+    val outro = paragraph(r)
+    val body = s"<p>$intro</p>" + tableHtml + s"<p>$outro</p>"
+    val tableText = (headerCells.mkString(" | ") +: rows.map(_.mkString(" | "))).mkString("\n")
+    val expected = Seq(intro, tableText, outro).mkString("\n\n")
+    val labels = Vector("content") ++ Vector.fill((nRows + 1) * nCols)("cell") ++ Vector("content")
+    Golden(html((url, ts), body), expected, labels, "F04")
+  }
+
+  // F05: fragmented inline text — spans/b/em fused into one block
+  private def f05Fragmented(r: Rng, url: String, ts: Timestamp): Golden = {
+    val ps = (0 until 3).map(_ => paragraph(r))
+    val inlineTags = Vector("b", "i", "em", "strong", "span", "u", "small")
+    def fragment(p: String): String = {
+      val ws = p.split(" ")
+      ws.map { w =>
+        if (r.nextInt(3) == 0) { val t = r.pick(inlineTags); s"<$t>$w</$t>" } else w
+      }.mkString(" ")
+    }
+    val body = ps.map(p => s"<div>${fragment(p)}</div>").mkString
+    Golden(html((url, ts), body), ps.mkString("\n\n"),
+      ps.map(_ => "content").toVector, "F05")
+  }
+
+  // F06: PDF payload, single column, blocks written in shuffled order;
+  // expected order recovered from positions (sorted_boxes semantics)
+  private def f06PdfShuffled(r: Rng, url: String, ts: Timestamp): Golden = {
+    val n = 4 + r.nextInt(3)
+    val ps = (0 until n).map(_ => paragraph(r))
+    // full-width blocks at y = 100*i
+    val blocks = ps.zipWithIndex.map { case (p, i) => (50, 100 * (i + 1), 700, 80, p) }
+    val shuffled = deterministicShuffle(blocks.toVector, r)
+    val payload = "%PDF-GRAFT 1.0\npage 800 1200\n" +
+      shuffled.map { case (x, y, w, h, t) => s"block $x $y $w $h $t" }.mkString("\n") +
+      "\nendpage\n"
+    Golden(PageRow(url, ts, payload.getBytes(StandardCharsets.UTF_8), null, "en"),
+      ps.mkString("\n\n"), ps.map(_ => "content").toVector, "F06")
+  }
+
+  // F07: low-confidence junk blocks dropped, article kept
+  private def f07LowConf(r: Rng, url: String, ts: Timestamp): Golden = {
+    val ps = (0 until 2).map(_ => paragraph(r))
+    val junk = Seq(
+      """<div><a href="/ad">Click here now</a></div>""", // link-only
+      "<div>ok</div>", // stray short
+      s"""<div class="promo"><p>Buy ${r.pick(WORDS)} now limited offer great deal</p></div>""",
+      """<div><a href="/a">x</a> <a href="/b">y</a> <a href="/c">z</a></div>"""
+    )
+    val body = junk(0) + s"<p>${ps(0)}</p>" + junk(1) + junk(2) +
+      s"<p>${ps(1)}</p>" + junk(3)
+    Golden(html((url, ts), body), ps.mkString("\n\n"),
+      ps.map(_ => "content").toVector, "F07")
+  }
+
+  // F08: mega-document — many repeated sections (kept below the truncation cap
+  // for the golden contract; truncation itself is unit-tested separately)
+  private def f08Mega(r: Rng, url: String, ts: Timestamp): Golden = {
+    val nSections = 40 + r.nextInt(20)
+    val secs = (0 until nSections).map { i =>
+      val h = s"Section ${i + 1} ${r.pick(WORDS)}"
+      val ps = (0 until 3).map(_ => paragraph(r))
+      (h, ps)
+    }
+    val body = secs.map { case (h, ps) =>
+      s"<section><h2>$h</h2>" + ps.map(p => s"<p>$p</p>").mkString + "</section>"
+    }.mkString
+    val expected = secs.flatMap { case (h, ps) => h +: ps }.mkString("\n\n")
+    val labels = secs.flatMap { case (_, ps) => "title" +: ps.map(_ => "content") }.toVector
+    Golden(html((url, ts), body), expected, labels, "F08")
+  }
+
+  // F09: tag soup — unclosed <p>, stray </div>, script with '<', comments, bare '< '
+  private def f09TagSoup(r: Rng, url: String, ts: Timestamp): Golden = {
+    val p1 = paragraph(r)
+    val p2 = paragraph(r)
+    val p3 = s"For all x < y the ${r.pick(WORDS)} holds and y > x stays true."
+    val body =
+      s"<p>$p1<p>$p2</div><!-- stray close above, comment here -->" +
+        "<script>if (a<b) { emit('<p>not text</p>'); }</script>" +
+        s"<p>$p3</p><br>"
+    val expected = Seq(p1, p2, p3).mkString("\n\n")
+    Golden(html((url, ts), body), expected, Vector("content", "content", "content"), "F09")
+  }
+
+  // F10: charsets — latin-1 with meta, UTF-8 BOM, CJK (no-space), RTL arabic
+  private def f10Charset(r: Rng, url: String, ts: Timestamp, index: Int): Golden = {
+    (index / 14) % 4 match {
+      case 0 => // latin-1
+        val p = "Le café prépare un résumé naïve avec une señorita über garçon élégant."
+        val p2 = paragraph(r)
+        val doc = s"""<html><head><meta charset="iso-8859-1"></head><body><p>$p</p><p>$p2</p></body></html>"""
+        Golden(PageRow(url, ts, doc.getBytes(StandardCharsets.ISO_8859_1), null, "fr"),
+          Seq(p, p2).mkString("\n\n"), Vector("content", "content"), "F10")
+      case 1 => // UTF-8 BOM
+        val p = paragraph(r)
+        val doc = "﻿" + s"<html><body><p>$p</p></body></html>"
+        Golden(PageRow(url, ts, doc.getBytes(StandardCharsets.UTF_8), null, "en"),
+          p, Vector("content"), "F10")
+      case 2 => // CJK, no spaces
+        val zhWords = Vector("数据", "处理", "系统", "分布式", "计算", "引擎", "文档", "提取", "内容", "模型", "索引", "查询")
+        val p = (0 until 12).map(_ => r.pick(zhWords)).mkString("")
+        val p2 = (0 until 15).map(_ => r.pick(zhWords)).mkString("")
+        val doc = s"<html><body><p>$p</p><p>$p2</p></body></html>"
+        Golden(PageRow(url, ts, doc.getBytes(StandardCharsets.UTF_8), null, "zh"),
+          Seq(p, p2).mkString("\n\n"), Vector("content", "content"), "F10")
+      case _ => // arabic RTL (kept in logical order; no bidi reordering)
+        val arWords = Vector("البيانات", "المعالجة", "النظام", "توزيع", "حساب", "محرك", "وثيقة", "استخراج", "محتوى")
+        val p = (0 until 10).map(_ => r.pick(arWords)).mkString(" ")
+        val doc = s"""<html><body dir="rtl"><p>$p</p></body></html>"""
+        Golden(PageRow(url, ts, doc.getBytes(StandardCharsets.UTF_8), null, "ar"),
+          p, Vector("content"), "F10")
+    }
+  }
+
+  // F11: entity/style noise — entities decoded once, style tags stripped
+  private def f11Entities(r: Rng, url: String, ts: Timestamp): Golden = {
+    val p1 = paragraph(r)
+    val noisy = "Tom &amp; Jerry &lt;3 caf&eacute; A&#x42;C 1&nbsp;000 &copy; 2020 &mdash; fin&#46;"
+    val decoded = "Tom & Jerry <3 café ABC 1 000 © 2020 — fin."
+    val p2 = paragraph(r)
+    val body = s"<p>$p1</p><p>$noisy</p><p><b>$p2</b><sup>1</sup></p>"
+    // <sup>1</sup> is inline: fuses into the p2 block with no separator char,
+    // but as a separate text node; expected text keeps it space-separated? No:
+    // "<b>p2</b><sup>1</sup>" concatenates to p2 + "1". We author it that way.
+    val expected = Seq(p1, decoded, p2 + "1").mkString("\n\n")
+    Golden(html((url, ts), body), expected, Vector("content", "content", "content"), "F11")
+  }
+
+  // F12: PDF branch — two-column pages, multi-page, XY-cut order + page concat
+  private def f12PdfTwoCol(r: Rng, url: String, ts: Timestamp): Golden = {
+    val nPages = 1 + r.nextInt(3)
+    val pageTexts = (0 until nPages).map { _ =>
+      val headline = sentence(r)
+      val left = (0 until 2).map(_ => paragraph(r))
+      val right = (0 until 2).map(_ => paragraph(r))
+      (headline, left, right)
+    }
+    val payload = "%PDF-GRAFT 1.0\n" + pageTexts.map { case (headline, left, right) =>
+      // headline full width at y=50; left col x=50, right col x=450 (page w=800)
+      val blocks = Vector((50, 50, 700, 40, headline)) ++
+        left.zipWithIndex.map { case (p, i) => (50, 150 + 200 * i, 320, 180, p) } ++
+        right.zipWithIndex.map { case (p, i) => (430, 150 + 200 * i, 320, 180, p) }
+      val shuffled = deterministicShuffle(blocks, r)
+      "page 800 1200\n" +
+        shuffled.map { case (x, y, w, h, t) => s"block $x $y $w $h $t" }.mkString("\n") +
+        "\nendpage"
+    }.mkString("\n") + "\n"
+    val expected = pageTexts.map { case (headline, left, right) =>
+      (headline +: (left ++ right)).mkString("\n\n")
+    }.mkString("\n\n")
+    val labels = pageTexts.flatMap { case (_, l, rr) =>
+      Vector.fill(1 + l.length + rr.length)("content")
+    }.toVector
+    Golden(PageRow(url, ts, payload.getBytes(StandardCharsets.UTF_8), null, "en"),
+      expected, labels, "F12")
+  }
+
+  // F13: degenerate — empty/whitespace/zero-byte payloads
+  private def f13Degenerate(r: Rng, url: String, ts: Timestamp, index: Int): Golden = {
+    val variant = (index / 14) % 3
+    val payload = variant match {
+      case 0 => Array.emptyByteArray
+      case 1 => "<html><body></body></html>".getBytes(StandardCharsets.UTF_8)
+      case _ => "<html><body>   \n\t  </body></html>".getBytes(StandardCharsets.UTF_8)
+    }
+    Golden(PageRow(url, ts, payload, null, null), "", Vector.empty, "F13")
+  }
+
+  private def deterministicShuffle[T](xs: Vector[T], r: Rng): Vector[T] = {
+    val a = xs.toArray[Any]
+    var i = a.length - 1
+    while (i > 0) {
+      val j = r.nextInt(i + 1)
+      val t = a(i); a(i) = a(j); a(j) = t
+      i -= 1
+    }
+    a.toVector.asInstanceOf[Vector[T]]
+  }
+}

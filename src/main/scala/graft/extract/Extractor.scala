@@ -1,0 +1,301 @@
+package graft.extract
+
+import java.nio.charset.Charset
+
+import graft.dom.{BlockArena, BlockSegmenter, DomArena, SegKind}
+import graft.htmltok.{Charsets, HtmlNames, HtmlTokenizer, TokenArena}
+import graft.model.{ExtractedDoc, Span}
+
+/** Extraction parameters — the graft of the reference's CLI surface
+  * (det thresholds / drop_score / limit_side_len; tools/infer/utility.py:33-120,
+  * SURVEY.md §3.3). All gates are integer-ratio comparisons for cross-platform
+  * byte-identical determinism (SURVEY.md §7.4 hard part #1).
+  */
+final case class ExtractConfig(
+    /** hard cap on processed payload bytes, ≡ DetResizeForTest limit_side_len
+      * (ppocr/data/imaug/operators.py:198-325): clamp work per doc, record the
+      * truncation in lineage ("no silent caps"). */
+    maxHtmlBytes: Int = 8 * 1024 * 1024,
+    /** ≡ max_candidates=1000 (ppocr/postprocess/db_postprocess.py:38) */
+    maxBlocksPerDoc: Int = 10000,
+    /** minimum non-whitespace chars for a free-standing content block
+      * (≡ the ≤3px box size filter, tools/infer/predict_det.py:207-221) */
+    minContentChars: Int = 10,
+    /** link-density gate numerator/denominator: drop when
+      * linkChars * linkDenR >= totalChars * linkDenN  (default ratio 2/3) */
+    linkDenN: Int = 2,
+    linkDenR: Int = 3,
+    /** short-block-with-links gate: chars < shortChars && linkChars*2 >= chars */
+    shortChars: Int = 25,
+    /** ≡ drop_score=0.5 score gate (tools/infer/predict_system.py:149-154),
+      * rescaled for our score definition */
+    dropScore: Double = 0.05
+)
+
+/** HTML character-reference decoding (the graft's CTCLabelDecode: a canonical
+  * "index sequence → chars via dict" pass; ppocr/postprocess/rec_postprocess.py:195-226).
+  * Named set is the common core; unknown entities pass through verbatim.
+  */
+object Entities {
+  private val named: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> " ", "copy" -> "©", "reg" -> "®", "trade" -> "™",
+    "mdash" -> "—", "ndash" -> "–", "hellip" -> "…",
+    "lsquo" -> "‘", "rsquo" -> "’", "ldquo" -> "“",
+    "rdquo" -> "”", "laquo" -> "«", "raquo" -> "»",
+    "middot" -> "·", "bull" -> "•", "deg" -> "°",
+    "times" -> "×", "divide" -> "÷", "plusmn" -> "±",
+    "frac12" -> "½", "sup2" -> "²", "sup3" -> "³",
+    "eacute" -> "é", "egrave" -> "è", "agrave" -> "à",
+    "ccedil" -> "ç", "uuml" -> "ü", "ouml" -> "ö",
+    "auml" -> "ä", "szlig" -> "ß", "ntilde" -> "ñ"
+  )
+
+  def decode(s: String): String = {
+    var i = s.indexOf('&')
+    if (i < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var last = 0
+    while (i >= 0) {
+      val semi = s.indexOf(';', i + 1)
+      var replaced: String = null
+      if (semi > i && semi - i <= 10) {
+        val body = s.substring(i + 1, semi)
+        if (body.startsWith("#x") || body.startsWith("#X")) {
+          try {
+            val cp = Integer.parseInt(body.substring(2), 16)
+            if (Character.isValidCodePoint(cp)) replaced = new String(Character.toChars(cp))
+          } catch { case _: NumberFormatException => () }
+        } else if (body.startsWith("#")) {
+          try {
+            val cp = Integer.parseInt(body.substring(1))
+            if (Character.isValidCodePoint(cp)) replaced = new String(Character.toChars(cp))
+          } catch { case _: NumberFormatException => () }
+        } else replaced = named.getOrElse(body, null)
+      }
+      if (replaced != null) {
+        sb.append(s, last, i).append(replaced)
+        last = semi + 1
+        i = s.indexOf('&', semi + 1)
+      } else {
+        i = s.indexOf('&', i + 1)
+      }
+    }
+    sb.append(s, last, s.length)
+    sb.toString
+  }
+}
+
+object TextNormalizer {
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u000B' || c == '\u00A0'
+
+  /** Collapse whitespace runs (incl. NBSP) to single spaces, trim ends.
+    * ≡ NormalizeImage (ppocr/data/imaug/operators.py:62-86) recast for text. */
+  def normalize(s: String): String = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var pendingSpace = false
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isWs(c)) pendingSpace = sb.length() > 0
+      else { if (pendingSpace) { sb.append(' '); pendingSpace = false }; sb.append(c) }
+      i += 1
+    }
+    sb.toString
+  }
+
+  def countNonWs(s: String): Int = {
+    var c = 0; var i = 0
+    while (i < s.length) { if (!isWs(s.charAt(i))) c += 1; i += 1 }
+    c
+  }
+}
+
+/** Per-partition reusable extraction state (arena discipline: zero steady-state
+  * allocation growth; constructed once per mapPartitions call, SURVEY.md §4.6).
+  */
+final class ExtractorState {
+  val toks = new TokenArena()
+  val dom = new DomArena()
+  val blocks = new BlockArena()
+  // per-stage nanos, accumulated across docs (≡ time_dict, predict_system.py:77)
+  var tokenizeNanos = 0L
+  var domNanos = 0L
+  var classifyNanos = 0L
+  var assembleNanos = 0L
+}
+
+object Labels {
+  val Title = "title"
+  val Content = "content"
+  val Cell = "cell"
+  val Item = "item"
+}
+
+/** The per-document extraction kernel: tokenize → DOM → segment → classify →
+  * order+assemble. Pure function of (url, bytes, config): byte-identical output
+  * independent of partitioning — the north-rule contract.
+  */
+object Extractor {
+
+  def extract(url: String, html: Array[Byte], cfg: ExtractConfig = ExtractConfig(),
+              state: ExtractorState = new ExtractorState()): ExtractedDoc = {
+    if (html == null || html.isEmpty)
+      return ExtractedDoc(url, "", 0, Nil, "utf-8", truncated = false)
+    if (graft.pdf.PdfBranch.isPdf(html))
+      return graft.pdf.PdfBranch.extract(url, html, cfg)
+
+    val truncated = html.length > cfg.maxHtmlBytes
+    val input = if (truncated) java.util.Arrays.copyOf(html, cfg.maxHtmlBytes) else html
+    val (charset, bom) = Charsets.sniff(input)
+
+    var t0 = System.nanoTime()
+    HtmlTokenizer.tokenize(input, state.toks)
+    var t1 = System.nanoTime(); state.tokenizeNanos += t1 - t0
+
+    state.dom.build(state.toks)
+    BlockSegmenter.segment(state.dom, state.blocks)
+    t0 = System.nanoTime(); state.domNanos += t0 - t1
+
+    val spans = classify(input, charset, bom, cfg, state)
+    t1 = System.nanoTime(); state.classifyNanos += t1 - t0
+
+    val text = assemble(spans, state.dom)
+    t0 = System.nanoTime(); state.assembleNanos += t0 - t1
+
+    ExtractedDoc(url, text, spans.length, spans.map(_.span), charset.name().toLowerCase,
+      truncated)
+  }
+
+  /** A kept block with the DOM facts assembly needs. */
+  final case class Kept(span: Span, anchor: Int, tableAnc: Int, trAnc: Int, listAnc: Int)
+
+  private def nearestAncestor(dom: DomArena, node: Int, p: String => Boolean): Int = {
+    var cur = node
+    while (cur >= 0) {
+      if (!dom.isText(cur) && p(dom.name(cur))) return cur
+      cur = dom.parent(cur)
+    }
+    -1
+  }
+
+  /** Rule-cascade classifier over candidate blocks (SURVEY.md §7.1 step 5; the
+    * graft of TextClassifier + drop_score + header/footer drop:
+    * tools/infer/predict_cls.py:38-134, predict_system.py:149-154,
+    * ppstructure/recovery/recovery_to_markdown.py:168-169).
+    */
+  private def classify(input: Array[Byte], charset: Charset, bom: Int,
+                       cfg: ExtractConfig, state: ExtractorState): Vector[Kept] = {
+    val dom = state.dom
+    val blocks = state.blocks
+    val out = Vector.newBuilder[Kept]
+    var kept = 0
+    var b = 0
+    val nb = math.min(blocks.nBlocks, cfg.maxBlocksPerDoc)
+    while (b < nb && kept < cfg.maxBlocksPerDoc) {
+      val anchor = blocks.anchor(b)
+      // decode + normalize block text, tracking link chars
+      val sb = new java.lang.StringBuilder(64)
+      var linkChars = 0
+      var s = blocks.segOff(b)
+      val sEnd = blocks.segOff(b + 1)
+      while (s < sEnd) {
+        if (blocks.segKind(s) == SegKind.Break) sb.append(' ')
+        else {
+          val from = math.max(blocks.segStart(s), bom)
+          val len = blocks.segEnd(s) - from
+          if (len > 0) {
+            val dec = Entities.decode(new String(input, from, len, charset))
+            sb.append(dec)
+            if (blocks.segInLink(s)) linkChars += TextNormalizer.countNonWs(dec)
+          }
+        }
+        s += 1
+      }
+      val text = TextNormalizer.normalize(sb.toString)
+      val nonWs = TextNormalizer.countNonWs(text)
+      val anchorName = if (anchor >= 0 && !dom.isText(anchor)) dom.name(anchor) else ""
+      val isHeading = HtmlNames.isHeading(anchorName)
+      val isCell = anchorName == "td" || anchorName == "th"
+      val isItem = anchorName == "li" || anchorName == "dd" || anchorName == "dt"
+
+      // the cascade (first matching rule wins) — deterministic integer gates
+      var label: String = null
+      if (nonWs == 0) label = null // empty
+      else if (dom.inBoiler(anchor)) label = null // nav/header/footer/aside subtree
+      else if (dom.inHintBoiler(anchor) && !dom.inHintContent(anchor)) label = null
+      else if (isHeading) label = Labels.Title
+      else if (linkChars * cfg.linkDenR >= nonWs * cfg.linkDenN && linkChars > 0)
+        label = null // link-dominated (nav-like)
+      else if (nonWs < cfg.shortChars && linkChars * 2 >= nonWs) label = null
+      else if (isCell) label = Labels.Cell
+      else if (isItem) label = Labels.Item
+      else if (nonWs < cfg.minContentChars) label = null // short stray text
+      else label = Labels.Content
+
+      if (label != null) {
+        val score: Double = label match {
+          case Labels.Title => 1.0
+          case Labels.Cell | Labels.Item => 0.75
+          case _ => math.min(1.0, nonWs.toDouble / 200.0)
+        }
+        if (score >= cfg.dropScore) {
+          val span = Span(kept, dom.tagPath(anchor), blocks.byteStart(b),
+            blocks.byteEnd(b), label, score, text)
+          out += Kept(span, anchor,
+            nearestAncestor(dom, anchor, _ == "table"),
+            nearestAncestor(dom, anchor, _ == "tr"),
+            nearestAncestor(dom, anchor, n => n == "ul" || n == "ol" || n == "dl"))
+          kept += 1
+        }
+      }
+      b += 1
+    }
+    out.result()
+  }
+
+  /** Document-order assembly (≡ convert_info_markdown minus markdown syntax,
+    * recovery_to_markdown.py:129-187): consecutive cells of one table group with
+    * " | " within a row and "\n" across rows; list items group with "\n";
+    * paragraph units join with "\n\n".
+    */
+  private def assemble(kept: Vector[Kept], dom: DomArena): String = {
+    if (kept.isEmpty) return ""
+    val groups = Vector.newBuilder[String]
+    var i = 0
+    while (i < kept.length) {
+      val k = kept(i)
+      if (k.tableAnc >= 0) {
+        // gather the run of blocks in the same table
+        val sb = new java.lang.StringBuilder(64)
+        var row = k.trAnc
+        sb.append(k.span.text)
+        var j = i + 1
+        while (j < kept.length && kept(j).tableAnc == k.tableAnc) {
+          if (kept(j).trAnc == row) sb.append(" | ") else sb.append('\n')
+          row = kept(j).trAnc
+          sb.append(kept(j).span.text)
+          j += 1
+        }
+        groups += sb.toString
+        i = j
+      } else if (k.listAnc >= 0) {
+        val sb = new java.lang.StringBuilder(64)
+        sb.append(k.span.text)
+        var j = i + 1
+        while (j < kept.length && kept(j).listAnc == k.listAnc) {
+          sb.append('\n').append(kept(j).span.text)
+          j += 1
+        }
+        groups += sb.toString
+        i = j
+      } else {
+        groups += k.span.text
+        i += 1
+      }
+    }
+    groups.result().mkString("\n\n")
+  }
+}

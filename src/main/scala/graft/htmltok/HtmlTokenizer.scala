@@ -1,0 +1,347 @@
+package graft.htmltok
+
+import java.nio.charset.{Charset, StandardCharsets}
+
+/** Token kinds. Kept as raw bytes in a flat arena (no per-token objects) — the
+  * JVM analog of the reference pushing hot loops to native code
+  * (ppocr/postprocess/pse_postprocess/pse/__init__.py:20-29 compiles C++ at import;
+  * our hot path is primitive-array Scala that stays JIT/escape-analysis friendly).
+  */
+object Tok {
+  final val Text: Byte = 0
+  final val Start: Byte = 1
+  final val End: Byte = 2
+  final val SelfClose: Byte = 3
+  final val Comment: Byte = 4
+  final val Doctype: Byte = 5
+  final val Cdata: Byte = 6
+}
+
+/** Flat token arena: parallel primitive arrays, reused across documents within a
+  * partition (call `reset()` between docs). Offsets are byte offsets into the raw
+  * input and PARTITION it: for every i, ends(i) == starts(i+1), starts(0) == 0,
+  * ends(size-1) == input length (property-tested; FIXTURES.md §5a).
+  */
+final class TokenArena(initialCapacity: Int = 1024) {
+  var size: Int = 0
+  var kinds: Array[Byte] = new Array[Byte](initialCapacity)
+  var starts: Array[Int] = new Array[Int](initialCapacity)
+  var ends: Array[Int] = new Array[Int](initialCapacity)
+  var tagIds: Array[Int] = new Array[Int](initialCapacity) // -1 for non-tags
+  var flags: Array[Int] = new Array[Int](initialCapacity)
+
+  // per-document tag-name intern table
+  private val internMap = new java.util.HashMap[String, Integer](64)
+  private val internNames = new scala.collection.mutable.ArrayBuffer[String](64)
+
+  def reset(): Unit = { size = 0; internMap.clear(); internNames.clear() }
+
+  def tagName(id: Int): String = internNames(id)
+
+  /** Immutable view of the interned names, id-indexed (for the DOM builder). */
+  def namesSnapshot: IndexedSeq[String] = internNames.toIndexedSeq
+
+  def intern(name: String): Int = {
+    val got = internMap.get(name)
+    if (got ne null) got.intValue()
+    else {
+      val id = internNames.length
+      internNames += name
+      internMap.put(name, id)
+      id
+    }
+  }
+
+  private def grow(): Unit = {
+    val cap = kinds.length * 2
+    kinds = java.util.Arrays.copyOf(kinds, cap)
+    starts = java.util.Arrays.copyOf(starts, cap)
+    ends = java.util.Arrays.copyOf(ends, cap)
+    tagIds = java.util.Arrays.copyOf(tagIds, cap)
+    flags = java.util.Arrays.copyOf(flags, cap)
+  }
+
+  def add(kind: Byte, start: Int, end: Int, tagId: Int, flag: Int): Unit = {
+    if (size == kinds.length) grow()
+    kinds(size) = kind
+    starts(size) = start
+    ends(size) = end
+    tagIds(size) = tagId
+    flags(size) = flag
+    size += 1
+  }
+}
+
+object TokenFlags {
+  /** start-tag carries an href attribute (link-density feature input) */
+  final val HasHref = 1
+  /** class/id attribute matches the boilerplate-hint lexicon */
+  final val HintBoiler = 2
+  /** class/id attribute matches the content-hint lexicon */
+  final val HintContent = 4
+}
+
+/** Charset sniffing: BOM, then `<meta charset=...>` / http-equiv content-type in
+  * the first 1024 bytes, else UTF-8. The analog of DecodeImage's channel-order
+  * dispatch (ppocr/data/imaug/operators.py:29-61) for byte payloads.
+  */
+object Charsets {
+  val Utf8: Charset = StandardCharsets.UTF_8
+  val Latin1: Charset = StandardCharsets.ISO_8859_1
+
+  def resolve(name: String): Charset = name.toLowerCase match {
+    case "utf-8" | "utf8" | "ascii" | "us-ascii"           => Utf8
+    case "latin-1" | "latin1" | "iso-8859-1" | "iso8859-1" => Latin1
+    case "windows-1252" | "cp1252"                         => Charset.forName("windows-1252")
+    case _                                                 => Utf8
+  }
+
+  /** Returns (charset, bomLength). */
+  def sniff(b: Array[Byte]): (Charset, Int) = {
+    if (b.length >= 3 && b(0) == 0xef.toByte && b(1) == 0xbb.toByte && b(2) == 0xbf.toByte)
+      return (Utf8, 3)
+    // scan head for charset= (ASCII, case-insensitive)
+    val n = math.min(b.length, 1024)
+    val head = new String(b, 0, n, StandardCharsets.ISO_8859_1).toLowerCase
+    val i = head.indexOf("charset=")
+    if (i >= 0) {
+      var j = i + 8
+      // optional quote
+      if (j < head.length && (head(j) == '"' || head(j) == '\'')) j += 1
+      val sb = new StringBuilder
+      while (j < head.length && (head(j).isLetterOrDigit || head(j) == '-' || head(j) == '_')) {
+        sb.append(head(j)); j += 1
+      }
+      (resolve(sb.toString), 0)
+    } else (Utf8, 0)
+  }
+}
+
+/** Single-pass byte-stream HTML tokenizer.
+  *
+  * Handles: start/end/self-closing tags, attributes (quoted/unquoted), comments,
+  * doctype, CDATA, rawtext elements (script/style — content scanned for the literal
+  * close tag, `<` inside is text), bare `<` in text, unclosed constructs at EOF.
+  * Never loses bytes: emitted token ranges partition the input (tag-soup contract,
+  * FIXTURES.md F09).
+  *
+  * Structure-bearing bytes in HTML are ASCII, so tokenizing raw bytes is
+  * charset-safe for all ASCII-supersets we accept (UTF-8 / latin-1 / cp1252);
+  * text decode happens later, per block, with the sniffed charset.
+  */
+object HtmlTokenizer {
+
+  private val boilerHintWords = Array("nav", "menu", "footer", "header", "sidebar",
+    "banner", "breadcrumb", "advert", "ads", "ad-", "promo", "share", "social",
+    "comment", "related", "widget", "cookie", "popup", "masthead")
+  private val contentHintWords = Array("article", "content", "main", "post", "body-text",
+    "story", "entry", "text")
+
+  private def isAsciiLetter(c: Int): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  private def toLower(c: Int): Int = if (c >= 'A' && c <= 'Z') c + 32 else c
+
+  /** Tokenize `input` into `arena` (which is reset first). */
+  def tokenize(input: Array[Byte], arena: TokenArena): Unit = {
+    arena.reset()
+    val n = input.length
+    var i = 0
+    var textStart = 0 // start of pending text run
+
+    def flushText(upTo: Int): Unit =
+      if (upTo > textStart) arena.add(Tok.Text, textStart, upTo, -1, 0)
+
+    while (i < n) {
+      val c = input(i) & 0xff
+      if (c == '<' && i + 1 < n) {
+        val c1 = input(i + 1) & 0xff
+        if (c1 == '!') {
+          // comment / doctype / CDATA
+          flushText(i)
+          if (i + 3 < n && input(i + 2) == '-' && input(i + 3) == '-') {
+            var j = i + 4
+            var end = -1
+            while (end < 0 && j + 2 < n) {
+              if (input(j) == '-' && input(j + 1) == '-' && input(j + 2) == '>') end = j + 3
+              j += 1
+            }
+            if (end < 0) end = n // unclosed comment swallows to EOF
+            arena.add(Tok.Comment, i, end, -1, 0)
+            i = end; textStart = i
+          } else if (i + 8 < n && input(i + 2) == '[' &&
+            (input(i + 3) | 32) == 'c' && (input(i + 4) | 32) == 'd' &&
+            (input(i + 5) | 32) == 'a' && (input(i + 6) | 32) == 't' &&
+            (input(i + 7) | 32) == 'a' && input(i + 8) == '[') {
+            var j = i + 9
+            var end = -1
+            while (end < 0 && j + 2 < n) {
+              if (input(j) == ']' && input(j + 1) == ']' && input(j + 2) == '>') end = j + 3
+              j += 1
+            }
+            if (end < 0) end = n
+            arena.add(Tok.Cdata, i, end, -1, 0)
+            i = end; textStart = i
+          } else {
+            var j = i + 2
+            while (j < n && input(j) != '>') j += 1
+            val end = if (j < n) j + 1 else n
+            arena.add(Tok.Doctype, i, end, -1, 0)
+            i = end; textStart = i
+          }
+        } else if (c1 == '/') {
+          // end tag
+          var j = i + 2
+          val nameSb = new java.lang.StringBuilder(8)
+          while (j < n && isAsciiLetter(input(j) & 0xff) ||
+                 (j < n && nameSb.length > 0 && ((input(j) & 0xff) >= '0' && (input(j) & 0xff) <= '9'))) {
+            nameSb.append(toLower(input(j) & 0xff).toChar); j += 1
+          }
+          if (nameSb.length == 0) {
+            // stray "</" with no name: treat as text
+            i += 1
+          } else {
+            while (j < n && input(j) != '>') j += 1
+            val end = if (j < n) j + 1 else n
+            flushText(i)
+            arena.add(Tok.End, i, end, arena.intern(nameSb.toString), 0)
+            i = end; textStart = i
+          }
+        } else if (isAsciiLetter(c1)) {
+          // start tag: flush pending text first so the tag token lands in order
+          flushText(i)
+          textStart = i
+          val parsed = parseStartTag(input, i, n, arena)
+          if (parsed < 0) {
+            i += 1 // malformed (no '>' before EOF); '<' stays in the text run
+          } else {
+            val tokIdx = arena.size - 1 // parseStartTag added the token
+            i = parsed; textStart = i
+            // rawtext elements: scan to the literal close tag
+            val name = arena.tagName(arena.tagIds(tokIdx))
+            if ((name == "script" || name == "style") && arena.kinds(tokIdx) == Tok.Start) {
+              val close = findCloseTag(input, i, n, name)
+              if (close > i) { arena.add(Tok.Text, i, close, -1, 0); i = close; textStart = i }
+            }
+          }
+        } else {
+          i += 1 // '<' followed by non-tag char: text
+        }
+      } else i += 1
+    }
+    flushText(n)
+  }
+
+  /** Parse a start tag beginning at `i` (input(i)=='<'). Adds the token to the
+    * arena and returns the index just past '>'; returns -1 if malformed (no '>'
+    * found — caller treats '<' as text). Extracts href presence and class/id hints.
+    */
+  private def parseStartTag(input: Array[Byte], i0: Int, n: Int, arena: TokenArena): Int = {
+    var j = i0 + 1
+    val nameSb = new java.lang.StringBuilder(8)
+    while (j < n && (isAsciiLetter(input(j) & 0xff) ||
+        (nameSb.length > 0 && { val c = input(j) & 0xff; (c >= '0' && c <= '9') || c == '-' }))) {
+      nameSb.append(toLower(input(j) & 0xff).toChar); j += 1
+    }
+    var flag = 0
+    var selfClose = false
+    // attribute scan
+    var attrName = new java.lang.StringBuilder(8)
+    while (j < n && input(j) != '>') {
+      val c = input(j) & 0xff
+      if (c == '/' && j + 1 < n && input(j + 1) == '>') { selfClose = true; j += 1 }
+      else if (isAsciiLetter(c)) {
+        attrName.setLength(0)
+        while (j < n && { val cc = input(j) & 0xff
+          isAsciiLetter(cc) || (cc >= '0' && cc <= '9') || cc == '-' || cc == '_' }) {
+          attrName.append(toLower(input(j) & 0xff).toChar); j += 1
+        }
+        // skip ws
+        while (j < n && (input(j) == ' ' || input(j) == '\t' || input(j) == '\n' || input(j) == '\r')) j += 1
+        var value: String = null
+        if (j < n && input(j) == '=') {
+          j += 1
+          while (j < n && (input(j) == ' ' || input(j) == '\t' || input(j) == '\n' || input(j) == '\r')) j += 1
+          if (j < n && (input(j) == '"' || input(j) == '\'')) {
+            val quote = input(j); j += 1
+            val vs = j
+            while (j < n && input(j) != quote) j += 1
+            value = new String(input, vs, j - vs, StandardCharsets.ISO_8859_1)
+            if (j < n) j += 1
+          } else {
+            val vs = j
+            while (j < n && { val cc = input(j) & 0xff; cc != ' ' && cc != '\t' && cc != '\n' && cc != '\r' && cc != '>' }) j += 1
+            value = new String(input, vs, j - vs, StandardCharsets.ISO_8859_1)
+          }
+        }
+        val an = attrName.toString
+        if (an == "href" && value != null) flag |= TokenFlags.HasHref
+        else if ((an == "class" || an == "id") && value != null) {
+          val v = value.toLowerCase
+          var k = 0
+          var done = false
+          while (k < boilerHintWords.length && !done) {
+            if (v.contains(boilerHintWords(k))) { flag |= TokenFlags.HintBoiler; done = true }
+            k += 1
+          }
+          if (!done) {
+            k = 0
+            while (k < contentHintWords.length && !done) {
+              if (v.contains(contentHintWords(k))) { flag |= TokenFlags.HintContent; done = true }
+              k += 1
+            }
+          }
+        }
+      } else j += 1
+    }
+    if (j >= n) return -1 // no '>' — malformed tag at EOF; treat as text
+    j += 1 // consume '>'
+    val name = nameSb.toString
+    val kind = if (selfClose || HtmlNames.isVoid(name)) Tok.SelfClose else Tok.Start
+    arena.add(kind, i0, j, arena.intern(name), flag)
+    j
+  }
+
+  /** Find offset of `</name` (case-insensitive) at or after `from`; n if absent. */
+  private def findCloseTag(input: Array[Byte], from: Int, n: Int, name: String): Int = {
+    var i = from
+    val m = name.length
+    while (i + m + 1 < n) {
+      if (input(i) == '<' && input(i + 1) == '/') {
+        var k = 0
+        var ok = true
+        while (ok && k < m) {
+          if (toLower(input(i + 2 + k) & 0xff) != name(k)) ok = false
+          k += 1
+        }
+        if (ok) return i
+      }
+      i += 1
+    }
+    n
+  }
+}
+
+/** Static HTML name classes (HTML5 spec lists; public knowledge). */
+object HtmlNames {
+  private val voidTags = Set("area", "base", "br", "col", "embed", "hr", "img",
+    "input", "link", "meta", "param", "source", "track", "wbr")
+  private val blockTags = Set("address", "article", "aside", "blockquote", "body",
+    "caption", "dd", "div", "dl", "dt", "fieldset", "figcaption", "figure", "footer",
+    "form", "h1", "h2", "h3", "h4", "h5", "h6", "header", "hr", "html", "li", "main",
+    "nav", "ol", "p", "pre", "section", "table", "tbody", "td", "tfoot", "th",
+    "thead", "tr", "ul")
+  private val skipSubtree = Set("script", "style", "noscript", "svg", "head",
+    "iframe", "object", "template")
+  private val boilerTags = Set("nav", "header", "footer", "aside")
+  private val headingTags = Set("h1", "h2", "h3", "h4", "h5", "h6")
+  /** end tag of these implicitly closes an open sibling of the same name */
+  private val autoCloseSibling = Set("p", "li", "td", "th", "tr", "option", "dd", "dt")
+
+  def isVoid(t: String): Boolean = voidTags.contains(t)
+  def isBlock(t: String): Boolean = blockTags.contains(t)
+  def isSkip(t: String): Boolean = skipSubtree.contains(t)
+  def isBoiler(t: String): Boolean = boilerTags.contains(t)
+  def isHeading(t: String): Boolean = headingTags.contains(t)
+  def autoCloses(t: String): Boolean = autoCloseSibling.contains(t)
+}

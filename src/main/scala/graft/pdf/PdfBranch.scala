@@ -1,0 +1,121 @@
+package graft.pdf
+
+import java.nio.charset.StandardCharsets
+
+import graft.extract.{ExtractConfig, TextNormalizer}
+import graft.model.{ExtractedDoc, Span}
+
+/** PDF / layout branch.
+  *
+  * The reference rasterizes PDFs page-by-page and routes pages through layout
+  * analysis + XY-cut reading-order recovery (check_and_read pdf explode,
+  * ppocr/utils/utility.py:119-152; sorted_layout_boxes 2-column ordering,
+  * ppstructure/recovery/recovery_to_doc.py:87-155; page concat,
+  * ppstructure/predict_system.py:343-388). Real PDF rasterization/OCR needs
+  * native libs not present here, so per FIXTURES.md F12 we define a fixed,
+  * deterministic mini page-description format for tests — the Spark-side
+  * plumbing (sniff-dispatch, page explode, banded XY-cut, page concat) is the
+  * real deliverable:
+  *
+  * {{{
+  * %PDF-GRAFT 1.0
+  * page <width> <height>
+  * block <x> <y> <w> <h> <single-line text>
+  * ...
+  * endpage
+  * page ...
+  * }}}
+  *
+  * Reading order per page (banded XY-cut, ≡ recovery_to_doc.py:87-155):
+  * blocks sorted by (y, x); a full-width block (w*10 >= W*6) closes the current
+  * band; within a band, left-column blocks (2*(x + w/2) < W) come first (by y,x),
+  * then right-column blocks. Page texts join with "\n\n"; block texts join with
+  * "\n\n"; all text whitespace-normalized.
+  */
+object PdfBranch {
+
+  private val magic = "%PDF".getBytes(StandardCharsets.US_ASCII)
+
+  def isPdf(b: Array[Byte]): Boolean =
+    b.length >= 4 && b(0) == magic(0) && b(1) == magic(1) && b(2) == magic(2) && b(3) == magic(3)
+
+  final case class PBlock(x: Int, y: Int, w: Int, h: Int, text: String, off: Int, end: Int)
+
+  def extract(url: String, payload: Array[Byte], cfg: ExtractConfig): ExtractedDoc = {
+    val truncated = payload.length > cfg.maxHtmlBytes
+    val input = if (truncated) java.util.Arrays.copyOf(payload, cfg.maxHtmlBytes) else payload
+    val s = new String(input, StandardCharsets.UTF_8)
+    val pages = parsePages(s)
+    val orderedPages = pages.map { case (w, blocks) => orderPage(w, blocks) }
+    val pageTexts = orderedPages.map(bs => bs.map(_.text).mkString("\n\n")).filter(_.nonEmpty)
+    val text = pageTexts.mkString("\n\n")
+    var idx = -1
+    val spans = orderedPages.zipWithIndex.flatMap { case (bs, p) =>
+      bs.map { b =>
+        idx += 1
+        Span(idx, s"pdf/page$p", b.off, b.end, "content", 1.0, b.text)
+      }
+    }
+    ExtractedDoc(url, text, spans.length, spans, "utf-8", truncated)
+  }
+
+  /** Parse into (pageWidth, blocks-in-payload-order) per page. Malformed lines
+    * are skipped (tag-soup tolerance, same spirit as the HTML branch). */
+  private def parsePages(s: String): Vector[(Int, Vector[PBlock])] = {
+    val pages = Vector.newBuilder[(Int, Vector[PBlock])]
+    var curW = 0
+    var blocks = Vector.newBuilder[PBlock]
+    var inPage = false
+    var off = 0
+    for (line <- s.linesWithSeparators) {
+      val lineStart = off
+      off += line.length
+      val t = line.stripLineEnd
+      if (t.startsWith("page ")) {
+        if (inPage) { pages += ((curW, blocks.result())) }
+        val parts = t.split(" ")
+        curW = if (parts.length >= 2) parseIntSafe(parts(1)) else 0
+        blocks = Vector.newBuilder[PBlock]
+        inPage = true
+      } else if (t == "endpage") {
+        if (inPage) { pages += ((curW, blocks.result())); inPage = false }
+      } else if (t.startsWith("block ") && inPage) {
+        // block x y w h text...
+        val rest = t.substring(6)
+        val p = rest.split(" ", 5)
+        if (p.length == 5) {
+          val (x, y, w, h) = (parseIntSafe(p(0)), parseIntSafe(p(1)), parseIntSafe(p(2)), parseIntSafe(p(3)))
+          val txt = TextNormalizer.normalize(p(4))
+          if (txt.nonEmpty) blocks += PBlock(x, y, w, h, txt, lineStart, lineStart + line.length)
+        }
+      }
+    }
+    if (inPage) pages += ((curW, blocks.result()))
+    pages.result()
+  }
+
+  private def parseIntSafe(s: String): Int =
+    try s.toInt catch { case _: NumberFormatException => 0 }
+
+  /** Banded XY-cut ordering. Deterministic: ties broken by (y, x, payload order). */
+  def orderPage(pageW: Int, blocks: Vector[PBlock]): Vector[PBlock] = {
+    val sorted = blocks.sortBy(b => (b.y, b.x))
+    val out = Vector.newBuilder[PBlock]
+    val band = scala.collection.mutable.ArrayBuffer.empty[PBlock]
+    def isFull(b: PBlock): Boolean = b.w.toLong * 10 >= pageW.toLong * 6
+    def flush(): Unit = {
+      if (band.nonEmpty) {
+        val (left, right) = band.partition(b => 2L * b.x + b.w < pageW)
+        out ++= left.sortBy(b => (b.y, b.x))
+        out ++= right.sortBy(b => (b.y, b.x))
+        band.clear()
+      }
+    }
+    for (b <- sorted) {
+      if (isFull(b)) { flush(); out += b }
+      else band += b
+    }
+    flush()
+    out.result()
+  }
+}
