@@ -1,0 +1,161 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.extract.{ExtractConfig, Extractor, ExtractorState}
+import graft.model.PageRow
+
+/** One extracted-output row as persisted (per-doc stage nanos ride along so the
+  * per-partition lineage can be re-aggregated from *committed* data, never from
+  * in-flight state — the write IS the checkpoint).
+  */
+final case class ExtractedRow(
+    bucket: Int,
+    url: String,
+    text: String,
+    nSpans: Int,
+    charset: String,
+    truncated: Boolean,
+    htmlBytes: Long,
+    tokenizeNanos: Long,
+    domNanos: Long,
+    classifyNanos: Long,
+    assembleNanos: Long
+)
+
+/** Pipeline config (bucket counts sized for the sandbox; at cluster scale
+  * `numBuckets` would be O(10^5) for a 10^12-row table — the mechanism is
+  * identical because buckets, not Spark partitions, are the checkpoint unit).
+  */
+final case class PipelineConf(
+    numBuckets: Int = 64,
+    /** payloads >= this many bytes are "mega documents": routed to dedicated
+      * buckets so one outlier cannot straggle a bucket of normal pages — the
+      * graft of the reference's recursive slice path for extreme-aspect inputs
+      * (tools/infer/predict_det.py:307-408) expressed as partition routing. */
+    megaBytes: Int = 1 << 20,
+    megaBuckets: Int = 8,
+    extract: ExtractConfig = ExtractConfig()
+)
+
+/** Checkpoint/resume extraction pipeline (north rule):
+  *
+  *  - every page gets a deterministic bucket = f(url, |html|): murmur3(url) mod
+  *    numBuckets for normal pages, a dedicated mega-bucket range for outliers
+  *    (size-balanced salting: the explicit skew handling of SURVEY.md §4.4);
+  *  - extraction runs as one narrow mapPartitions after a single repartition
+  *    on bucket (the only shuffle in the job);
+  *  - output is written parquet partitioned BY bucket with dynamic partition
+  *    overwrite → per-bucket idempotent commits (Iceberg-style overwrite-by-
+  *    partition without needing the Iceberg runtime in this sandbox);
+  *  - lineage rows (status, doc/byte counts, per-stage nanos ≡ the reference's
+  *    time_dict, tools/infer/predict_system.py:77) are aggregated from the
+  *    *written* files and appended to a lineage table — a bucket is "ok" iff
+  *    its data is committed;
+  *  - resume = re-run with `resume = true`: buckets already "ok" in lineage are
+  *    filtered out of the input before the shuffle, everything else reruns;
+  *    dynamic overwrite makes reruns of half-written buckets safe.
+  */
+object ExtractPipeline {
+
+  def bucketOf(url: String, htmlLen: Int, conf: PipelineConf): Int = {
+    val h = scala.util.hashing.MurmurHash3.stringHash(if (url == null) "" else url)
+    if (htmlLen >= conf.megaBytes)
+      conf.numBuckets + Math.floorMod(h, conf.megaBuckets)
+    else Math.floorMod(h, conf.numBuckets)
+  }
+
+  def lineageDir(outDir: String): String = s"$outDir/_lineage"
+  def dataDir(outDir: String): String = s"$outDir/data"
+
+  /** Buckets marked ok in the lineage table (empty if no lineage yet). */
+  def completedBuckets(spark: SparkSession, outDir: String): Set[Int] = {
+    val dir = new java.io.File(lineageDir(outDir))
+    if (!dir.exists()) return Set.empty
+    import spark.implicits._
+    spark.read.parquet(lineageDir(outDir))
+      .filter(col("status") === "ok")
+      .select(col("bucket")).as[Int].collect().toSet
+  }
+
+  /** Run (or resume) the pipeline. Returns the number of buckets processed in
+    * THIS run. `onlyBuckets` restricts processing (used by tests to simulate a
+    * run that died before finishing every bucket).
+    */
+  def run(spark: SparkSession, pages: Dataset[PageRow], outDir: String,
+          conf: PipelineConf = PipelineConf(), resume: Boolean = false,
+          onlyBuckets: Option[Set[Int]] = None, attempt: Int = 0): Long = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    val done: Set[Int] = if (resume) completedBuckets(spark, outDir) else Set.empty
+
+    val bucketed = pages.map { p =>
+      val len = if (p.html == null) 0 else p.html.length
+      (bucketOf(p.url, len, conf), p)
+    }.toDF("bucket", "page")
+
+    val remaining0 =
+      if (done.isEmpty) bucketed
+      else bucketed.filter(!col("bucket").isin(done.toSeq: _*))
+    val remaining = onlyBuckets match {
+      case Some(bs) => remaining0.filter(col("bucket").isin(bs.toSeq: _*))
+      case None     => remaining0
+    }
+
+    val totalParts = conf.numBuckets + conf.megaBuckets
+    val extracted = remaining
+      .repartition(totalParts, col("bucket"))
+      .as[(Int, PageRow)]
+      .mapPartitions { it =>
+        val state = new ExtractorState()
+        it.map { case (bucket, p) =>
+          val t0 = state.tokenizeNanos; val d0 = state.domNanos
+          val c0 = state.classifyNanos; val a0 = state.assembleNanos
+          val doc = Extractor.extract(p.url, p.html, conf.extract, state)
+          ExtractedRow(bucket, doc.url, doc.text, doc.nSpans, doc.charset,
+            doc.truncated, if (p.html == null) 0L else p.html.length.toLong,
+            state.tokenizeNanos - t0, state.domNanos - d0,
+            state.classifyNanos - c0, state.assembleNanos - a0)
+        }
+      }
+
+    extracted.write
+      .partitionBy("bucket")
+      .mode(SaveMode.Overwrite)
+      .parquet(dataDir(outDir))
+
+    // Lineage from committed data only: re-read the buckets just written.
+    val touched = spark.read.parquet(dataDir(outDir))
+      .filter(if (done.isEmpty) lit(true) else !col("bucket").isin(done.toSeq: _*))
+    val touched2 = onlyBuckets match {
+      case Some(bs) => touched.filter(col("bucket").isin(bs.toSeq: _*))
+      case None     => touched
+    }
+    val lineage = touched2.groupBy(col("bucket")).agg(
+      lit("ok").as("status"),
+      lit(attempt).as("attempt"),
+      count(lit(1)).as("docs"),
+      sum(col("htmlBytes")).as("bytes"),
+      sum(when(length(col("text")) === 0, 1L).otherwise(0L)).as("emptyDocs"),
+      sum(when(col("truncated"), 1L).otherwise(0L)).as("truncatedDocs"),
+      sum(col("tokenizeNanos")).as("tokenizeNanos"),
+      sum(col("domNanos")).as("domNanos"),
+      sum(col("classifyNanos")).as("classifyNanos"),
+      sum(col("assembleNanos")).as("assembleNanos")
+    )
+    val n = lineage.count()
+    if (n > 0)
+      lineage.write.mode(SaveMode.Append).parquet(lineageDir(outDir))
+    n
+  }
+
+  /** The final extracted table (all committed buckets). */
+  def output(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(dataDir(outDir))
+
+  /** The lineage/metrics table. */
+  def lineage(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(lineageDir(outDir))
+}
