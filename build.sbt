@@ -28,3 +28,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// GC diagnostics toggle: SPARK_GRAFT_GCLOG=1
+javaOptions ++= (if (sys.env.contains("SPARK_GRAFT_GCLOG")) Seq("-Xlog:gc") else Seq.empty)
