@@ -2,19 +2,35 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
-import graft.pipeline.{CorpusSource, Extract}
+import graft.expressions.GraftExpressions
+import graft.functions.{DedupFunctions, MultimodalFunctions, SimilarityFunctions, TextFunctions}
+import graft.pipeline.{CorpusSource, Extract, ExtractPipeline, PipelineConf}
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+/** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
   * Query naming: `x*` = extraction-engine queries over the synthesized
   * Common-Crawl-style pages corpus (north rule; no SQL oracle — verified
   * byte-exactly by the sbt golden suite instead); `q*` = relational recasts of
   * SURVEY.md §2 operators over the driver's parquet tables (DuckDB oracle);
   * `d*` = training-data ops over `documents`; `e*` = similarity ops over
-  * `embeddings`.
+  * `embeddings`. Every oracle-checked query ends in a deterministic ORDER BY
+  * and uses only BIGINT/DOUBLE/STRING/BOOLEAN/TIMESTAMP outputs; order-
+  * sensitive float sums go through DECIMAL so both engines agree bit-for-bit.
   */
 object SparkEntry {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+  private def lineitem(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+  private def orders(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
 
   /** Flagship: full extraction pipeline over the synthesized golden corpus
     * (tokenize → arena DOM → block features → rule cascade → ordered spans →
@@ -27,7 +43,7 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- extraction engine (pages corpus; golden-tested, rows-only here) ----
+    // ================= extraction engine (pages corpus; golden-tested) =====
     "x01_extract" -> ((s, _) =>
       Extract.run(CorpusSource.pages(s, 280)).toDF()
         .select(col("url"), col("text"), col("nSpans").as("n_spans"),
@@ -38,22 +54,386 @@ object SparkEntry {
         .select(col("url"), col("s.blockIdx").as("block_idx"),
           col("s.tagPath").as("tag_path"), col("s.start"), col("s.end"),
           col("s.label"), col("s.text"))),
+    // SQL surface: the extraction kernel as a registered Catalyst expression
+    "x03_extract_sql" -> ((s, _) => {
+      GraftExpressions.register(s)
+      CorpusSource.pages(s, 140).createOrReplaceTempView("graft_pages")
+      s.sql("""SELECT url, graft_extract_text(html) AS text,
+              |       graft_token_count(graft_extract_text(html)) AS n_tokens
+              |FROM graft_pages ORDER BY url""".stripMargin)
+    }),
+    // checkpoint/resume pipeline: lineage table (north rule)
+    "x04_pipeline_lineage" -> ((s, _) => {
+      val out = "/tmp/graft_verify_pipeline"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      ExtractPipeline.run(s, CorpusSource.pages(s, 280), out,
+        PipelineConf(numBuckets = 16, megaBuckets = 2))
+      ExtractPipeline.lineage(s, out)
+        .select(col("bucket"), col("status"), col("docs"), col("bytes"),
+          col("emptyDocs"), col("truncatedDocs"))
+        .orderBy("bucket")
+    }),
+    // multimodal: binary payload metadata + stub-decoded features
+    "x05_multimodal_meta" -> ((s, _) =>
+      MultimodalFunctions.mediaMeta(CorpusSource.pages(s, 280))
+        .orderBy("url")),
+    // PDF branch: page/span explode over PDF payloads only
+    "x06_pdf_spans" -> ((s, _) =>
+      Extract.run(CorpusSource.pages(s, 280)).toDF()
+        .filter(col("charset") === "utf-8")
+        .select(col("url"), explode(col("spans")).as("sp"))
+        .filter(col("sp.tagPath").startsWith("pdf/"))
+        .select(col("url"), col("sp.blockIdx").as("block_idx"),
+          col("sp.tagPath").as("page"), col("sp.text"))),
 
-    // ---- relational recasts (oracle-checked) ----
-    // token counting over documents (SURVEY §2 text analysis)
-    "d01_token_count" -> ((s, dir) =>
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"),
-          length(col("text")).cast("long").as("n_chars"))
-        .orderBy("doc_id"))
+    // ================= relational recasts (oracle-checked) =================
+    // score/size filter + projection (≡ drop_score gate + KeepKeys,
+    // tools/infer/predict_system.py:149-154, ppocr/data/imaug/operators.py:116-126)
+    "q01_filter_project" -> ((s, dir) =>
+      lineitem(s, dir)
+        .filter(col("l_quantity") >= 45 && col("l_discount") > 0.07)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"))
+        .orderBy("l_orderkey", "l_linenumber")),
+    // partial+final aggregate (≡ RecMetric accumulate/finalize,
+    // ppocr/metrics/rec_metric.py:23-78); DECIMAL keeps float sums exact
+    "q02_agg_metrics" -> ((s, dir) =>
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .withColumn("avg_price", round(col("sum_price") / col("n_rows"), 4))
+        .orderBy("l_returnflag", "l_linestatus")),
+    // top-k per group (≡ NMS keep_top_k, ppocr/postprocess/picodet_postprocess.py:108-116)
+    "q03_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      events(s, dir)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("user_id"), col("rank"), col("event_id"), col("value"))
+        .orderBy("user_id", "rank")
+    }),
+    // reading-order sort (≡ sorted_boxes, tools/infer/predict_system.py:160-182)
+    "q04_reading_order" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      events(s, dir)
+        .withColumn("seq", row_number().over(w).cast("long"))
+        .select(col("user_id"), col("seq"), col("event_id"), col("ts"))
+        .orderBy("user_id", "seq")
+    }),
+    // interval/theta join (≡ layout×text spatial assignment,
+    // ppstructure/predict_system.py:176-271)
+    "q05_interval_join" -> ((s, dir) =>
+      lineitem(s, dir).join(orders(s, dir),
+          col("l_orderkey") === col("o_orderkey")
+            && col("l_shipdate") >= col("o_orderdate")
+            && col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sum_qty"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("o_orderstatus")),
+    // broadcast dimension joins (≡ char-dict broadcast / shared small state,
+    // ppocr/postprocess/rec_postprocess.py:26-51)
+    "q06_broadcast_dims" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+      val reg = s.read.parquet(s"$dir/region.parquet")
+      cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal"))
+        .orderBy("r_name", "n_name")
+    }),
+    // explode + offset-preserving reassembly (≡ slice det + offset rebase,
+    // tools/infer/predict_system.py:86-107)
+    "q07_explode_rebase" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val rebuilt = toks.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_tokens"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          st => st.getField("tok")), " ").as("rebuilt"))
+      docs(s, dir).select(col("doc_id"), col("text"))
+        .join(rebuilt, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("rebuilt") === col("text")).as("roundtrip_ok"))
+        .orderBy("doc_id")
+    }),
+    // fragment merge → sessionization (≡ merge_fragmented adjacency fusion,
+    // tools/infer/utility.py:963-1018, recast to time gaps)
+    "q08_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull
+            || (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 300, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("ts_start"), max(col("ts")).as("ts_end"))
+        .orderBy("user_id", "session_id")
+    }),
+    // salted two-stage aggregation (explicit skew handling ≡ SURVEY.md §4.4;
+    // result provably identical to the direct GROUP BY, which IS the oracle)
+    "q09_salted_agg" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(count(lit(1)).as("c"),
+          sum(col("value").cast("decimal(18,6)")).as("sv"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("c")).as("n"), sum(col("sv")).cast("double").as("sum_value"))
+        .orderBy("event_type")),
+    // running windowed aggregate (≡ box_score running accumulation shape,
+    // ppocr/postprocess/db_postprocess.py:189-225)
+    "q10_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lineitem(s, dir)
+        .filter(col("l_suppkey") < 100)
+        .withColumn("running_qty", sum(col("l_quantity")).over(w))
+        .select(col("l_suppkey"), col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"), col("running_qty"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+
+    // ================= training-data ops over `documents` ==================
+    "d01_token_count" -> ((s, dir) => TextFunctions.tokenStats(docs(s, dir))),
+    "d02_quality" -> ((s, dir) => TextFunctions.qualityScore(docs(s, dir))),
+    "d03_lang_id" -> ((s, dir) => TextFunctions.langId(docs(s, dir))),
+    "d04_fingerprint" -> ((s, dir) => TextFunctions.fingerprint(docs(s, dir))),
+    "d05_dedup_exact" -> ((s, dir) => DedupFunctions.exactGroups(docs(s, dir))),
+    "d06_minhash_sig" -> ((s, dir) => TextFunctions.minhashSignature(docs(s, dir), 4)),
+    "d07_lsh_pairs" -> ((s, dir) => DedupFunctions.lshCandidatePairs(docs(s, dir), 4)),
+    "d08_jaccard_pairs" -> ((s, dir) => DedupFunctions.jaccardPairs(docs(s, dir), 0.5)),
+    "d09_simhash16" -> ((s, dir) => TextFunctions.simhash16(docs(s, dir))),
+    // production 64-bit simhash (xxhash64 — no DuckDB analog; spec-tested)
+    "d10_simhash_pairs" -> ((s, dir) => DedupFunctions.simhashPairs(docs(s, dir), 12)),
+
+    // ================= similarity ops over `embeddings` ====================
+    "e01_knn_brute" -> ((s, dir) => SimilarityFunctions.knnBrute(emb(s, dir), 5, 5)),
+    "e02_vec_norms" -> ((s, dir) =>
+      emb(s, dir).select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(SimilarityFunctions.l2norm(col("embedding")), 4).as("l2"))
+        .orderBy("vec_id")),
+    "e03_label_centroids" -> ((s, dir) => SimilarityFunctions.labelCentroids(emb(s, dir))),
+    // LSH-bucketed ANN (scale path; recall measured vs e01 in SimilaritySpec)
+    "e04_ann_bucketed" -> ((s, dir) =>
+      SimilarityFunctions.annBucketed(emb(s, dir), 5, 5, nPlanes = 4, dim = 64))
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber, l_quantity,
+        |       l_extendedprice * (1 - l_discount) AS net_price
+        |FROM lineitem
+        |WHERE l_quantity >= 45 AND l_discount > 0.07
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q02_agg_metrics" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       count(*)::BIGINT AS n_rows,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q03_topk_per_group" ->
+      """SELECT user_id, rn AS rank, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3 ORDER BY user_id, rank""".stripMargin,
+    "q04_reading_order" ->
+      """SELECT user_id,
+        |       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+        |       event_id, ts
+        |FROM events ORDER BY user_id, seq""".stripMargin,
+    "q05_interval_join" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n, sum(l_quantity) AS sum_qty,
+        |       count(DISTINCT o_orderkey)::BIGINT AS n_orders
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q06_broadcast_dims" ->
+      """SELECT r_name, n_name, count(*)::BIGINT AS n_customers,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q07_explode_rebase" ->
+      """SELECT d.doc_id, t.n_tokens, t.rebuilt = d.text AS roundtrip_ok
+        |FROM documents d JOIN (
+        |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |         string_agg(s, ' ' ORDER BY p) AS rebuilt
+        |  FROM (SELECT doc_id,
+        |               unnest(string_split(text, ' ')) AS s,
+        |               generate_subscripts(string_split(text, ' '), 1) AS p
+        |        FROM documents) u
+        |  GROUP BY doc_id) t ON d.doc_id = t.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q08_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |               OR date_diff('second', lag(ts) OVER w, ts) > 300
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, ts,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id::BIGINT AS session_id, count(*)::BIGINT AS n_events,
+        |       min(ts) AS ts_start, max(ts) AS ts_end
+        |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q09_salted_agg" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+        |       sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |                             ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |                             ROWS UNBOUNDED PRECEDING) AS running_qty
+        |FROM lineitem WHERE l_suppkey < 100
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "d01_token_count" ->
       """SELECT doc_id,
         |       len(string_split(text, ' '))::BIGINT AS n_tokens,
         |       length(text)::BIGINT AS n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d02_quality" ->
+      """SELECT doc_id,
+        |       length(text)::BIGINT AS n_chars,
+        |       len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |       round(length(text)::DOUBLE / len(string_split(text, ' ')), 4) AS avg_token_len,
+        |       round(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+        |             / greatest(length(text), 1), 4) AS digit_ratio,
+        |       round(len(list_filter(string_split(text, ' '),
+        |                 w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w)))::DOUBLE
+        |             / greatest(len(string_split(text, ' ')), 1), 4) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d03_lang_id" -> {
+      val values = TextFunctions.langMarkers
+        .map { case (l, m) => s"('$l','$m')" }.mkString(", ")
+      s"""WITH markers(cand_lang, marker) AS (SELECT * FROM (VALUES $values) v),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |votes AS (
+         |  SELECT doc_id, cand_lang, count(*)::BIGINT AS votes
+         |  FROM toks JOIN markers ON tok = marker GROUP BY 1, 2),
+         |best AS (
+         |  SELECT doc_id, cand_lang, votes FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                                 ORDER BY votes DESC, cand_lang) AS rn
+         |    FROM votes) r WHERE rn = 1)
+         |SELECT d.doc_id,
+         |       coalesce(b.cand_lang, 'und') AS pred_lang,
+         |       coalesce(b.votes, 0)::BIGINT AS votes,
+         |       coalesce(b.cand_lang, 'und') = d.lang AS matches_label
+         |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+    "d04_fingerprint" ->
+      """SELECT doc_id, md5(text) AS content_md5,
+        |       (string_split(text, ' '))[1] AS first_token,
+        |       (string_split(text, ' '))[-1] AS last_token,
+        |       length(text)::BIGINT AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d05_dedup_exact" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_doc_id,
+        |       count(*)::BIGINT AS group_size
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d06_minhash_sig" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |              unnest(list_transform(range(len(ws) - 2),
+        |                     i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS s
+        |       FROM t WHERE len(ws) >= 3),
+        |sig AS (SELECT doc_id,
+        |               min(md5('0:' || s)) AS mh0, min(md5('1:' || s)) AS mh1,
+        |               min(md5('2:' || s)) AS mh2, min(md5('3:' || s)) AS mh3
+        |        FROM sh GROUP BY doc_id)
+        |SELECT t.doc_id, sig.mh0, sig.mh1, sig.mh2, sig.mh3
+        |FROM t LEFT JOIN sig ON t.doc_id = sig.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    "d07_lsh_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |              unnest(list_transform(range(len(ws) - 2),
+        |                     i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS s
+        |       FROM t WHERE len(ws) >= 3),
+        |sig AS (SELECT doc_id,
+        |               min(md5('0:' || s)) AS mh0, min(md5('1:' || s)) AS mh1,
+        |               min(md5('2:' || s)) AS mh2, min(md5('3:' || s)) AS mh3
+        |        FROM sh GROUP BY doc_id),
+        |bands AS (SELECT doc_id, unnest([mh0, mh1, mh2, mh3]) AS band FROM sig)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d08_jaccard_pairs" ->
+      """SELECT * FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         round(len(list_intersect(a.ws, b.ws))::DOUBLE
+        |               / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) AS jaccard
+        |  FROM (SELECT doc_id, lang, (n_chars // 100)::BIGINT AS bucket,
+        |               list_distinct(string_split(text, ' ')) AS ws FROM documents) a
+        |  JOIN (SELECT doc_id, lang, (n_chars // 100)::BIGINT AS bucket,
+        |               list_distinct(string_split(text, ' ')) AS ws FROM documents) b
+        |    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id) p
+        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "d09_simhash16" -> {
+      val votes = (0 until 16).map(d =>
+        s"sum(CASE WHEN substr(h, ${d + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$d")
+        .mkString(",\n            ")
+      val bits = (0 until 16).map(d =>
+        s"CASE WHEN v$d > 0 THEN ${1L << d} ELSE 0 END").mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, md5(tok) AS h FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u),
+         |votes AS (
+         |  SELECT doc_id,
+         |            $votes
+         |  FROM toks GROUP BY doc_id)
+         |SELECT doc_id, ($bits)::BIGINT AS simhash16
+         |FROM votes ORDER BY doc_id""".stripMargin
+    },
+    "e01_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         round(list_sum(list_transform(range(len(qe)),
+        |               i -> qe[i+1] * (e.embedding::DOUBLE[])[i+1])), 4) + 0.0 AS score
+        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY score DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank::BIGINT AS rank, vec_id, score
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "e02_vec_norms" ->
+      """SELECT vec_id, len(embedding)::BIGINT AS dim,
+        |       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS l2
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "e03_label_centroids" ->
+      """SELECT label::BIGINT AS label, i::BIGINT AS pos,
+        |       round(avg((embedding::DOUBLE[])[i+1]), 4) + 0.0 AS centroid_v,
+        |       count(*)::BIGINT AS n
+        |FROM embeddings, range(64) t(i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline (SURVEY.md §2 +
+  * builder prompt: exact, MinHash+LSH, SimHash, n-gram Jaccard).
+  *
+  * Scale notes (10^12-row design point):
+  *  - exact dedup is a single hash-shuffle on the content digest — the only
+  *    full-width shuffle, and the digest (16 bytes) not the text is shuffled;
+  *  - LSH candidate pairs shuffle band keys only; the pair join is band-local
+  *    (each band bucket is small by construction), the classic way to avoid
+  *    the quadratic all-pairs join;
+  *  - n-gram Jaccard runs only on candidate pairs, never the cross product
+  *    (here blocked on (lang, size-bucket) — at scale the LSH bands ARE the
+  *    blocking key).
+  */
+object DedupFunctions {
+
+  /** Exact dedup by content digest: groups of identical texts, keeper = min
+    * doc_id (deterministic). Shuffles the 16-byte digest, not the document. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text").cast("binary")).as("content_md5"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("group_size"))
+      .orderBy("content_md5")
+
+  /** LSH candidate pairs from MinHash signatures: docs sharing ANY of the k
+    * single-hash bands. Self-join on the band value; `a < b` halves the pairs;
+    * distinct collapses multi-band hits. */
+  def lshCandidatePairs(docs: DataFrame, k: Int): DataFrame = {
+    val sig = TextFunctions.minhashSignature(docs, k)
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until k).map(s => col(s"mh$s")): _*)).as("band"))
+      .filter(col("band").isNotNull)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Unigram-set Jaccard over blocked candidate pairs: block on (lang,
+    * n_chars/100 bucket), pair within block, keep pairs with similarity ≥
+    * `minJaccard`. The fixpoint-free analog of merge_fragmented's
+    * near-duplicate fusion (tools/infer/utility.py:994-1018) recast to corpus
+    * dedup. */
+  def jaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val t = docs.select(
+      col("doc_id"), col("lang"),
+      floor(col("n_chars") / 100).cast("long").as("bucket"),
+      array_distinct(TextFunctions.tokens(col("text"))).as("ws"))
+    val inter = size(array_intersect(col("a.ws"), col("b.ws"))).cast("double")
+    val union = (size(col("a.ws")) + size(col("b.ws"))
+      - size(array_intersect(col("a.ws"), col("b.ws")))).cast("double")
+    t.as("a").join(t.as("b"),
+        col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(inter / union, 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash over whitespace tokens using xxhash64 (Spark-native,
+    * codegen'd): per bit b, majority vote of token-hash bit b. Production
+    * variant of TextFunctions.simhash16 (which exists for oracle parity);
+    * near-dup pairs = hamming distance ≤ `maxHamming` within same band.
+    */
+  def simhash64(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val voteCols = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"v$b")
+    }
+    val votes = toks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    val sim = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, c) => a.bitwiseOR(c))
+    votes.select(col("doc_id"), sim.as("simhash64")).orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs: 4 bands of 16 bits each — docs collide if ANY
+    * band matches (a ≤`maxHamming`-bit difference leaves at least one band
+    * intact with high probability), then exact hamming ≤ maxHamming via
+    * bit_count over the candidate pairs. The standard band-OR construction:
+    * candidate generation is an equi-join on (band_idx, band_value), never an
+    * all-pairs scan. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sig = simhash64(docs)
+    val bands = sig.select(col("doc_id"), col("simhash64"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash64"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band_idx", "band")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.band") === col("b.band")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash64").bitwiseXOR(col("b.simhash64"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+}

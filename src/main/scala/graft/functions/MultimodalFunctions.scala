@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+import graft.model.PageRow
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata.
+  *
+  * The real decoders (image/audio codecs) are NOT in this container, so the
+  * decode step is a clearly-marked deterministic STUB; everything Spark-side —
+  * schema, per-partition batching shape (the batch-of-crops pattern from
+  * tools/infer/predict_rec.py:569-601: accumulate a fixed-size batch, process,
+  * scatter back), partitioning, column types — is real and tested.
+  */
+object MultimodalFunctions {
+
+  final case class MediaMeta(
+      url: String,
+      n_bytes: Long,
+      kind: String, // "pdf" | "html" | "empty" | "other" — magic-byte sniff
+      content_md5: String,
+      width: Int, // STUB decode output
+      height: Int, // STUB decode output
+      feature: Array[Float] // STUB embedding (8-dim)
+  )
+
+  /** Batch size for the (stubbed) decoder — the real decoder would want dense
+    * batches, like the reference's rec_batch_num=6 crop batches. */
+  val decodeBatch = 64
+
+  private def sniff(b: Array[Byte]): String =
+    if (b == null || b.isEmpty) "empty"
+    else if (b.length >= 4 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F') "pdf"
+    else if (b.length >= 1 && (b(0) == '<' || b(0) == 0xef.toByte)) "html"
+    else "other"
+
+  /** STUB decode: deterministic pseudo-features from the digest bytes. The
+    * real implementation would decode the payload here (per batch); the
+    * signature (batch in → per-item dims + feature vector out) is the real
+    * contract. */
+  private def stubDecode(batch: Array[(String, Array[Byte], String, Array[Byte])])
+      : Array[MediaMeta] =
+    batch.map { case (url, payload, kind, digest) =>
+      val w = 64 + (digest(0) & 0x7f) * 16
+      val h = 64 + (digest(1) & 0x7f) * 16
+      val feat = Array.tabulate(8)(i => (digest(i) & 0xff).toFloat / 255.0f)
+      MediaMeta(url, if (payload == null) 0L else payload.length.toLong, kind,
+        digest.map("%02x".format(_)).mkString, w, h, feat)
+    }
+
+  /** Metadata + stub-decoded features for every page payload, batched per
+    * partition. No shuffle: scan → mapPartitions → rows. */
+  def mediaMeta(pages: Dataset[PageRow]): DataFrame = {
+    import pages.sparkSession.implicits._
+    pages.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.grouped(decodeBatch).flatMap { group =>
+        val batch = group.map { p =>
+          md.reset()
+          val digest = md.digest(if (p.html == null) Array.emptyByteArray else p.html)
+          (p.url, p.html, sniff(p.html), digest)
+        }.toArray
+        stubDecode(batch)
+      }
+    }.toDF()
+  }
+}

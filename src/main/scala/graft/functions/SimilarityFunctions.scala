@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float>, label).
+  *
+  * Brute-force cosine top-k is the correctness baseline (quadratic — fine for
+  * a query set × corpus join when the query set is small/broadcastable); the
+  * LSH-bucketed variant is the scale path: candidate generation via
+  * sign-random-projection buckets turns the cross join into an equi-join on
+  * bucket keys, the standard sub-linear ANN recast for shuffle-based engines.
+  */
+object SimilarityFunctions {
+
+  /** Dot product of two array<float> columns, computed in double and summed
+    * left-to-right (deterministic, oracle-matchable). Embeddings in the test
+    * corpus are L2-normalized, so this IS cosine similarity. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(v: Column): Column =
+    sqrt(aggregate(v.cast("array<double>"), lit(0.0), (acc, x) => acc + x * x))
+
+  /** Brute-force cosine top-k: query rows (vec_id < nQueries, broadcast) ×
+    * corpus, rank by (rounded score desc, vec_id) per query. Self-match
+    * excluded. */
+  def knnBrute(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (round(dot(col("q"), col("embedding")), 4) + lit(0.0)).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Per-label centroids, element-wise: posexplode → groupBy (label, pos) →
+    * avg. One narrow shuffle of (label, pos, value) triples. */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label").cast("long").as("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos").cast("long").as("pos"))
+      .agg((round(avg(col("v")), 4) + lit(0.0)).as("centroid_v"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), col("centroid_v"), col("n"))
+      .orderBy("label", "pos")
+
+  /** Deterministic pseudo-random hyperplanes for sign-random-projection LSH:
+    * plane p, dim d weight = splitmix64(p*dim+d) scaled to [-1,1]. Pure
+    * function — identical on every executor, no broadcast needed beyond the
+    * literal seed. */
+  private def planeWeight(plane: Int, dimIdx: Int, dim: Int): Double = {
+    var z = (plane.toLong * dim + dimIdx) + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    z.toDouble / Long.MaxValue.toDouble
+  }
+
+  /** Sign-random-projection bucket ids, one per hash table (OR-amplification:
+    * a candidate collides if it shares the bucket in ANY table — raises recall
+    * exponentially in nTables while each table's bucket stays small). Output:
+    * one row per (vector, table) with a bucket key prefixed by the table id.
+    * Candidate-generation primitive for ANN at scale: search = equi-join on
+    * (table, bucket) then exact re-rank over the deduped candidate union. */
+  def srpBuckets(emb: DataFrame, nPlanes: Int, nTables: Int, dim: Int): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val bucketCols = (0 until nTables).map { t =>
+      val bits = (0 until nPlanes).map { p =>
+        val weights = array((0 until dim)
+          .map(d => lit(planeWeight(t * nPlanes + p, d, dim))): _*)
+        val proj = aggregate(zip_with(v, weights, (x, wgt) => x * wgt),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      (bits + lit(t.toLong << 32)).cast("long") // table-id prefix keeps tables disjoint
+    }
+    emb.select(col("vec_id"), col("label"), col("embedding"),
+      explode(array(bucketCols: _*)).as("bucket"))
+  }
+
+  /** Bucketed ANN: exact cosine top-k restricted to the union of the query's
+    * SRP buckets across nTables hash tables. Recall vs knnBrute is measured in
+    * DedupSimilaritySpec; scores of returned candidates are exact (same dot).
+    */
+  def annBucketed(emb: DataFrame, nQueries: Int, k: Int, nPlanes: Int, dim: Int,
+                  nTables: Int = 4): DataFrame = {
+    val bucketed = srpBuckets(emb, nPlanes, nTables, dim)
+    val queries = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("bucket").as("qbucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    bucketed.join(broadcast(queries),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("q"), col("embedding"))
+      .distinct() // union of candidate sets across tables
+      .select(col("query_id"), col("vec_id"),
+        (round(dot(col("q"), col("embedding")), 4) + lit(0.0)).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+}

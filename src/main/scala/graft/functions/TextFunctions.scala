@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-analysis operators for the training-data pipeline, over the driver's
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * All of these are pure `org.apache.spark.sql.functions` compositions
+  * (whole-stage-codegen'd; no UDFs), each with an exact DuckDB-expressible
+  * semantics so the driver's oracle can verify them bit-for-bit. Reference
+  * analogs noted per function (SURVEY.md §2.2/§2.4/§2.8).
+  */
+object TextFunctions {
+
+  /** Whitespace token array (the shared primitive; ≡ get_word_info's
+    * word segmentation, ppocr/postprocess/rec_postprocess.py:72-136). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Stopword lexicon (tiny, fixed; the graft of the reference's char dict —
+    * broadcast-small reference data, rec_postprocess.py:26-51). */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Per-document token/char statistics. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length/punctuation/stopword ratios — the graft of the
+    * reference's drop_score confidence gate inputs (block features that feed
+    * a keep/drop decision, tools/infer/predict_system.py:149-154).
+    * All ratios double, rounded to 4dp for cross-engine determinism.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val ws = tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(ws).cast("long").as("n_tokens"),
+      round(length(col("text")).cast("double") / size(ws), 4).as("avg_token_len"),
+      round(length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
+        / greatest(length(col("text")), lit(1)), 4).as("digit_ratio"),
+      round(size(filter(ws, w => array_contains(stopArr, w))).cast("double")
+        / greatest(size(ws), lit(1)), 4).as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Marker lexicons for the language-ID vote (public-knowledge function
+    * words; the heuristic itself is the deliverable, per-token equality —
+    * not substring — so it is exactly expressible in SQL too). */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "and", "en" -> "of", "en" -> "is", "en" -> "a",
+    "de" -> "der", "de" -> "die", "de" -> "und", "de" -> "ist", "de" -> "das",
+    "fr" -> "le", "fr" -> "la", "fr" -> "et", "fr" -> "est", "fr" -> "les",
+    "es" -> "el", "es" -> "los", "es" -> "y", "es" -> "es", "es" -> "de",
+    "zh" -> "的", "zh" -> "是", "zh" -> "了", "zh" -> "在", "zh" -> "我")
+
+  /** N-gram-heuristic language ID: explode tokens, broadcast-join the marker
+    * lexicon (≡ the char-dict broadcast pattern), vote per (doc, lang), argmax
+    * with deterministic tie-break (votes desc, lang asc); docs with no marker
+    * hits predict "und". */
+  def langId(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val markers = langMarkers.toDF("cand_lang", "marker")
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val votes = toks.join(broadcast(markers), col("tok") === col("marker"))
+      .groupBy(col("doc_id"), col("cand_lang"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("votes").desc, col("cand_lang").asc)
+    val best = votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand_lang"), col("votes"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(best, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("cand_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("votes"), lit(0L)).as("votes"),
+        (coalesce(col("cand_lang"), lit("und")) === col("lang")).as("matches_label"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: content hash + structural summary — the graft of
+    * the reference's golden-compare identity per input
+    * (test_tipc/compare_results.py:11-60). md5 is the cross-engine-exact hash.
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val ws = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      md5(col("text").cast("binary")).as("content_md5"),
+      element_at(ws, 1).as("first_token"),
+      element_at(ws, -1).as("last_token"),
+      length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Word 3-shingles of a token array column (empty when <3 tokens). */
+  def shingles3(ws: Column): Column =
+    when(size(ws) >= 3,
+      transform(sequence(lit(0), size(ws) - 3),
+        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))
+      .otherwise(array().cast("array<string>"))
+
+  /** MinHash signature, k hash functions realized as md5 with a seed prefix
+    * (min over hex strings — total order, engine-independent). Docs with <3
+    * tokens get null signature slots. SURVEY.md training-data dedup op. */
+  def minhashSignature(docs: DataFrame, k: Int): DataFrame = {
+    val sh = shingles3(tokens(col("text")))
+    val sigCols = (0 until k).map { s =>
+      array_min(transform(sh, x => md5(concat(lit(s.toString), lit(":"), x).cast("binary"))))
+        .as(s"mh$s")
+    }
+    docs.select((col("doc_id") +: sigCols): _*).orderBy("doc_id")
+  }
+
+  /** 16-plane SimHash from the top bit of each md5 nibble, per token
+    * occurrence: plane d is 1 iff the majority of tokens have md5 hex digit
+    * d+1 in [8..f]. Exactly expressible in SQL (oracle-checked); the 64-bit
+    * production variant lives in Dedup.simhash64. */
+  def simhash16(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+    val voteCols = (0 until 16).map { d =>
+      sum(when(substring(col("h"), d + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+        .otherwise(-1)).as(s"v$d")
+    }
+    val votes = toks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    val sim = (0 until 16).map { d =>
+      when(col(s"v$d") > 0, lit(1L << d)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    votes.select(col("doc_id"), sim.cast("long").as("simhash16")).orderBy("doc_id")
+  }
+}
