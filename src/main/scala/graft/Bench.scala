@@ -48,8 +48,11 @@ object Bench {
     finally s.stop()
   }
 
-  /** One extraction pass over the parquet corpus; returns (wallSec, stage nanos). */
-  private def extractRun(spark: SparkSession, dir: String): (Double, Map[String, Long]) = {
+  /** One extraction pass over the parquet corpus; returns (wallSec, corpus
+    * checksum, stage nanos). The checksum is an order-independent sum of
+    * per-row murmur3(url + text) — identical across parallelism levels iff
+    * extraction is byte-identical (north-rule determinism evidence). */
+  private def extractRun(spark: SparkSession, dir: String): (Double, Long, Map[String, Long]) = {
     val sc = spark.sparkContext
     val accTok = sc.longAccumulator("tokenizeNanos")
     val accDom = sc.longAccumulator("domNanos")
@@ -58,18 +61,19 @@ object Bench {
     import spark.implicits._
     val pages = spark.read.parquet(dir).as[PageRow]
     val t0 = System.nanoTime()
-    val chars = pages.mapPartitions { it =>
+    val checksum = pages.mapPartitions { it =>
       val state = new ExtractorState()
       val out = it.map { p =>
-        Extractor.extract(p.url, p.html, ExtractConfig(), state).text.length.toLong
+        val d = Extractor.extract(p.url, p.html, ExtractConfig(), state)
+        scala.util.hashing.MurmurHash3.stringHash(d.url + "\n" + d.text).toLong
       }.toArray.iterator // drain, then flush stage nanos once per partition
       accTok.add(state.tokenizeNanos); accDom.add(state.domNanos)
       accCls.add(state.classifyNanos); accAsm.add(state.assembleNanos)
       out
     }.reduce(_ + _)
     val wall = (System.nanoTime() - t0) / 1e9
-    require(chars > 0)
-    (wall, Map("tokenize" -> accTok.value, "dom" -> accDom.value,
+    require(checksum != 0)
+    (wall, checksum, Map("tokenize" -> accTok.value, "dom" -> accDom.value,
       "classify" -> accCls.value, "assemble" -> accAsm.value))
   }
 
@@ -94,9 +98,10 @@ object Bench {
     // levels (a steal burst hits all levels equally in expectation) and each
     // level keeps its best trial. Higher levels run the corpus several times
     // per trial so every measurement window is a comparable length.
-    val levels = Seq(2, 8, cpus).distinct
+    val levels = Seq(1, 2, 4, 8, cpus).distinct
     val repeats: Map[Int, Int] = levels.map(l => l -> math.max(1, l / 2)).toMap
     val best = scala.collection.mutable.Map.empty[Int, (Double, Double, Map[String, Long])]
+    val checksums = scala.collection.mutable.Map.empty[Int, Long]
     var warmed = false
     for (_ <- 0 until trials; lvl <- levels) {
       val s = session(lvl)
@@ -106,15 +111,21 @@ object Bench {
         val t0 = System.nanoTime()
         var stages = Map.empty[String, Long]
         var k = 0
-        while (k < r) { stages = extractRun(s, corpusDir)._2; k += 1 }
+        while (k < r) {
+          val (_, ck, st) = extractRun(s, corpusDir); stages = st
+          checksums(lvl) = ck
+          k += 1
+        }
         val wall = (System.nanoTime() - t0) / 1e9
         val docsPerSec = nDocs.toDouble * r / wall
         if (!best.contains(lvl) || docsPerSec > best(lvl)._1)
           best(lvl) = (docsPerSec, wall, stages)
       } finally s.stop()
     }
+    val deterministic = checksums.values.toSet.size == 1
 
     def rate(l: Int): Double = best.get(l).map(_._1).getOrElse(0.0)
+    val eff1to4 = if (rate(1) > 0) (rate(4) / rate(1)) / 4.0 else 0.0
     val eff2to8 = if (rate(2) > 0) (rate(8) / rate(2)) / 4.0 else 0.0
     val eff8toN = if (rate(8) > 0 && cpus != 8) (rate(cpus) / rate(8)) / (cpus / 8.0) else 1.0
     val stagesN = best(cpus)._3
@@ -135,8 +146,10 @@ object Bench {
       s"""{"docs":$nDocs,"bytes":$bytes,""" +
       levels.map(l => s""""docs_per_sec_$l":${fmt(rate(l))}""").mkString(",") + "," +
       s""""mb_per_sec_$cpus":${fmt(rate(cpus) * bytes / nDocs / 1e6)},""" +
+      s""""scaling_efficiency_1_to_4":${fmt(eff1to4)},""" +
       s""""scaling_efficiency_2_to_8":${fmt(eff2to8)},""" +
       s""""scaling_efficiency_8_to_$cpus":${fmt(eff8toN)},""" +
+      s""""deterministic_across_levels":$deterministic,""" +
       s""""trials":$trials,"stage_sec_$cpus":$stageJson}"""
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
