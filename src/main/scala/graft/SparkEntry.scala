@@ -77,6 +77,11 @@ object SparkEntry {
     "x05_multimodal_meta" -> ((s, _) =>
       MultimodalFunctions.mediaMeta(CorpusSource.pages(s, 280))
         .orderBy("url")),
+    // PDF mega-doc tile-explode path (skew handling; seam-equivalence proven
+    // in PdfPagedSpec)
+    "x07_pdf_paged" -> ((s, _) =>
+      graft.pipeline.PdfPagedExtract.run(CorpusSource.pages(s, 280))
+        .orderBy("url")),
     // PDF branch: page/span explode over PDF payloads only
     "x06_pdf_spans" -> ((s, _) =>
       Extract.run(CorpusSource.pages(s, 280)).toDF()

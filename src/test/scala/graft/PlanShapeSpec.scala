@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{CorpusSource, Extract}
+
+/** Physical-plan shape assertions (builder prompt: ".explain the plan and
+  * iterate until it's the plan you'd want"). These lock in:
+  *  - predicate pushdown + column pruning reaching the parquet scan,
+  *  - broadcast joins for dimension/marker tables,
+  *  - the extraction stage being shuffle-free (scan → mapPartitions only).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.maxMetadataStringLength", "2000")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: filters are pushed to the parquet scan and columns pruned") {
+    val plan = planOf("q01_filter_project")
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,45.0)"), plan)
+    assert(plan.contains("GreaterThan(l_discount,0.07)"), plan)
+    // scan must not read unused columns like l_comment-ish fields / shipdate
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_shipdate"), readSchema)
+    assert(readSchema.contains("l_quantity"), readSchema)
+  }
+
+  test("q06: dimension joins execute as broadcast hash joins") {
+    val plan = planOf("q06_broadcast_dims")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("d03: marker lexicon joins as broadcast (char-dict pattern)") {
+    val plan = planOf("d03_lang_id")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("extraction stage is shuffle-free") {
+    val plan = Extract.run(CorpusSource.pages(spark, 100))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("e01: query side broadcasts; no cartesian product materializes") {
+    val plan = planOf("e01_knn_brute")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
