@@ -212,6 +212,38 @@ object SparkEntry {
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     }),
 
+    // as-of join (≡ table-cell argmin matching, ppstructure/table/matcher.py:
+    // 20-102: each element matched to the nearest preceding reference).
+    // Sort-merge formulation: one shuffle, carry-forward window — scales
+    // linearly, unlike a range-join + argmax over candidate pairs.
+    "q11_asof_join" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .filter(col("event_type").isin("view", "click"))
+        .withColumn("view_id",
+          last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("view_ts",
+          last(when(col("event_type") === "view", col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"), col("view_id"), col("view_ts"))
+        .orderBy("user_id", "click_id")
+    }),
+    // extraction QA as a typed partial+final Aggregator (≡ RecMetric,
+    // ppocr/metrics/rec_metric.py:23-78): exact-match must be 1.0 vs golden
+    "x08_extraction_qa" -> ((s, _) => {
+      import s.implicits._
+      val got = Extract.run(CorpusSource.pages(s, 280))
+        .map(d => (d.url, d.text)).toDF("url", "got")
+      val want = CorpusSource.goldenExpected(s, 280).toDF("url", "want")
+      val pairs = got.join(want, "url")
+        .select(col("got"), col("want"))
+        .as[graft.functions.MetricsAggregator.Pair]
+      graft.functions.MetricsAggregator.extractionQa(pairs).toDF()
+    }),
+
     // ================= training-data ops over `documents` ==================
     "d01_token_count" -> ((s, dir) => TextFunctions.tokenStats(docs(s, dir))),
     "d02_quality" -> ((s, dir) => TextFunctions.qualityScore(docs(s, dir))),
@@ -316,6 +348,19 @@ object SparkEntry {
         |                             ROWS UNBOUNDED PRECEDING) AS running_qty
         |FROM lineitem WHERE l_suppkey < 100
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q11_asof_join" ->
+      """WITH t AS (SELECT user_id, ts, event_id, event_type FROM events
+        |           WHERE event_type IN ('view', 'click')),
+        |m AS (SELECT user_id, ts, event_id, event_type,
+        |        last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS UNBOUNDED PRECEDING) AS view_id,
+        |        last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS UNBOUNDED PRECEDING) AS view_ts
+        |      FROM t)
+        |SELECT user_id, event_id AS click_id, ts AS click_ts, view_id, view_ts
+        |FROM m WHERE event_type = 'click' ORDER BY user_id, click_id""".stripMargin,
     "d01_token_count" ->
       """SELECT doc_id,
         |       len(string_split(text, ' '))::BIGINT AS n_tokens,

@@ -46,18 +46,27 @@ final class DomArena(initialCapacity: Int = 512) {
     inHintContent = java.util.Arrays.copyOf(inHintContent, cap)
     inLink = java.util.Arrays.copyOf(inLink, cap)
     blockAnchor = java.util.Arrays.copyOf(blockAnchor, cap)
+    pathCache = java.util.Arrays.copyOf(pathCache, cap)
   }
 
   def name(node: Int): String = { val t = tagId(node); if (t < 0) "#text" else names(t) }
 
   def isText(node: Int): Boolean = tagId(node) < 0
 
+  // memoized root→node path strings (shared prefixes computed once per doc;
+  // entries are invalidated per-node in addNode, so reuse across docs is safe)
+  private var pathCache: Array[String] = new Array[String](initialCapacity)
+
   /** Path of element names from root to `node`, '/'-joined (span tagPath). */
   def tagPath(node: Int): String = {
-    var chain = List.empty[String]
-    var cur = if (isText(node)) parent(node) else node
-    while (cur >= 0) { chain = name(cur) :: chain; cur = parent(cur) }
-    chain.mkString("/")
+    val elem = if (isText(node)) parent(node) else node
+    if (elem < 0) return ""
+    val cached = pathCache(elem)
+    if (cached != null) return cached
+    val p = parent(elem)
+    val s = if (p < 0) name(elem) else tagPath(p) + "/" + name(elem)
+    pathCache(elem) = s
+    s
   }
 
   private def addNode(p: Int, tag: Int, fl: Int, ts: Int, te: Int, tagName: String): Int = {
@@ -85,6 +94,7 @@ final class DomArena(initialCapacity: Int = 512) {
       if (isElem && HtmlNames.isBlock(nm)) id
       else if (p >= 0) blockAnchor(p)
       else id
+    pathCache(id) = null // invalidate any stale path from a previous document
     nNodes += 1
     id
   }

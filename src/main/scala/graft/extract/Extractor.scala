@@ -172,13 +172,21 @@ object Extractor {
   /** A kept block with the DOM facts assembly needs. */
   final case class Kept(span: Span, anchor: Int, tableAnc: Int, trAnc: Int, listAnc: Int)
 
-  private def nearestAncestor(dom: DomArena, node: Int, p: String => Boolean): Int = {
+  /** One walk to the root collecting all three assembly anchors (table/tr/
+    * list) — replaces three separate ancestor scans per kept block. */
+  private def assemblyAnchors(dom: DomArena, node: Int): (Int, Int, Int) = {
+    var tableAnc = -1; var trAnc = -1; var listAnc = -1
     var cur = node
     while (cur >= 0) {
-      if (!dom.isText(cur) && p(dom.name(cur))) return cur
+      if (!dom.isText(cur)) {
+        val nm = dom.name(cur)
+        if (trAnc < 0 && nm == "tr") trAnc = cur
+        if (tableAnc < 0 && nm == "table") tableAnc = cur
+        if (listAnc < 0 && (nm == "ul" || nm == "ol" || nm == "dl")) listAnc = cur
+      }
       cur = dom.parent(cur)
     }
-    -1
+    (tableAnc, trAnc, listAnc)
   }
 
   /** Rule-cascade classifier over candidate blocks (SURVEY.md §7.1 step 5; the
@@ -244,10 +252,8 @@ object Extractor {
         if (score >= cfg.dropScore) {
           val span = Span(kept, dom.tagPath(anchor), blocks.byteStart(b),
             blocks.byteEnd(b), label, score, text)
-          out += Kept(span, anchor,
-            nearestAncestor(dom, anchor, _ == "table"),
-            nearestAncestor(dom, anchor, _ == "tr"),
-            nearestAncestor(dom, anchor, n => n == "ul" || n == "ol" || n == "dl"))
+          val (tableAnc, trAnc, listAnc) = assemblyAnchors(dom, anchor)
+          out += Kept(span, anchor, tableAnc, trAnc, listAnc)
           kept += 1
         }
       }

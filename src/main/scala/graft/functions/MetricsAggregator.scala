@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Corpus extraction-quality metric as a typed partial+final Aggregator —
+  * the direct graft of the reference's RecMetric (exact-match accuracy +
+  * 1 − normalized Levenshtein, accumulated as `correct_num/all_num` partials
+  * then finalized; ppocr/metrics/rec_metric.py:23-78). The buffer is tiny and
+  * mergeable, so the metric computes in one pass with map-side combine — the
+  * shape Spark's Aggregator exists for (SURVEY.md §2.11).
+  */
+object MetricsAggregator {
+
+  final case class Pair(got: String, want: String)
+  final case class Buf(correct: Long, total: Long, normEditSum: Double)
+  final case class QaMetric(exactMatch: Double, meanNormEdit: Double, total: Long)
+
+  /** Iterative two-row Levenshtein (no external deps; O(len_a·len_b)). */
+  def levenshtein(a: String, b: String): Int = {
+    if (a.isEmpty) return b.length
+    if (b.isEmpty) return a.length
+    var prev = Array.tabulate(b.length + 1)(identity)
+    var cur = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i
+      var j = 1
+      while (j <= b.length) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(b.length)
+  }
+
+  val qa: Aggregator[Pair, Buf, QaMetric] = new Aggregator[Pair, Buf, QaMetric] {
+    override def zero: Buf = Buf(0L, 0L, 0.0)
+    override def reduce(b: Buf, p: Pair): Buf = {
+      val exact = if (p.got == p.want) 1L else 0L
+      val maxLen = math.max(p.got.length, p.want.length)
+      val norm =
+        if (maxLen == 0) 0.0
+        else levenshtein(p.got, p.want).toDouble / maxLen
+      Buf(b.correct + exact, b.total + 1L, b.normEditSum + norm)
+    }
+    override def merge(a: Buf, b: Buf): Buf =
+      Buf(a.correct + b.correct, a.total + b.total, a.normEditSum + b.normEditSum)
+    override def finish(b: Buf): QaMetric =
+      if (b.total == 0) QaMetric(0.0, 0.0, 0L)
+      else QaMetric(b.correct.toDouble / b.total, b.normEditSum / b.total, b.total)
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[QaMetric] = Encoders.product[QaMetric]
+  }
+
+  /** Corpus-level QA: extraction output vs golden expectation. */
+  def extractionQa(pairs: Dataset[Pair]): Dataset[QaMetric] =
+    pairs.select(qa.toColumn)
+}
