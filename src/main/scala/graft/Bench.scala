@@ -101,9 +101,10 @@ object Bench {
     val levels = Seq(1, 2, 4, 8, cpus).distinct
     val repeats: Map[Int, Int] = levels.map(l => l -> math.max(1, l / 2)).toMap
     val best = scala.collection.mutable.Map.empty[Int, (Double, Double, Map[String, Long])]
+    val roundRates = Array.fill(trials)(scala.collection.mutable.Map.empty[Int, Double])
     val checksums = scala.collection.mutable.Map.empty[Int, Long]
     var warmed = false
-    for (_ <- 0 until trials; lvl <- levels) {
+    for (trial <- 0 until trials; lvl <- levels) {
       val s = session(lvl)
       try {
         if (!warmed) { extractRun(s, corpusDir); warmed = true } // JIT warmup, discarded
@@ -118,6 +119,7 @@ object Bench {
         }
         val wall = (System.nanoTime() - t0) / 1e9
         val docsPerSec = nDocs.toDouble * r / wall
+        roundRates(trial)(lvl) = docsPerSec
         if (!best.contains(lvl) || docsPerSec > best(lvl)._1)
           best(lvl) = (docsPerSec, wall, stages)
       } finally s.stop()
@@ -125,9 +127,20 @@ object Bench {
     val deterministic = checksums.values.toSet.size == 1
 
     def rate(l: Int): Double = best.get(l).map(_._1).getOrElse(0.0)
-    val eff1to4 = if (rate(1) > 0) (rate(4) / rate(1)) / 4.0 else 0.0
-    val eff2to8 = if (rate(2) > 0) (rate(8) / rate(2)) / 4.0 else 0.0
-    val eff8toN = if (rate(8) > 0 && cpus != 8) (rate(cpus) / rate(8)) / (cpus / 8.0) else 1.0
+    // Efficiency is computed WITHIN each interleaved round (the two levels of
+    // an N→4N pair run back-to-back under similar host/steal conditions) and
+    // the MEDIAN round is reported — best-of ratios are biased upward by
+    // steal hitting the denominator (observed to yield nonsense like eff > 1),
+    // best-of rates across rounds mix incomparable conditions.
+    def roundEff(nLvl: Int, n4Lvl: Int, factor: Double): Double = {
+      val effs = roundRates.toSeq.flatMap { m =>
+        for (a <- m.get(nLvl); b <- m.get(n4Lvl) if a > 0) yield (b / a) / factor
+      }.sorted
+      if (effs.isEmpty) 0.0 else effs(effs.size / 2)
+    }
+    val eff1to4 = roundEff(1, 4, 4.0)
+    val eff2to8 = roundEff(2, 8, 4.0)
+    val eff8toN = if (cpus != 8) roundEff(8, cpus, cpus / 8.0) else 1.0
     val stagesN = best(cpus)._3
     val stageJson = stagesN.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":${fmt(v / 1e9)}""" }.mkString("{", ",", "}")

@@ -112,14 +112,21 @@ object TextFunctions {
 
   /** MinHash signature, k hash functions realized as md5 with a seed prefix
     * (min over hex strings — total order, engine-independent). Docs with <3
-    * tokens get null signature slots. SURVEY.md training-data dedup op. */
+    * tokens get null signature slots. SURVEY.md training-data dedup op.
+    *
+    * Shape: explode shingles to rows, then k `min` aggregations in ONE
+    * groupBy — a single narrow shuffle of (doc_id, shingle) pairs with
+    * map-side combine, rather than k nested array-lambda evaluations per row
+    * (which defeat common-subexpression elimination and blow up codegen). */
   def minhashSignature(docs: DataFrame, k: Int): DataFrame = {
-    val sh = shingles3(tokens(col("text")))
-    val sigCols = (0 until k).map { s =>
-      array_min(transform(sh, x => md5(concat(lit(s.toString), lit(":"), x).cast("binary"))))
-        .as(s"mh$s")
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("ws"))
+    val sh = base.filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(shingles3(col("ws"))).as("s"))
+    val aggs = (0 until k).map { i =>
+      min(md5(concat(lit(s"$i:"), col("s")).cast("binary"))).as(s"mh$i")
     }
-    docs.select((col("doc_id") +: sigCols): _*).orderBy("doc_id")
+    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    base.select(col("doc_id")).join(sig, Seq("doc_id"), "left").orderBy("doc_id")
   }
 
   /** 16-plane SimHash from the top bit of each md5 nibble, per token

@@ -245,50 +245,55 @@ object HtmlTokenizer {
     }
     var flag = 0
     var selfClose = false
-    // attribute scan
-    var attrName = new java.lang.StringBuilder(8)
+    // attribute scan — allocation-free: attr names are matched byte-wise
+    // against the only three we care about (href/class/id), values are
+    // scanned in place (no String per attribute)
     while (j < n && input(j) != '>') {
       val c = input(j) & 0xff
       if (c == '/' && j + 1 < n && input(j + 1) == '>') { selfClose = true; j += 1 }
       else if (isAsciiLetter(c)) {
-        attrName.setLength(0)
+        val anStart = j
         while (j < n && { val cc = input(j) & 0xff
-          isAsciiLetter(cc) || (cc >= '0' && cc <= '9') || cc == '-' || cc == '_' }) {
-          attrName.append(toLower(input(j) & 0xff).toChar); j += 1
-        }
+          isAsciiLetter(cc) || (cc >= '0' && cc <= '9') || cc == '-' || cc == '_' }) j += 1
+        val anLen = j - anStart
         // skip ws
         while (j < n && (input(j) == ' ' || input(j) == '\t' || input(j) == '\n' || input(j) == '\r')) j += 1
-        var value: String = null
+        var vStart = -1
+        var vEnd = -1
         if (j < n && input(j) == '=') {
           j += 1
           while (j < n && (input(j) == ' ' || input(j) == '\t' || input(j) == '\n' || input(j) == '\r')) j += 1
           if (j < n && (input(j) == '"' || input(j) == '\'')) {
             val quote = input(j); j += 1
-            val vs = j
+            vStart = j
             while (j < n && input(j) != quote) j += 1
-            value = new String(input, vs, j - vs, StandardCharsets.ISO_8859_1)
+            vEnd = j
             if (j < n) j += 1
           } else {
-            val vs = j
+            vStart = j
             while (j < n && { val cc = input(j) & 0xff; cc != ' ' && cc != '\t' && cc != '\n' && cc != '\r' && cc != '>' }) j += 1
-            value = new String(input, vs, j - vs, StandardCharsets.ISO_8859_1)
+            vEnd = j
           }
         }
-        val an = attrName.toString
-        if (an == "href" && value != null) flag |= TokenFlags.HasHref
-        else if ((an == "class" || an == "id") && value != null) {
-          val v = value.toLowerCase
-          var k = 0
-          var done = false
-          while (k < boilerHintWords.length && !done) {
-            if (v.contains(boilerHintWords(k))) { flag |= TokenFlags.HintBoiler; done = true }
-            k += 1
-          }
-          if (!done) {
-            k = 0
-            while (k < contentHintWords.length && !done) {
-              if (v.contains(contentHintWords(k))) { flag |= TokenFlags.HintContent; done = true }
+        if (vStart >= 0) {
+          if (nameIs(input, anStart, anLen, "href")) flag |= TokenFlags.HasHref
+          else if (nameIs(input, anStart, anLen, "class") || nameIs(input, anStart, anLen, "id")) {
+            var k = 0
+            var done = false
+            while (k < boilerHintWords.length && !done) {
+              if (containsAscii(input, vStart, vEnd, boilerHintWords(k))) {
+                flag |= TokenFlags.HintBoiler; done = true
+              }
               k += 1
+            }
+            if (!done) {
+              k = 0
+              while (k < contentHintWords.length && !done) {
+                if (containsAscii(input, vStart, vEnd, contentHintWords(k))) {
+                  flag |= TokenFlags.HintContent; done = true
+                }
+                k += 1
+              }
             }
           }
         }
@@ -300,6 +305,35 @@ object HtmlTokenizer {
     val kind = if (selfClose || HtmlNames.isVoid(name)) Tok.SelfClose else Tok.Start
     arena.add(kind, i0, j, arena.intern(name), flag)
     j
+  }
+
+  /** Case-insensitive byte-range equality against an ASCII-lowercase name. */
+  @inline private def nameIs(input: Array[Byte], start: Int, len: Int, name: String): Boolean = {
+    if (len != name.length) return false
+    var k = 0
+    while (k < len) {
+      if (toLower(input(start + k) & 0xff) != name.charAt(k)) return false
+      k += 1
+    }
+    true
+  }
+
+  /** Case-insensitive ASCII substring search inside a byte range. */
+  private def containsAscii(input: Array[Byte], from: Int, to: Int, word: String): Boolean = {
+    val m = word.length
+    var i = from
+    val limit = to - m
+    while (i <= limit) {
+      var k = 0
+      var ok = true
+      while (ok && k < m) {
+        if (toLower(input(i + k) & 0xff) != word.charAt(k)) ok = false
+        k += 1
+      }
+      if (ok) return true
+      i += 1
+    }
+    false
   }
 
   /** Find offset of `</name` (case-insensitive) at or after `from`; n if absent. */

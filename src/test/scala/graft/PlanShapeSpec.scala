@@ -54,6 +54,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("pipeline output supports bucket partition pruning (Iceberg-layout)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-prune").toFile.getAbsolutePath
+    graft.pipeline.ExtractPipeline.run(spark, CorpusSource.pages(spark, 56), out,
+      graft.pipeline.PipelineConf(numBuckets = 8, megaBuckets = 1))
+    val pruned = graft.pipeline.ExtractPipeline.output(spark, out)
+      .filter(org.apache.spark.sql.functions.col("bucket") === 3)
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the bucket predicate must become a PartitionFilter on the scan, not a
+    // post-scan Filter over all buckets
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"), plan)
+    assert(plan.contains("(bucket"), plan)
+  }
+
   test("e01: query side broadcasts; no cartesian product materializes") {
     val plan = planOf("e01_knn_brute")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
