@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.extract.{ExtractConfig, Extractor, ExtractorState}
-import graft.model.PageRow
+import graft.model.{PageRow, Span}
 
 /** One extracted-output row as persisted (per-doc stage nanos ride along so the
   * per-partition lineage can be re-aggregated from *committed* data, never from
@@ -15,6 +15,7 @@ final case class ExtractedRow(
     url: String,
     text: String,
     nSpans: Int,
+    spans: Seq[Span],
     charset: String,
     truncated: Boolean,
     htmlBytes: Long,
@@ -119,8 +120,9 @@ object ExtractPipeline {
           val t0 = state.tokenizeNanos; val d0 = state.domNanos
           val c0 = state.classifyNanos; val a0 = state.assembleNanos
           val doc = Extractor.extract(p.url, p.html, conf.extract, state)
-          ExtractedRow(bucket, doc.url, doc.text, doc.nSpans, doc.charset,
-            doc.truncated, if (p.html == null) 0L else p.html.length.toLong,
+          ExtractedRow(bucket, doc.url, doc.text, doc.nSpans, doc.spans,
+            doc.charset, doc.truncated,
+            if (p.html == null) 0L else p.html.length.toLong,
             state.tokenizeNanos - t0, state.domNanos - d0,
             state.classifyNanos - c0, state.assembleNanos - a0)
         }

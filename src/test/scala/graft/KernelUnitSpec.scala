@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.extract.{Entities, ExtractConfig, Extractor, TextNormalizer}
+import graft.htmltok.Charsets
+
+/** Unit tests for the kernel's edge rules: tag-soup recovery, charset sniff,
+  * entity decode, whitespace normalization (SURVEY.md §5 per-module split).
+  */
+class KernelUnitSpec extends AnyFunSuite {
+
+  private def extract(html: String): String =
+    Extractor.extract("u", html.getBytes(StandardCharsets.UTF_8), ExtractConfig()).text
+
+  test("p auto-closes an open p sibling") {
+    assert(extract("<body><p>one two three four five<p>six seven eight nine ten</body>")
+      == "one two three four five\n\nsix seven eight nine ten")
+  }
+
+  test("block start tag closes an open p") {
+    assert(extract("<body><p>first paragraph of words<div>second block of words here</div></body>")
+      == "first paragraph of words\n\nsecond block of words here")
+  }
+
+  test("stray end tags are ignored") {
+    assert(extract("<body></div></span><p>the only real paragraph here</p></table></body>")
+      == "the only real paragraph here")
+  }
+
+  test("li auto-closes li; list items group with newlines") {
+    assert(extract("<body><ul><li>first item words here<li>second item words here</ul></body>")
+      == "first item words here\nsecond item words here")
+  }
+
+  test("script content with angle brackets is not parsed as markup") {
+    assert(extract("<body><script>if(a<b){x='<p>no</p>'}</script><p>kept paragraph of words</p></body>")
+      == "kept paragraph of words")
+  }
+
+  test("unclosed comment swallows to EOF") {
+    assert(extract("<body><p>kept paragraph of words</p><!-- dangling comment <p>gone</p>")
+      == "kept paragraph of words")
+  }
+
+  test("void elements never push the stack") {
+    assert(extract("<body><p>line one words here<br><img src=x>line two words here</p></body>")
+      == "line one words here line two words here")
+  }
+
+  test("charset sniff: BOM wins, then meta, else utf-8") {
+    val bom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ "<html>".getBytes("UTF-8")
+    assert(Charsets.sniff(bom) == (Charsets.Utf8, 3))
+    val meta = """<html><head><meta charset="iso-8859-1"></head>""".getBytes("UTF-8")
+    assert(Charsets.sniff(meta)._1 == Charsets.Latin1)
+    val metaHttp = """<meta http-equiv="Content-Type" content="text/html; charset=windows-1252">""".getBytes("UTF-8")
+    assert(Charsets.sniff(metaHttp)._1.name() == "windows-1252")
+    assert(Charsets.sniff("<html>plain".getBytes("UTF-8"))._1 == Charsets.Utf8)
+  }
+
+  test("entity decode: named, decimal, hex, unknown passthrough, double-escape") {
+    assert(Entities.decode("a &amp; b") == "a & b")
+    assert(Entities.decode("&#65;&#x42;") == "AB")
+    assert(Entities.decode("&bogus; stays") == "&bogus; stays")
+    assert(Entities.decode("&amp;amp;") == "&amp;") // decoded exactly once
+    assert(Entities.decode("no entities") == "no entities")
+    assert(Entities.decode("&nbsp;") == " ")
+  }
+
+  test("whitespace normalization collapses runs incl. NBSP and trims") {
+    assert(TextNormalizer.normalize("  a\t\tb  c\n") == "a b c")
+    assert(TextNormalizer.normalize("") == "")
+    assert(TextNormalizer.normalize(" \t\n ") == "")
+  }
+
+  test("latin-1 payload decodes via meta charset") {
+    val doc = """<html><head><meta charset="iso-8859-1"></head><body><p>café naïve garçon über</p></body></html>"""
+      .replace("\\u00e9", "é").replace("\\u00ef", "ï")
+    val bytes = doc.getBytes(StandardCharsets.ISO_8859_1)
+    val got = Extractor.extract("u", bytes, ExtractConfig()).text
+    assert(got == "café naïve garçon über")
+  }
+}
