@@ -51,32 +51,41 @@ object Entities {
     "auml" -> "ä", "szlig" -> "ß", "ntilde" -> "ñ"
   )
 
+  /** If a decodable entity starts at `s(i)` (== '&'), return its replacement
+    * string; `endAfter(0)` receives the index just past the ';'. Returns null
+    * when not an entity (caller keeps the literal '&'). */
+  def decodeAt(s: String, i: Int, endAfter: Array[Int]): String = {
+    val semi = s.indexOf(';', i + 1)
+    if (semi <= i || semi - i > 10) return null
+    var replaced: String = null
+    val body = s.substring(i + 1, semi)
+    if (body.startsWith("#x") || body.startsWith("#X")) {
+      try {
+        val cp = Integer.parseInt(body.substring(2), 16)
+        if (Character.isValidCodePoint(cp)) replaced = new String(Character.toChars(cp))
+      } catch { case _: NumberFormatException => () }
+    } else if (body.startsWith("#")) {
+      try {
+        val cp = Integer.parseInt(body.substring(1))
+        if (Character.isValidCodePoint(cp)) replaced = new String(Character.toChars(cp))
+      } catch { case _: NumberFormatException => () }
+    } else replaced = named.getOrElse(body, null)
+    if (replaced != null) endAfter(0) = semi + 1
+    replaced
+  }
+
   def decode(s: String): String = {
     var i = s.indexOf('&')
     if (i < 0) return s
     val sb = new java.lang.StringBuilder(s.length)
+    val endAfter = new Array[Int](1)
     var last = 0
     while (i >= 0) {
-      val semi = s.indexOf(';', i + 1)
-      var replaced: String = null
-      if (semi > i && semi - i <= 10) {
-        val body = s.substring(i + 1, semi)
-        if (body.startsWith("#x") || body.startsWith("#X")) {
-          try {
-            val cp = Integer.parseInt(body.substring(2), 16)
-            if (Character.isValidCodePoint(cp)) replaced = new String(Character.toChars(cp))
-          } catch { case _: NumberFormatException => () }
-        } else if (body.startsWith("#")) {
-          try {
-            val cp = Integer.parseInt(body.substring(1))
-            if (Character.isValidCodePoint(cp)) replaced = new String(Character.toChars(cp))
-          } catch { case _: NumberFormatException => () }
-        } else replaced = named.getOrElse(body, null)
-      }
+      val replaced = decodeAt(s, i, endAfter)
       if (replaced != null) {
         sb.append(s, last, i).append(replaced)
-        last = semi + 1
-        i = s.indexOf('&', semi + 1)
+        last = endAfter(0)
+        i = s.indexOf('&', endAfter(0))
       } else {
         i = s.indexOf('&', i + 1)
       }
@@ -202,28 +211,53 @@ object Extractor {
     var kept = 0
     var b = 0
     val nb = math.min(blocks.nBlocks, cfg.maxBlocksPerDoc)
+    val endAfter = new Array[Int](1)
     while (b < nb && kept < cfg.maxBlocksPerDoc) {
       val anchor = blocks.anchor(b)
-      // decode + normalize block text, tracking link chars
+      // fused decode + entity expansion + whitespace collapse + counting in a
+      // single pass per segment (no intermediate strings per block — the
+      // previous decode→normalize→count pipeline allocated three)
       val sb = new java.lang.StringBuilder(64)
       var linkChars = 0
+      var nonWs = 0
+      var pendingSpace = false
+      @inline def isWsChar(c: Char): Boolean =
+        c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u000B' || c == '\u00A0'
+      @inline def putChar(c: Char, inLink: Boolean): Unit =
+        if (isWsChar(c)) { if (sb.length() > 0) pendingSpace = true }
+        else {
+          if (pendingSpace) { sb.append(' '); pendingSpace = false }
+          sb.append(c)
+          nonWs += 1
+          if (inLink) linkChars += 1
+        }
       var s = blocks.segOff(b)
       val sEnd = blocks.segOff(b + 1)
       while (s < sEnd) {
-        if (blocks.segKind(s) == SegKind.Break) sb.append(' ')
+        if (blocks.segKind(s) == SegKind.Break) { if (sb.length() > 0) pendingSpace = true }
         else {
           val from = math.max(blocks.segStart(s), bom)
           val len = blocks.segEnd(s) - from
           if (len > 0) {
-            val dec = Entities.decode(new String(input, from, len, charset))
-            sb.append(dec)
-            if (blocks.segInLink(s)) linkChars += TextNormalizer.countNonWs(dec)
+            val dec = new String(input, from, len, charset)
+            val inLink = blocks.segInLink(s)
+            var i = 0
+            while (i < dec.length) {
+              val c = dec.charAt(i)
+              if (c == '&') {
+                val rep = Entities.decodeAt(dec, i, endAfter)
+                if (rep != null) {
+                  var r = 0
+                  while (r < rep.length) { putChar(rep.charAt(r), inLink); r += 1 }
+                  i = endAfter(0)
+                } else { putChar(c, inLink); i += 1 }
+              } else { putChar(c, inLink); i += 1 }
+            }
           }
         }
         s += 1
       }
-      val text = TextNormalizer.normalize(sb.toString)
-      val nonWs = TextNormalizer.countNonWs(text)
+      val text = sb.toString
       val anchorName = if (anchor >= 0 && !dom.isText(anchor)) dom.name(anchor) else ""
       val isHeading = HtmlNames.isHeading(anchorName)
       val isCell = anchorName == "td" || anchorName == "th"
