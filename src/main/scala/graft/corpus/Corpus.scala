@@ -13,7 +13,7 @@ import graft.model.PageRow
   * (test_tipc/compare_results.py:11-60): same input ⇒ identical output, except our
   * compare is exact bytes (text is discrete).
   *
-  * Category taxonomy per FIXTURES.md §3 (index % 14 → F01..F14).
+  * Category taxonomy per FIXTURES.md §3 (index % 16 → F01..F16).
   */
 object Corpus {
 
@@ -70,7 +70,7 @@ object Corpus {
   private val t0 = 1577836800000L // 2020-01-01T00:00:00Z
 
   def page(seed: Long, index: Int): Golden = {
-    val cat = index % 14
+    val cat = index % 16
     val r = new Rng(mix(seed, if (cat == 13) 1414L else index.toLong))
     val url = f"https://example.org/f${cat + 1}%02d/doc$index"
     val ts = new Timestamp(t0 + index.toLong * 3600000L)
@@ -90,6 +90,8 @@ object Corpus {
       case 11 => f12PdfTwoCol(r, url, ts)
       case 12 => f13Degenerate(r, url, ts, index)
       case 13 => f01Article(r, url, ts).copy(category = "F14") // dup content, own url
+      case 14 => f15Pre(r, url, ts)
+      case 15 => f16Nested(r, url, ts)
     }
     g
   }
@@ -241,7 +243,7 @@ object Corpus {
 
   // F10: charsets — latin-1 with meta, UTF-8 BOM, CJK (no-space), RTL arabic
   private def f10Charset(r: Rng, url: String, ts: Timestamp, index: Int): Golden = {
-    (index / 14) % 4 match {
+    (index / 16) % 4 match {
       case 0 => // latin-1
         val p = "Le café prépare un résumé naïve avec une señorita über garçon élégant."
         val p2 = paragraph(r)
@@ -314,13 +316,44 @@ object Corpus {
 
   // F13: degenerate — empty/whitespace/zero-byte payloads
   private def f13Degenerate(r: Rng, url: String, ts: Timestamp, index: Int): Golden = {
-    val variant = (index / 14) % 3
+    val variant = (index / 16) % 3
     val payload = variant match {
       case 0 => Array.emptyByteArray
       case 1 => "<html><body></body></html>".getBytes(StandardCharsets.UTF_8)
       case _ => "<html><body>   \n\t  </body></html>".getBytes(StandardCharsets.UTF_8)
     }
     Golden(PageRow(url, ts, payload, null, null), "", Vector.empty, "F13")
+  }
+
+  // F15: <pre>/code block — interior newlines preserved (one per line run),
+  // horizontal whitespace collapsed, leading indentation dropped
+  private def f15Pre(r: Rng, url: String, ts: Timestamp): Golden = {
+    val intro = paragraph(r)
+    val lines = (0 until (3 + r.nextInt(3))).map(_ =>
+      s"val ${r.pick(WORDS)} = ${r.pick(WORDS)}(${1 + r.nextInt(99)})")
+    val outro = paragraph(r)
+    // indentation + double spaces in the source; expected text collapses them
+    val body = s"<p>$intro</p><pre>\n" +
+      lines.map(l => "  " + l.replace(" = ", "  =  ")).mkString("\n\n") +
+      s"\n</pre><p>$outro</p>"
+    val preText = lines.mkString("\n")
+    Golden(html((url, ts), body), Seq(intro, preText, outro).mkString("\n\n"),
+      Vector("content", "content", "content"), "F15")
+  }
+
+  // F16: blockquote + nested lists — consecutive same-list items group with
+  // "\n"; the nested list forms its own group
+  private def f16Nested(r: Rng, url: String, ts: Timestamp): Golden = {
+    val quote = paragraph(r)
+    def item(): String = s"${r.pick(WORDS)} ${r.pick(WORDS)} ${r.pick(WORDS)}"
+    val (a, b2, subA, subB, c) = (item(), item(), item(), item(), item())
+    val outro = paragraph(r)
+    val body = s"<blockquote><p>$quote</p></blockquote>" +
+      s"<ul><li>$a</li><li>$b2<ul><li>$subA</li><li>$subB</li></ul></li>" +
+      s"<li>$c</li></ul><p>$outro</p>"
+    val expected = Seq(quote, s"$a\n$b2", s"$subA\n$subB", c, outro).mkString("\n\n")
+    Golden(html((url, ts), body), expected,
+      Vector("content", "item", "item", "item", "item", "item", "content"), "F16")
   }
 
   private def deterministicShuffle[T](xs: Vector[T], r: Rng): Vector[T] = {

@@ -27,6 +27,7 @@ final class DomArena(initialCapacity: Int = 512) {
   var inHintBoiler: Array[Boolean] = new Array[Boolean](initialCapacity)
   var inHintContent: Array[Boolean] = new Array[Boolean](initialCapacity)
   var inLink: Array[Boolean] = new Array[Boolean](initialCapacity)
+  var inPre: Array[Boolean] = new Array[Boolean](initialCapacity)
   var blockAnchor: Array[Int] = new Array[Int](initialCapacity) // nearest block-level ancestor-or-self
   var names: IndexedSeq[String] = Vector.empty // interned tag names (from TokenArena)
 
@@ -45,6 +46,7 @@ final class DomArena(initialCapacity: Int = 512) {
     inHintBoiler = java.util.Arrays.copyOf(inHintBoiler, cap)
     inHintContent = java.util.Arrays.copyOf(inHintContent, cap)
     inLink = java.util.Arrays.copyOf(inLink, cap)
+    inPre = java.util.Arrays.copyOf(inPre, cap)
     blockAnchor = java.util.Arrays.copyOf(blockAnchor, cap)
     pathCache = java.util.Arrays.copyOf(pathCache, cap)
   }
@@ -85,7 +87,9 @@ final class DomArena(initialCapacity: Int = 512) {
     val pHintB = p >= 0 && inHintBoiler(p)
     val pHintC = p >= 0 && inHintContent(p)
     val pLink = p >= 0 && inLink(p)
+    val pPre = p >= 0 && inPre(p)
     inSkip(id) = pSkip || (isElem && HtmlNames.isSkip(nm))
+    inPre(id) = pPre || (isElem && (nm == "pre" || nm == "textarea"))
     inBoiler(id) = pBoiler || (isElem && HtmlNames.isBoiler(nm))
     inHintBoiler(id) = pHintB || (fl & TokenFlags.HintBoiler) != 0
     inHintContent(id) = pHintC || (fl & TokenFlags.HintContent) != 0
@@ -172,6 +176,7 @@ final class BlockArena(initialCapacity: Int = 256) {
   var segStart: Array[Int] = new Array[Int](1024)
   var segEnd: Array[Int] = new Array[Int](1024)
   var segInLink: Array[Boolean] = new Array[Boolean](1024)
+  var segInPre: Array[Boolean] = new Array[Boolean](1024)
 
   def reset(): Unit = { nBlocks = 0; nSegs = 0; segOff(0) = 0 }
 
@@ -189,6 +194,7 @@ final class BlockArena(initialCapacity: Int = 256) {
     segStart = java.util.Arrays.copyOf(segStart, cap)
     segEnd = java.util.Arrays.copyOf(segEnd, cap)
     segInLink = java.util.Arrays.copyOf(segInLink, cap)
+    segInPre = java.util.Arrays.copyOf(segInPre, cap)
   }
 
   def startBlock(anchorNode: Int): Unit = {
@@ -201,12 +207,14 @@ final class BlockArena(initialCapacity: Int = 256) {
     segOff(nBlocks) = nSegs
   }
 
-  def addSeg(kind: Int, start: Int, end: Int, inLink: Boolean): Unit = {
+  def addSeg(kind: Int, start: Int, end: Int, inLink: Boolean,
+             inPre: Boolean = false): Unit = {
     if (nSegs == segKind.length) growSegs()
     segKind(nSegs) = kind
     segStart(nSegs) = start
     segEnd(nSegs) = end
     segInLink(nSegs) = inLink
+    segInPre(nSegs) = inPre
     nSegs += 1
     segOff(nBlocks) = nSegs
     if (kind == SegKind.Text) {
@@ -236,7 +244,7 @@ object BlockSegmenter {
         if (!dom.inSkip(i)) {
           val a = dom.blockAnchor(i)
           if (a != curAnchor) { blocks.startBlock(a); curAnchor = a }
-          blocks.addSeg(SegKind.Text, dom.tStart(i), dom.tEnd(i), dom.inLink(i))
+          blocks.addSeg(SegKind.Text, dom.tStart(i), dom.tEnd(i), dom.inLink(i), dom.inPre(i))
         }
       } else {
         val nm = dom.name(i)

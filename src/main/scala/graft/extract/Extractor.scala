@@ -221,12 +221,20 @@ object Extractor {
       var linkChars = 0
       var nonWs = 0
       var pendingSpace = false
+      var pendingNewline = false // pre-only: preserved line break (wins over space)
       @inline def isWsChar(c: Char): Boolean =
         c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u000B' || c == '\u00A0'
-      @inline def putChar(c: Char, inLink: Boolean): Unit =
-        if (isWsChar(c)) { if (sb.length() > 0) pendingSpace = true }
-        else {
-          if (pendingSpace) { sb.append(' '); pendingSpace = false }
+      @inline def putChar(c: Char, inLink: Boolean, inPre: Boolean): Unit =
+        if (isWsChar(c)) {
+          if (sb.length() > 0) {
+            // inside <pre>/<textarea> newlines survive normalization (runs of
+            // them collapse to one line break); other whitespace -> spaces
+            if (inPre && (c == '\n' || c == '\r')) pendingNewline = true
+            else pendingSpace = true
+          }
+        } else {
+          if (pendingNewline) { sb.append('\n'); pendingNewline = false; pendingSpace = false }
+          else if (pendingSpace) { sb.append(' '); pendingSpace = false }
           sb.append(c)
           nonWs += 1
           if (inLink) linkChars += 1
@@ -241,6 +249,7 @@ object Extractor {
           if (len > 0) {
             val dec = new String(input, from, len, charset)
             val inLink = blocks.segInLink(s)
+            val inPre = blocks.segInPre(s)
             var i = 0
             while (i < dec.length) {
               val c = dec.charAt(i)
@@ -248,10 +257,10 @@ object Extractor {
                 val rep = Entities.decodeAt(dec, i, endAfter)
                 if (rep != null) {
                   var r = 0
-                  while (r < rep.length) { putChar(rep.charAt(r), inLink); r += 1 }
+                  while (r < rep.length) { putChar(rep.charAt(r), inLink, inPre); r += 1 }
                   i = endAfter(0)
-                } else { putChar(c, inLink); i += 1 }
-              } else { putChar(c, inLink); i += 1 }
+                } else { putChar(c, inLink, inPre); i += 1 }
+              } else { putChar(c, inLink, inPre); i += 1 }
             }
           }
         }

@@ -14,7 +14,7 @@ import graft.extract.{ExtractConfig, Extractor, ExtractorState}
   */
 class ExtractorGoldenSpec extends AnyFunSuite {
 
-  private val N = 140 // 10 full cycles over the 14 fixture categories
+  private val N = 160 // 10 full cycles over the 16 fixture categories
 
   test("golden corpus: byte-identical extracted text per url (seed=42)") {
     val state = new ExtractorState() // shared across docs like a partition

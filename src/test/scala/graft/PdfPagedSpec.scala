@@ -23,7 +23,7 @@ class PdfPagedSpec extends AnyFunSuite {
     .getOrCreate()
 
   test("page-explode extraction == single-pass extraction for all PDF fixtures") {
-    val n = 140
+    val n = 160
     val exploded = PdfPagedExtract.run(CorpusSource.pages(spark, n, partitions = 16))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val goldens = Corpus.pages(42L, n).filter(g => PdfBranch.isPdf(g.row.html))
