@@ -77,6 +77,13 @@ object SparkEntry {
     "x05_multimodal_meta" -> ((s, _) =>
       MultimodalFunctions.mediaMeta(CorpusSource.pages(s, 280))
         .orderBy("url")),
+    // HTML mega-doc chunked extraction (skew handling; seam-exactness proven
+    // in ChunkedExtractSpec — byte-identical text and spans vs single pass)
+    "x09_chunked_extract" -> ((s, _) =>
+      graft.pipeline.ChunkedExtract.run(CorpusSource.pages(s, 160),
+          chunkThreshold = 0, minChunkBytes = 2048).toDF()
+        .select(col("url"), col("text"), col("nSpans").as("n_spans"))
+        .orderBy("url")),
     // PDF mega-doc tile-explode path (skew handling; seam-equivalence proven
     // in PdfPagedSpec)
     "x07_pdf_paged" -> ((s, _) =>

@@ -159,7 +159,15 @@ object Extractor {
     val truncated = html.length > cfg.maxHtmlBytes
     val input = if (truncated) java.util.Arrays.copyOf(html, cfg.maxHtmlBytes) else html
     val (charset, bom) = Charsets.sniff(input)
+    extractHtml(url, input, charset, bom, truncated, cfg, state)
+  }
 
+  /** HTML kernel with an explicit charset/BOM (used directly by the chunked
+    * mega-document path, which sniffs once on the whole payload and extracts
+    * fragments with the inherited charset). */
+  def extractHtml(url: String, input: Array[Byte], charset: Charset, bom: Int,
+                  truncated: Boolean, cfg: ExtractConfig,
+                  state: ExtractorState): ExtractedDoc = {
     var t0 = System.nanoTime()
     HtmlTokenizer.tokenize(input, state.toks)
     var t1 = System.nanoTime(); state.tokenizeNanos += t1 - t0

@@ -1,0 +1,127 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.Dataset
+
+import graft.extract.{ExtractConfig, Extractor, ExtractorState, HtmlChunker}
+import graft.htmltok.Charsets
+import graft.model.{ExtractedDoc, PageRow, Span}
+import graft.pdf.PdfBranch
+
+/** Chunked extraction for mega HTML documents: plan safe split points
+  * (HtmlChunker), extract each fragment independently, merge seam-exactly —
+  * letting one 100 MB page fan out across tasks instead of straggling one.
+  *
+  * Merge contract (proven byte-identical to the single-pass kernel in
+  * ChunkedExtractSpec): chunk texts join with "\n\n" (empty chunks skipped,
+  * exactly the single-pass group separator), span blockIdx renumbers
+  * cumulatively, and span byte offsets rebase by (chunkStart − prefixLen) —
+  * the slice-offset rebase of SURVEY.md §2.3.
+  */
+object ChunkedExtract {
+
+  final case class ChunkRow(
+      url: String,
+      chunkIdx: Int, // -1 = whole-doc passthrough (small docs, PDFs)
+      chunkStart: Int,
+      prefixLen: Int,
+      payload: Array[Byte],
+      charsetName: String,
+      bom: Int,
+      truncated: Boolean)
+
+  final case class ChunkResult(
+      url: String,
+      chunkIdx: Int,
+      chunkStart: Int,
+      prefixLen: Int,
+      text: String,
+      spans: Seq[Span],
+      charset: String,
+      truncated: Boolean)
+
+  /** Split one page into chunk rows (pass-through when chunking does not
+    * apply). Charset is sniffed once on the (truncated) whole payload and
+    * inherited by every fragment. */
+  def chunkRows(p: PageRow, cfg: ExtractConfig, chunkThreshold: Int,
+                minChunkBytes: Int): Seq[ChunkRow] = {
+    val html = p.html
+    if (html == null || html.length < chunkThreshold || PdfBranch.isPdf(html))
+      return Seq(ChunkRow(p.url, -1, 0, 0, html, "", 0, truncated = false))
+    val truncated = html.length > cfg.maxHtmlBytes
+    val input = if (truncated) java.util.Arrays.copyOf(html, cfg.maxHtmlBytes) else html
+    val (charset, bom) = Charsets.sniff(input)
+    val chunks = HtmlChunker.plan(input, minChunkBytes)
+    if (chunks.length == 1)
+      return Seq(ChunkRow(p.url, -1, 0, 0, html, "", 0, truncated = false))
+    chunks.zipWithIndex.map { case (c, idx) =>
+      val prefix = c.prefix.getBytes(StandardCharsets.US_ASCII)
+      val payload = new Array[Byte](prefix.length + (c.end - c.start))
+      System.arraycopy(prefix, 0, payload, 0, prefix.length)
+      System.arraycopy(input, c.start, payload, prefix.length, c.end - c.start)
+      ChunkRow(p.url, idx, c.start, prefix.length, payload, charset.name(),
+        if (idx == 0) bom else 0, truncated)
+    }
+  }
+
+  /** Extract one chunk row (fragment or passthrough). */
+  def extractChunk(r: ChunkRow, cfg: ExtractConfig, state: ExtractorState): ChunkResult = {
+    val doc =
+      if (r.chunkIdx < 0) Extractor.extract(r.url, r.payload, cfg, state)
+      else Extractor.extractHtml(r.url, r.payload, Charsets.resolve(r.charsetName),
+        r.bom, r.truncated, cfg, state)
+    ChunkResult(r.url, r.chunkIdx, r.chunkStart, r.prefixLen, doc.text, doc.spans,
+      doc.charset, doc.truncated)
+  }
+
+  /** Merge a document's chunk results (sorted by chunkIdx) seam-exactly. */
+  def merge(url: String, results: Seq[ChunkResult]): ExtractedDoc = {
+    val sorted = results.sortBy(_.chunkIdx)
+    if (sorted.length == 1 && sorted.head.chunkIdx < 0) {
+      val r = sorted.head
+      return ExtractedDoc(url, r.text, r.spans.length, r.spans, r.charset, r.truncated)
+    }
+    val text = sorted.map(_.text).filter(_.nonEmpty).mkString("\n\n")
+    var idx = 0
+    val spans = sorted.flatMap { r =>
+      r.spans.map { s =>
+        val rebased = Span(idx, s.tagPath,
+          s.start - r.prefixLen + r.chunkStart,
+          s.end - r.prefixLen + r.chunkStart,
+          s.label, s.score, s.text)
+        idx += 1
+        rebased
+      }
+    }
+    ExtractedDoc(url, text, spans.length, spans,
+      sorted.head.charset, sorted.head.truncated)
+  }
+
+  /** Pure single-JVM path (used by the equivalence spec and small jobs). */
+  def extractLocal(p: PageRow, cfg: ExtractConfig = ExtractConfig(),
+                   chunkThreshold: Int = 1 << 20, minChunkBytes: Int = 256 * 1024,
+                   state: ExtractorState = new ExtractorState()): ExtractedDoc = {
+    val rows = chunkRows(p, cfg, chunkThreshold, minChunkBytes)
+    merge(p.url, rows.map(extractChunk(_, cfg, state)))
+  }
+
+  /** Distributed path: explode chunks → spread across tasks → extract →
+    * reassemble by url (one shuffle of extracted text, never raw payloads
+    * except the chunk slices themselves on the explode side). */
+  def run(pages: Dataset[PageRow], cfg: ExtractConfig = ExtractConfig(),
+          chunkThreshold: Int = 1 << 20,
+          minChunkBytes: Int = 256 * 1024): Dataset[ExtractedDoc] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages
+      .flatMap(p => chunkRows(p, cfg, chunkThreshold, minChunkBytes))
+      .repartition(spark.sparkContext.defaultParallelism * 2) // spread mega-doc chunks
+      .mapPartitions { it =>
+        val state = new ExtractorState()
+        it.map(extractChunk(_, cfg, state))
+      }
+      .groupByKey(_.url)
+      .mapGroups((url, it) => merge(url, it.toSeq))
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.Corpus
+import graft.extract.{ExtractConfig, Extractor, ExtractorState, HtmlChunker}
+import graft.model.PageRow
+import graft.pipeline.{ChunkedExtract, CorpusSource}
+
+/** Seam-exactness of chunked mega-document extraction: for every input, the
+  * chunked path must produce byte-identical text AND identical spans
+  * (labels, scores, tagPaths, rebased offsets) to the single-pass kernel —
+  * at any chunk size. SURVEY.md §7.4 hard part #3.
+  */
+class ChunkedExtractSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def equivalent(row: PageRow, minChunk: Int): Option[String] = {
+    val single = Extractor.extract(row.url, row.html, ExtractConfig())
+    val chunked = ChunkedExtract.extractLocal(row, ExtractConfig(),
+      chunkThreshold = 0, minChunkBytes = minChunk)
+    if (single.text != chunked.text)
+      Some(s"text diff at ${row.url}:\n--- single:\n${single.text}\n--- chunked:\n${chunked.text}")
+    else if (single.spans != chunked.spans)
+      Some(s"span diff at ${row.url}:\n${single.spans.zip(chunked.spans).filter(p => p._1 != p._2).take(3)}")
+    else None
+  }
+
+  test("chunked == single-pass over every golden fixture, multiple chunk sizes") {
+    val goldens = Corpus.pages(42L, 160)
+    for (minChunk <- Seq(512, 2048, 16384)) {
+      val failures = goldens.flatMap(g => equivalent(g.row, minChunk))
+      assert(failures.isEmpty,
+        s"minChunk=$minChunk: ${failures.size} divergences; first:\n${failures.headOption.getOrElse("")}")
+    }
+  }
+
+  test("chunked == single-pass on generated top-level soups (property)") {
+    val section = for {
+      n <- Gen.chooseNum(1, 4)
+      ps <- Gen.listOfN(n, Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(6)))
+        .map(ws => s"<p>${ws.mkString(" ")} content words enough here</p>"))
+    } yield s"<section><h2>Heading words here</h2>${ps.mkString}</section>"
+    val navish = Gen.const("""<nav><a href="/a">A</a><a href="/b">B</a></nav>""")
+    val tableish = Gen.const(
+      "<table><tr><td>cell one here</td><td>cell two here</td></tr></table>")
+    val listish = Gen.const("<ul><li>item one words</li><li>item two words</li></ul>")
+    val soup = Gen.listOf(Gen.oneOf(section, navish, tableish, listish)).map { parts =>
+      s"<html><body>${parts.mkString}</body></html>"
+    }
+    check(Prop.forAll(soup) { html =>
+      val row = PageRow("u", new java.sql.Timestamp(0), html.getBytes(StandardCharsets.UTF_8), null, "en")
+      equivalent(row, 64).isEmpty && equivalent(row, 300).isEmpty
+    })
+  }
+
+  test("a mega document actually splits into multiple chunks") {
+    val g = Corpus.pages(42L, 160).find(_.category == "F08").get // many sections
+    val chunks = HtmlChunker.plan(g.row.html, minChunkBytes = 4096)
+    assert(chunks.length > 2, s"expected multiple chunks, got ${chunks.length}")
+    assert(chunks.head.prefix == "")
+    assert(chunks.tail.forall(_.prefix == "<html><body>"))
+    // ranges partition the payload
+    assert(chunks.head.start == 0 && chunks.last.end == g.row.html.length)
+    chunks.sliding(2).foreach { case Vector(a, b) => assert(a.end == b.start); case _ => () }
+  }
+
+  test("no safe split inside hinted containers (ancestry protected)") {
+    val body = """<div class="article">""" +
+      (1 to 50).map(i => s"<p>paragraph $i with plenty of words in it</p>").mkString + "</div>"
+    val html = s"<html><body>$body</body></html>".getBytes(StandardCharsets.UTF_8)
+    val chunks = HtmlChunker.plan(html, minChunkBytes = 256)
+    assert(chunks.length == 1, s"split inside a class-hinted div: ${chunks.length} chunks")
+  }
+
+  test("distributed chunked path matches single-pass (Spark)") {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val got = ChunkedExtract.run(CorpusSource.pages(spark, 96, partitions = 8),
+        chunkThreshold = 0, minChunkBytes = 2048)
+      .collect().map(d => d.url -> d.text).toMap
+    val state = new ExtractorState()
+    Corpus.pages(42L, 96).foreach { g =>
+      val single = Extractor.extract(g.row.url, g.row.html, ExtractConfig(), state)
+      assert(got(g.row.url) == single.text, s"distributed chunk divergence at ${g.row.url}")
+    }
+  }
+}
