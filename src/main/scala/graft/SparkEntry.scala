@@ -264,6 +264,12 @@ object SparkEntry {
     // production 64-bit simhash (xxhash64 — no DuckDB analog; spec-tested)
     "d10_simhash_pairs" -> ((s, dir) => DedupFunctions.simhashPairs(docs(s, dir), 12)),
 
+    // ================= streaming surface over `events` =====================
+    // windowed agg computed by a REAL incremental stream (file micro-batches,
+    // complete mode, drained) — oracle checks it equals the batch answer
+    "s01_stream_window" -> ((s, dir) =>
+      graft.streaming.EventStream.runStream(s, dir)),
+
     // ================= similarity ops over `embeddings` ====================
     "e01_knn_brute" -> ((s, dir) => SimilarityFunctions.knnBrute(emb(s, dir), 5, 5)),
     "e02_vec_norms" -> ((s, dir) =>
@@ -468,6 +474,11 @@ object SparkEntry {
          |SELECT doc_id, ($bits)::BIGINT AS simhash16
          |FROM votes ORDER BY doc_id""".stripMargin
     },
+    "s01_stream_window" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+        |       count(*)::BIGINT AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e01_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
         |           FROM embeddings WHERE vec_id < 5),
