@@ -238,6 +238,16 @@ object SparkEntry {
           col("ts").as("click_ts"), col("view_id"), col("view_ts"))
         .orderBy("user_id", "click_id")
     }),
+    // semi-structured projection: JSON props parsed inline then aggregated
+    // (≡ the dict-shaped data flowing through the reference's operator chain,
+    // ppocr/data/imaug/__init__.py:68-96, recast as a typed JSON path)
+    "q12_json_props" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
     // extraction QA as a typed partial+final Aggregator (≡ RecMetric,
     // ppocr/metrics/rec_metric.py:23-78): exact-match must be 1.0 vs golden
     "x08_extraction_qa" -> ((s, _) => {
@@ -474,6 +484,12 @@ object SparkEntry {
          |SELECT doc_id, ($bits)::BIGINT AS simhash16
          |FROM votes ORDER BY doc_id""".stripMargin
     },
+    "q12_json_props" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |       sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+        |       min(json_extract(props, '$.k')::BIGINT) AS min_k,
+        |       max(json_extract(props, '$.k')::BIGINT) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "s01_stream_window" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
         |       count(*)::BIGINT AS n,
