@@ -72,7 +72,6 @@ object Bench {
       out
     }.reduce(_ + _)
     val wall = (System.nanoTime() - t0) / 1e9
-    require(checksum != 0)
     (wall, checksum, Map("tokenize" -> accTok.value, "dom" -> accDom.value,
       "classify" -> accCls.value, "assemble" -> accAsm.value))
   }
