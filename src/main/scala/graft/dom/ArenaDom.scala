@@ -249,7 +249,7 @@ object BlockSegmenter {
       } else {
         val nm = dom.name(i)
         if (nm == "br" && curAnchor == dom.blockAnchor(i) && curAnchor >= 0 && !dom.inSkip(i)) {
-          blocks.addSeg(SegKind.Break, 0, 0, inLink = false)
+          blocks.addSeg(SegKind.Break, 0, 0, inLink = false, dom.inPre(i))
         } else if (HtmlNames.isBlock(nm)) {
           // a block element boundary always terminates the running block,
           // even if the next text re-anchors to the same node (e.g. <p>a<div>x</div>b</p>)

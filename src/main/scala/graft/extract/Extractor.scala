@@ -250,7 +250,12 @@ object Extractor {
       var s = blocks.segOff(b)
       val sEnd = blocks.segOff(b + 1)
       while (s < sEnd) {
-        if (blocks.segKind(s) == SegKind.Break) { if (sb.length() > 0) pendingSpace = true }
+        if (blocks.segKind(s) == SegKind.Break) {
+          // <br> inside <pre> is a preserved line break, like a literal '\n'
+          if (sb.length() > 0) {
+            if (blocks.segInPre(s)) pendingNewline = true else pendingSpace = true
+          }
+        }
         else {
           val from = math.max(blocks.segStart(s), bom)
           val len = blocks.segEnd(s) - from

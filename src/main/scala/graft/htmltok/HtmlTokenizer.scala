@@ -96,24 +96,30 @@ object Charsets {
     case _                                                 => Utf8
   }
 
-  /** Returns (charset, bomLength). */
+  /** Returns (charset, bomLength). A `charset=` declaration is honored only
+    * INSIDE a `<meta ...>` tag (scanning the whole head for the bare substring
+    * would match URL query params or script text). */
   def sniff(b: Array[Byte]): (Charset, Int) = {
     if (b.length >= 3 && b(0) == 0xef.toByte && b(1) == 0xbb.toByte && b(2) == 0xbf.toByte)
       return (Utf8, 3)
-    // scan head for charset= (ASCII, case-insensitive)
     val n = math.min(b.length, 1024)
     val head = new String(b, 0, n, StandardCharsets.ISO_8859_1).toLowerCase
-    val i = head.indexOf("charset=")
-    if (i >= 0) {
-      var j = i + 8
-      // optional quote
-      if (j < head.length && (head(j) == '"' || head(j) == '\'')) j += 1
-      val sb = new StringBuilder
-      while (j < head.length && (head(j).isLetterOrDigit || head(j) == '-' || head(j) == '_')) {
-        sb.append(head(j)); j += 1
+    var m = head.indexOf("<meta")
+    while (m >= 0) {
+      val tagEnd = { val e = head.indexOf('>', m); if (e < 0) head.length else e }
+      val i = head.indexOf("charset=", m)
+      if (i >= 0 && i < tagEnd) {
+        var j = i + 8
+        if (j < head.length && (head(j) == '"' || head(j) == '\'')) j += 1
+        val sb = new StringBuilder
+        while (j < head.length && (head(j).isLetterOrDigit || head(j) == '-' || head(j) == '_')) {
+          sb.append(head(j)); j += 1
+        }
+        return (resolve(sb.toString), 0)
       }
-      (resolve(sb.toString), 0)
-    } else (Utf8, 0)
+      m = head.indexOf("<meta", m + 5)
+    }
+    (Utf8, 0)
   }
 }
 
@@ -190,11 +196,15 @@ object HtmlTokenizer {
             i = end; textStart = i
           }
         } else if (c1 == '/') {
-          // end tag
+          // end tag — name charset must match parseStartTag's (letter first,
+          // then letter/digit/'-'), or hyphenated custom elements never close
           var j = i + 2
           val nameSb = new java.lang.StringBuilder(8)
-          while (j < n && isAsciiLetter(input(j) & 0xff) ||
-                 (j < n && nameSb.length > 0 && ((input(j) & 0xff) >= '0' && (input(j) & 0xff) <= '9'))) {
+          while (j < n && {
+            val cc = input(j) & 0xff
+            isAsciiLetter(cc) ||
+              (nameSb.length > 0 && ((cc >= '0' && cc <= '9') || cc == '-'))
+          }) {
             nameSb.append(toLower(input(j) & 0xff).toChar); j += 1
           }
           if (nameSb.length == 0) {
@@ -336,7 +346,10 @@ object HtmlTokenizer {
     false
   }
 
-  /** Find offset of `</name` (case-insensitive) at or after `from`; n if absent. */
+  /** Find offset of `</name` (case-insensitive) at or after `from`; n if
+    * absent. Per HTML5, the character after the name must end the tag name
+    * (whitespace, '/', '>' or EOF) — `</scripty>` must NOT close `<script>`.
+    */
   private def findCloseTag(input: Array[Byte], from: Int, n: Int, name: String): Int = {
     var i = from
     val m = name.length
@@ -347,6 +360,11 @@ object HtmlTokenizer {
         while (ok && k < m) {
           if (toLower(input(i + 2 + k) & 0xff) != name(k)) ok = false
           k += 1
+        }
+        if (ok && i + 2 + m < n) {
+          val after = input(i + 2 + m) & 0xff
+          ok = after == '>' || after == '/' || after == ' ' || after == '\t' ||
+            after == '\n' || after == '\r' || after == '\f'
         }
         if (ok) return i
       }

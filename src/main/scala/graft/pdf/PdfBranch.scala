@@ -37,7 +37,8 @@ object PdfBranch {
   private val magic = "%PDF".getBytes(StandardCharsets.US_ASCII)
 
   def isPdf(b: Array[Byte]): Boolean =
-    b.length >= 4 && b(0) == magic(0) && b(1) == magic(1) && b(2) == magic(2) && b(3) == magic(3)
+    b != null && b.length >= 4 &&
+      b(0) == magic(0) && b(1) == magic(1) && b(2) == magic(2) && b(3) == magic(3)
 
   final case class PBlock(x: Int, y: Int, w: Int, h: Int, text: String, off: Int, end: Int)
 
@@ -66,10 +67,10 @@ object PdfBranch {
     var curW = 0
     var blocks = Vector.newBuilder[PBlock]
     var inPage = false
-    var off = 0
+    var off = 0 // BYTE offset into the raw payload (Span contract, Model.scala)
     for (line <- s.linesWithSeparators) {
       val lineStart = off
-      off += line.length
+      off += utf8Len(line)
       val t = line.stripLineEnd
       if (t.startsWith("page ")) {
         if (inPage) { pages += ((curW, blocks.result())) }
@@ -86,7 +87,7 @@ object PdfBranch {
         if (p.length == 5) {
           val (x, y, w, h) = (parseIntSafe(p(0)), parseIntSafe(p(1)), parseIntSafe(p(2)), parseIntSafe(p(3)))
           val txt = TextNormalizer.normalize(p(4))
-          if (txt.nonEmpty) blocks += PBlock(x, y, w, h, txt, lineStart, lineStart + line.length)
+          if (txt.nonEmpty) blocks += PBlock(x, y, w, h, txt, lineStart, lineStart + utf8Len(line))
         }
       }
     }
@@ -96,6 +97,21 @@ object PdfBranch {
 
   private def parseIntSafe(s: String): Int =
     try s.toInt catch { case _: NumberFormatException => 0 }
+
+  /** UTF-8 byte length of a string without materializing the bytes. */
+  private def utf8Len(s: String): Int = {
+    var n = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      n += (if (c < 0x80) 1
+            else if (c < 0x800) 2
+            else if (Character.isHighSurrogate(c)) { i += 1; 4 } // surrogate pair
+            else 3)
+      i += 1
+    }
+    n
+  }
 
   /** Banded XY-cut ordering. Deterministic: ties broken by (y, x, payload order). */
   def orderPage(pageW: Int, blocks: Vector[PBlock]): Vector[PBlock] = {

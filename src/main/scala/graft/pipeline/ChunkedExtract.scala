@@ -18,6 +18,14 @@ import graft.pdf.PdfBranch
   * exactly the single-pass group separator), span blockIdx renumbers
   * cumulatively, and span byte offsets rebase by (chunkStart − prefixLen) —
   * the slice-offset rebase of SURVEY.md §2.3.
+  *
+  * Known, deliberate boundary: `maxBlocksPerDoc` applies PER FRAGMENT here
+  * (each task bounds its own work — the distributed meaning of the cap), so a
+  * document whose kept-block count exceeds the cap diverges from the
+  * single-pass result, which caps globally. Byte-identity holds for every
+  * document within the cap (the golden/property-tested regime; the default
+  * cap of 10k blocks ≈ docs far beyond typical web pages). Both behaviors are
+  * explicit work caps, not silent truncation.
   */
 object ChunkedExtract {
 

@@ -106,6 +106,10 @@ object ExtractPipeline {
     }
 
     val totalParts = conf.numBuckets + conf.megaBuckets
+    // set-of-buckets actually processed in THIS run (task retries may re-add —
+    // harmless for a set); lineage must not re-mark stale buckets left in the
+    // output dir by earlier runs with different inputs/configs
+    val seenBuckets = spark.sparkContext.collectionAccumulator[Int]("bucketsWritten")
     val extracted = remaining
       .repartition(totalParts, col("bucket"))
       // size-ordered processing within each partition (SURVEY.md §4.3, the
@@ -116,7 +120,9 @@ object ExtractPipeline {
       .as[(Int, PageRow)]
       .mapPartitions { it =>
         val state = new ExtractorState()
+        val localSeen = new java.util.HashSet[Int]()
         it.map { case (bucket, p) =>
+          if (localSeen.add(bucket)) seenBuckets.add(bucket)
           val t0 = state.tokenizeNanos; val d0 = state.domNanos
           val c0 = state.classifyNanos; val a0 = state.assembleNanos
           val doc = Extractor.extract(p.url, p.html, conf.extract, state)
@@ -133,14 +139,14 @@ object ExtractPipeline {
       .mode(SaveMode.Overwrite)
       .parquet(dataDir(outDir))
 
-    // Lineage from committed data only: re-read the buckets just written.
+    // Lineage from committed data only: re-read exactly the buckets this run
+    // wrote (never stale buckets left in the dir by earlier runs).
+    import scala.jdk.CollectionConverters._
+    val written = seenBuckets.value.asScala.toSet
+    if (written.isEmpty) return 0L
     val touched = spark.read.parquet(dataDir(outDir))
-      .filter(if (done.isEmpty) lit(true) else !col("bucket").isin(done.toSeq: _*))
-    val touched2 = onlyBuckets match {
-      case Some(bs) => touched.filter(col("bucket").isin(bs.toSeq: _*))
-      case None     => touched
-    }
-    val lineage = touched2.groupBy(col("bucket")).agg(
+      .filter(col("bucket").isin(written.toSeq: _*))
+    val lineage = touched.groupBy(col("bucket")).agg(
       lit("ok").as("status"),
       lit(attempt).as("attempt"),
       count(lit(1)).as("docs"),

@@ -75,11 +75,20 @@ object PdfPagedExtract {
 
   /** Distributed path: explode pages → per-page layout → reassemble by url.
     * One shuffle (the groupBy on url); page order restored by pageIdx sort
-    * inside each group so the result is partition-order independent. */
-  def run(pages: Dataset[PageRow]): DataFrame = {
+    * inside each group so the result is partition-order independent. The
+    * payload is clamped to cfg.maxHtmlBytes BEFORE splitting, matching the
+    * single-pass `PdfBranch.extract` truncation exactly. */
+  def run(pages: Dataset[PageRow],
+          cfg: graft.extract.ExtractConfig = graft.extract.ExtractConfig()): DataFrame = {
     import pages.sparkSession.implicits._
     pages
-      .flatMap(p => splitPages(p.url, p.html))
+      .flatMap { p =>
+        val payload =
+          if (p.html != null && p.html.length > cfg.maxHtmlBytes)
+            java.util.Arrays.copyOf(p.html, cfg.maxHtmlBytes)
+          else p.html
+        splitPages(p.url, payload)
+      }
       .map(layoutPage)
       .groupByKey(_.url)
       .mapGroups { (url, it) =>

@@ -35,9 +35,10 @@ object EventStream {
     // stage into a directory of several files: the file stream source requires
     // a directory, and >1 file exercises real multi-micro-batch incremental
     // state (maxFilesPerTrigger=1 → 8 micro-batches)
+    // restaged on every call: a cached copy keyed by path would silently
+    // stream stale rows if the source file were regenerated in place
     val staging = s"/tmp/graft_stream_in_${math.abs(dir.hashCode)}"
-    if (!new java.io.File(staging, "_SUCCESS").exists())
-      batchDf.repartition(8).write.mode("overwrite").parquet(staging)
+    batchDf.repartition(8).write.mode("overwrite").parquet(staging)
     val queryName = s"graft_stream_${System.nanoTime()}"
     val stream = spark.readStream
       .schema(batchDf.schema)

@@ -75,6 +75,41 @@ class KernelUnitSpec extends AnyFunSuite {
     assert(TextNormalizer.normalize(" \t\n ") == "")
   }
 
+  test("hyphenated custom elements close properly (end-tag name charset)") {
+    // regression: '</my-element>' must pop '<my-element>', or the sidebar
+    // class hint would leak onto the following paragraph
+    assert(extract("""<body><my-element class="sidebar">menu stuff</my-element><p>the real article paragraph here</p></body>""")
+      == "the real article paragraph here")
+  }
+
+  test("rawtext close requires a tag-name boundary (</scripty> stays text)") {
+    assert(extract("""<body><script>var s = "</scriptFragment>"; evil();</script><p>kept paragraph of words</p></body>""")
+      == "kept paragraph of words")
+  }
+
+  test("charset= outside a meta tag is ignored") {
+    val doc = """<html><head><link href="/css?charset=latin-1"><meta charset="utf-8"></head><body><p>café résumé words enough here</p></body></html>"""
+    val got = graft.extract.Extractor.extract("u", doc.getBytes(StandardCharsets.UTF_8), ExtractConfig())
+    assert(got.charset == "utf-8", got.charset)
+    assert(got.text == "café résumé words enough here")
+  }
+
+  test("<br> inside <pre> is a preserved line break") {
+    assert(extract("<body><pre>line one words<br>line two words</pre></body>")
+      == "line one words\nline two words")
+    assert(extract("<body><p>line one words<br>line two words</p></body>")
+      == "line one words line two words")
+  }
+
+  test("pdf span offsets are byte offsets (multi-byte payload)") {
+    val payload = "%PDF-GRAFT 1.0\npage 800 1200\nblock 50 100 700 80 café résumé\nblock 50 300 700 80 plain text here\nendpage\n"
+    val bytes = payload.getBytes(StandardCharsets.UTF_8)
+    val doc = graft.extract.Extractor.extract("u", bytes, ExtractConfig())
+    val second = doc.spans(1)
+    val sliced = new String(bytes, second.start, second.end - second.start, StandardCharsets.UTF_8)
+    assert(sliced.contains("plain text here"), sliced)
+  }
+
   test("latin-1 payload decodes via meta charset") {
     val doc = """<html><head><meta charset="iso-8859-1"></head><body><p>café naïve garçon über</p></body></html>"""
       .replace("\\u00e9", "é").replace("\\u00ef", "ï")
