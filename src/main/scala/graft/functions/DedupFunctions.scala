@@ -51,14 +51,18 @@ object DedupFunctions {
       col("doc_id"), col("lang"),
       floor(col("n_chars") / 100).cast("long").as("bucket"),
       array_distinct(TextFunctions.tokens(col("text"))).as("ws"))
-    val inter = size(array_intersect(col("a.ws"), col("b.ws"))).cast("double")
-    val union = (size(col("a.ws")) + size(col("b.ws"))
-      - size(array_intersect(col("a.ws"), col("b.ws")))).cast("double")
+    // |a∩b| is projected ONCE and reused for both the numerator and the
+    // |a∪b| = |a|+|b|−|a∩b| denominator (CollapseProject keeps multi-referenced
+    // non-cheap expressions in their own projection, so the set intersection
+    // runs once per pair, not three times)
     t.as("a").join(t.as("b"),
         col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(inter / union, 4).as("jaccard"))
+        size(array_intersect(col("a.ws"), col("b.ws"))).cast("double").as("inter"),
+        (size(col("a.ws")) + size(col("b.ws"))).cast("double").as("sizes"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / (col("sizes") - col("inter")), 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .orderBy("doc_a", "doc_b")
   }
