@@ -131,17 +131,21 @@ object Bench {
     // the MEDIAN round is reported — best-of ratios are biased upward by
     // steal hitting the denominator (observed to yield nonsense like eff > 1),
     // best-of rates across rounds mix incomparable conditions.
-    def roundEff(nLvl: Int, n4Lvl: Int, factor: Double): Double = {
+    // returns (clamped, rawMedian): raw is the unclamped median — reported
+    // alongside so a clamped 1.0 is auditable, not a fabricated perfect score
+    def roundEff(nLvl: Int, n4Lvl: Int, factor: Double): (Double, Double) = {
       val effs = roundRates.toSeq.flatMap { m =>
         for (a <- m.get(nLvl); b <- m.get(n4Lvl) if a > 0) yield (b / a) / factor
       }.sorted
       // clamp at 1.0: super-linear ratios are steal artifacts (the N-level
       // window was slowed, not the 4N-level sped up)
-      if (effs.isEmpty) 0.0 else math.min(effs(effs.size / 2), 1.0)
+      if (effs.isEmpty) (0.0, 0.0)
+      else { val med = effs(effs.size / 2); (math.min(med, 1.0), med) }
     }
-    val eff1to4 = roundEff(1, 4, 4.0)
-    val eff2to8 = roundEff(2, 8, 4.0)
-    val eff8toN = if (cpus != 8) roundEff(8, cpus, cpus / 8.0) else 1.0
+    val (eff1to4, eff1to4Raw) = roundEff(1, 4, 4.0)
+    val (eff2to8, eff2to8Raw) = roundEff(2, 8, 4.0)
+    val (eff8toN, eff8toNRaw) =
+      if (cpus != 8) roundEff(8, cpus, cpus / 8.0) else (1.0, 1.0)
     val stagesN = best(cpus)._3
     val stageJson = stagesN.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":${fmt(v / 1e9)}""" }.mkString("{", ",", "}")
@@ -163,13 +167,22 @@ object Bench {
       levels.map(l => s""""docs_per_sec_$l":${fmt(rate(l))}""").mkString(",") + "," +
       s""""mb_per_sec_$cpus":${fmt(rate(cpus) * bytes / nDocs / 1e6)},""" +
       s""""scaling_efficiency_1_to_4":${fmt(eff1to4)},""" +
+      s""""scaling_efficiency_1_to_4_raw":${fmt(eff1to4Raw)},""" +
       s""""scaling_efficiency_2_to_8":${fmt(eff2to8)},""" +
+      s""""scaling_efficiency_2_to_8_raw":${fmt(eff2to8Raw)},""" +
       s""""scaling_efficiency_8_to_$cpus":${fmt(eff8toN)},""" +
+      s""""scaling_efficiency_8_to_${cpus}_raw":${fmt(eff8toNRaw)},""" +
       s""""deterministic_across_levels":$deterministic,""" +
       s""""trials":$trials,"stage_sec_$cpus":$stageJson}"""
-    println(
+    val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","extract":$extractJson}""")
+      s""""sf":"$sfDir","extract":$extractJson}"""
+    println(line)
+    // the driver tails sbt output where every line carries an [info]/[error]
+    // prefix (BENCH_r01.json came back parsed:null); a file is prefix-proof
+    val outPath = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }

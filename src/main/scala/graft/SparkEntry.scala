@@ -73,9 +73,15 @@ object SparkEntry {
           col("emptyDocs"), col("truncatedDocs"))
         .orderBy("bucket")
     }),
-    // multimodal: binary payload metadata + stub-decoded features
+    // multimodal: binary payload metadata + stub-decoded features. The raw
+    // array<float> feature stays in the library API (mediaMeta); the query
+    // surface projects it to a scalar because the driver's pandas sort cannot
+    // hash ndarray cells (CORRECTNESS_r01 x05 harness error).
     "x05_multimodal_meta" -> ((s, _) =>
       MultimodalFunctions.mediaMeta(CorpusSource.pages(s, 280))
+        .withColumn("feature_sum",
+          round(aggregate(col("feature"), lit(0.0d), (acc, x) => acc + x.cast("double")), 4))
+        .drop("feature")
         .orderBy("url")),
     // HTML mega-doc chunked extraction (skew handling; seam-exactness proven
     // in ChunkedExtractSpec — byte-identical text and spans vs single pass)
@@ -458,15 +464,24 @@ object SparkEntry {
         |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
     "d08_jaccard_pairs" ->
-      """SELECT * FROM (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         round(len(list_intersect(a.ws, b.ws))::DOUBLE
-        |               / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) AS jaccard
-        |  FROM (SELECT doc_id, lang, (n_chars // 100)::BIGINT AS bucket,
-        |               list_distinct(string_split(text, ' ')) AS ws FROM documents) a
-        |  JOIN (SELECT doc_id, lang, (n_chars // 100)::BIGINT AS bucket,
-        |               list_distinct(string_split(text, ' ')) AS ws FROM documents) b
-        |    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id) p
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |              unnest(list_transform(range(len(ws) - 2),
+        |                     i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS s
+        |       FROM t WHERE len(ws) >= 3),
+        |sig AS (SELECT doc_id,
+        |               min(md5('0:' || s)) AS mh0, min(md5('1:' || s)) AS mh1,
+        |               min(md5('2:' || s)) AS mh2, min(md5('3:' || s)) AS mh3
+        |        FROM sh GROUP BY doc_id),
+        |bands AS (SELECT doc_id, unnest([mh0, mh1, mh2, mh3]) AS band FROM sig),
+        |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |u AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT doc_a, doc_b,
+        |         round(len(list_intersect(ua.ws, ub.ws))::DOUBLE
+        |               / (len(ua.ws) + len(ub.ws) - len(list_intersect(ua.ws, ub.ws))), 4) AS jaccard
+        |  FROM cands JOIN u ua ON doc_a = ua.doc_id JOIN u ub ON doc_b = ub.doc_id) p
         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     "d09_simhash16" -> {
       val votes = (0 until 16).map(d =>
@@ -486,7 +501,7 @@ object SparkEntry {
     },
     "q12_json_props" ->
       """SELECT event_type, count(*)::BIGINT AS n,
-        |       sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+        |       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
         |       min(json_extract(props, '$.k')::BIGINT) AS min_k,
         |       max(json_extract(props, '$.k')::BIGINT) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

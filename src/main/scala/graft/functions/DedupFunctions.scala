@@ -26,10 +26,9 @@ object DedupFunctions {
         count(lit(1)).as("group_size"))
       .orderBy("content_md5")
 
-  /** LSH candidate pairs from MinHash signatures: docs sharing ANY of the k
-    * single-hash bands. Self-join on the band value; `a < b` halves the pairs;
-    * distinct collapses multi-band hits. */
-  def lshCandidatePairs(docs: DataFrame, k: Int): DataFrame = {
+  /** LSH candidate pairs without the final ORDER BY (composition surface:
+    * jaccardPairs consumes this; an orderBy here would be a wasted sort). */
+  private[graft] def lshCandidatePairsRaw(docs: DataFrame, k: Int): DataFrame = {
     val sig = TextFunctions.minhashSignature(docs, k)
     val bands = sig.select(col("doc_id"),
       explode(array((0 until k).map(s => col(s"mh$s")): _*)).as("band"))
@@ -38,27 +37,37 @@ object DedupFunctions {
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
 
-  /** Unigram-set Jaccard over blocked candidate pairs: block on (lang,
-    * n_chars/100 bucket), pair within block, keep pairs with similarity ≥
-    * `minJaccard`. The fixpoint-free analog of merge_fragmented's
-    * near-duplicate fusion (tools/infer/utility.py:994-1018) recast to corpus
-    * dedup. */
-  def jaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val t = docs.select(
-      col("doc_id"), col("lang"),
-      floor(col("n_chars") / 100).cast("long").as("bucket"),
+  /** LSH candidate pairs from MinHash signatures: docs sharing ANY of the k
+    * single-hash bands. Self-join on the band value; `a < b` halves the pairs;
+    * distinct collapses multi-band hits. */
+  def lshCandidatePairs(docs: DataFrame, k: Int): DataFrame =
+    lshCandidatePairsRaw(docs, k).orderBy("doc_a", "doc_b")
+
+  /** Unigram-set Jaccard over the MinHash-LSH candidate pairs: candidates come
+    * from `lshCandidatePairs` (band equi-join — linear in true near-dups, never
+    * an all-pairs or within-block cross product), then the token sets are
+    * joined back by doc_id and Jaccard is computed once per candidate. The
+    * verification step of the classic MinHash-LSH dedup pipeline; the analog
+    * of merge_fragmented's near-duplicate fusion
+    * (tools/infer/utility.py:994-1018) recast to corpus dedup.
+    *
+    * Scale shape: two narrow equi-joins of (candidate pair) × (doc token set)
+    * — O(|candidates|) work, vs the previous (lang, size-bucket) blocking
+    * whose within-block join was quadratic in the hottest block. */
+  def jaccardPairs(docs: DataFrame, minJaccard: Double, k: Int = 4): DataFrame = {
+    val cands = lshCandidatePairsRaw(docs, k)
+    val t = docs.select(col("doc_id"),
       array_distinct(TextFunctions.tokens(col("text"))).as("ws"))
     // |a∩b| is projected ONCE and reused for both the numerator and the
     // |a∪b| = |a|+|b|−|a∩b| denominator (CollapseProject keeps multi-referenced
     // non-cheap expressions in their own projection, so the set intersection
     // runs once per pair, not three times)
-    t.as("a").join(t.as("b"),
-        col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+    cands
+      .join(t.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(t.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("a.ws"), col("b.ws"))).cast("double").as("inter"),
         (size(col("a.ws")) + size(col("b.ws"))).cast("double").as("sizes"))
       .select(col("doc_a"), col("doc_b"),

@@ -34,11 +34,13 @@ object EventStream {
     val batchDf = spark.read.parquet(s"$dir/events.parquet")
     // stage into a directory of several files: the file stream source requires
     // a directory, and >1 file exercises real multi-micro-batch incremental
-    // state (maxFilesPerTrigger=1 → 8 micro-batches)
-    // restaged on every call: a cached copy keyed by path would silently
-    // stream stale rows if the source file were regenerated in place
-    val staging = s"/tmp/graft_stream_in_${math.abs(dir.hashCode)}"
-    batchDf.repartition(8).write.mode("overwrite").parquet(staging)
+    // state (maxFilesPerTrigger=1 → 4 micro-batches).
+    // A fresh temp dir per call: restaging keeps the stream in sync if the
+    // source is regenerated in place, and a per-call dir cannot collide across
+    // concurrent runStream calls (a path-hash-keyed dir could — and
+    // math.abs(Int.MinValue) is negative).
+    val staging = java.nio.file.Files.createTempDirectory("graft_stream_in_").toString
+    batchDf.repartition(4).write.mode("overwrite").parquet(staging)
     val queryName = s"graft_stream_${System.nanoTime()}"
     val stream = spark.readStream
       .schema(batchDf.schema)
@@ -51,7 +53,10 @@ object EventStream {
       .queryName(queryName)
       .start()
     try q.processAllAvailable()
-    finally q.stop()
+    finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+    }
     spark.table(queryName)
       .orderBy("window_start", "event_type")
   }
