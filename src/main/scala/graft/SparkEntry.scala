@@ -70,7 +70,7 @@ object SparkEntry {
         PipelineConf(numBuckets = 16, megaBuckets = 2))
       ExtractPipeline.lineage(s, out)
         .select(col("bucket"), col("status"), col("docs"), col("bytes"),
-          col("emptyDocs"), col("truncatedDocs"))
+          col("emptyDocs"), col("truncatedDocs"), col("unparsedDocs"))
         .orderBy("bucket")
     }),
     // multimodal: binary payload metadata + stub-decoded features. The raw

@@ -81,13 +81,15 @@ object Corpus {
       case 2  => f03TwoColHtml(r, url, ts)
       case 3  => f04Table(r, url, ts)
       case 4  => f05Fragmented(r, url, ts)
-      case 5  => f06PdfShuffled(r, url, ts)
+      case 5  => if ((index / 16) % 2 == 0) f06PdfShuffled(r, url, ts)
+                 else f06PdfReal(r, url, ts)
       case 6  => f07LowConf(r, url, ts)
       case 7  => f08Mega(r, url, ts)
       case 8  => f09TagSoup(r, url, ts)
       case 9  => f10Charset(r, url, ts, index)
       case 10 => f11Entities(r, url, ts)
-      case 11 => f12PdfTwoCol(r, url, ts)
+      case 11 => if ((index / 16) % 2 == 0) f12PdfTwoCol(r, url, ts)
+                 else f12PdfRealTwoCol(r, url, ts, index)
       case 12 => f13Degenerate(r, url, ts, index)
       case 13 => f01Article(r, url, ts).copy(category = "F14") // dup content, own url
       case 14 => f15Pre(r, url, ts)
@@ -193,6 +195,28 @@ object Corpus {
       shuffled.map { case (x, y, w, h, t) => s"block $x $y $w $h $t" }.mkString("\n") +
       "\nendpage\n"
     Golden(PageRow(url, ts, payload.getBytes(StandardCharsets.UTF_8), null, "en"),
+      ps.mkString("\n\n"), ps.map(_ => "content").toVector, "F06")
+  }
+
+  // F06 real-PDF variant: a genuine PDF (catalog/pages tree, FlateDecode
+  // content stream, BT/ET text operators) — single column, paragraphs placed
+  // top-down with a y cursor but EMITTED in shuffled order in the content
+  // stream; expected order is recovered geometrically (sorted_boxes
+  // semantics, like the mini variant, but through the real-PDF parser).
+  private def f06PdfReal(r: Rng, url: String, ts: Timestamp): Golden = {
+    val n = 4 + r.nextInt(3)
+    val ps = (0 until n).map(_ => (0 until 2).map(_ => sentence(r)).mkString(" "))
+    var y = 100
+    val placed = ps.map { p =>
+      val lines = RealPdfGen.wrap(p, 70)
+      val b = RealPdfGen.Placed(50, y, 12, lines)
+      y += lines.length * 14 + 40 // inter-block gap 40 > 2×fontSize: no merge
+      b
+    }
+    val shuffled = deterministicShuffle(placed.toVector, r)
+    val payload = RealPdfGen.build(
+      Seq(RealPdfGen.PageSpec(800, 1200, shuffled, compress = true)))
+    Golden(PageRow(url, ts, payload, null, "en"),
       ps.mkString("\n\n"), ps.map(_ => "content").toVector, "F06")
   }
 
@@ -312,6 +336,40 @@ object Corpus {
     }.toVector
     Golden(PageRow(url, ts, payload.getBytes(StandardCharsets.UTF_8), null, "en"),
       expected, labels, "F12")
+  }
+
+  // F12 real-PDF variant: genuine two-column PDF pages. Nothing is
+  // full-width, so the page is one XY-cut band: left-edge classification
+  // (exact — never the width estimate) puts the headline + left column first,
+  // then the right column, each sorted by y. Emission order is shuffled per
+  // page; pages alternate Flate-compressed and raw streams so both decode
+  // paths stay golden-covered.
+  private def f12PdfRealTwoCol(r: Rng, url: String, ts: Timestamp, index: Int): Golden = {
+    val nPages = 1 + r.nextInt(2)
+    val pageData = (0 until nPages).map { pi =>
+      val headline = (0 until 4).map(_ => r.pick(WORDS)).mkString(" ").capitalize + "."
+      val left = (0 until 2).map(_ => (0 until 2).map(_ => sentence(r)).mkString(" "))
+      val right = (0 until 2).map(_ => (0 until 2).map(_ => sentence(r)).mkString(" "))
+      def col(x: Int, ps: Seq[String]): Seq[RealPdfGen.Placed] = {
+        var y = 150
+        ps.map { p =>
+          val lines = RealPdfGen.wrap(p, 45)
+          val b = RealPdfGen.Placed(x, y, 12, lines)
+          y += lines.length * 14 + 40
+          b
+        }
+      }
+      val blocks = Vector(RealPdfGen.Placed(50, 40, 12, Seq(headline))) ++
+        col(50, left) ++ col(430, right)
+      val shuffled = deterministicShuffle(blocks, r)
+      (RealPdfGen.PageSpec(800, 1200, shuffled, compress = pi % 2 == 0),
+        (headline +: (left ++ right)).mkString("\n\n"),
+        1 + left.length + right.length)
+    }
+    val payload = RealPdfGen.build(pageData.map(_._1))
+    val expected = pageData.map(_._2).mkString("\n\n")
+    val labels = pageData.flatMap(p => Vector.fill(p._3)("content")).toVector
+    Golden(PageRow(url, ts, payload, null, "en"), expected, labels, "F12")
   }
 
   // F13: degenerate — empty/whitespace/zero-byte payloads

@@ -1,0 +1,119 @@
+package graft.corpus
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.Deflater
+
+/** Deterministic real-PDF builder for golden fixtures: classic PDF 1.4 files
+  * with a catalog → pages → page tree, per-page content streams (raw or
+  * FlateDecode), BT/ET text blocks positioned with Tf/Td, and a valid
+  * xref/trailer. Everything here is the public PDF file format (ISO 32000);
+  * the builder exists so the golden corpus can carry REAL PDFs whose expected
+  * text is authored from construction, never from running the extractor.
+  */
+object RealPdfGen {
+
+  /** One text block placed on a page: left edge `x`, top edge `yTop` (in
+    * top-down page coordinates, like the extractor's PBlock space), wrapped
+    * `lines` shown top-to-bottom with leading = fontSize + 2. */
+  final case class Placed(x: Int, yTop: Int, fontSize: Int, lines: Seq[String])
+
+  /** A page: width, height, blocks in content-stream emission order (the
+    * extractor must recover reading order from geometry, not this order). */
+  final case class PageSpec(w: Int, h: Int, blocks: Seq[Placed], compress: Boolean)
+
+  /** Greedy word-wrap at `maxChars` per line (single-spaced text only). */
+  def wrap(text: String, maxChars: Int): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val sb = new java.lang.StringBuilder()
+    for (w <- text.split(" ")) {
+      if (sb.length() == 0) sb.append(w)
+      else if (sb.length() + 1 + w.length <= maxChars) sb.append(' ').append(w)
+      else { out += sb.toString; sb.setLength(0); sb.append(w) }
+    }
+    if (sb.length() > 0) out += sb.toString
+    out.result()
+  }
+
+  private def esc(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(' || c == ')' || c == '\\') sb.append('\\')
+      sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Content stream for one page: one BT/ET per block, lines via Td steps.
+    * Baseline of a line at top-down y is (pageH - y - fontSize) in PDF
+    * bottom-up coordinates — the inverse of the extractor's flip, so the
+    * extractor's PBlock (x, y) reproduces (x, yTop) exactly. */
+  private def contentFor(p: PageSpec): Array[Byte] = {
+    val sb = new java.lang.StringBuilder()
+    for (b <- p.blocks) {
+      val leading = b.fontSize + 2
+      val y0 = p.h - b.yTop - b.fontSize
+      sb.append("BT\n/F1 ").append(b.fontSize).append(" Tf\n")
+        .append(b.x).append(' ').append(y0).append(" Td\n")
+      var first = true
+      for (line <- b.lines) {
+        if (!first) sb.append("0 -").append(leading).append(" Td\n")
+        first = false
+        sb.append('(').append(esc(line)).append(") Tj\n")
+      }
+      sb.append("ET\n")
+    }
+    sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION, false)
+    d.setInput(data)
+    d.finish()
+    val out = new ByteArrayOutputStream(math.max(64, data.length / 2))
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Build the PDF bytes. Object layout: 1 = catalog, 2 = pages,
+    * 3+2i = page i, 4+2i = its content stream. */
+  def build(pages: Seq[PageSpec]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(4096)
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def put(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    def beginObj(num: Int): Unit = { offsets += out.size(); put(s"$num 0 obj\n") }
+
+    put("%PDF-1.4\n")
+    beginObj(1)
+    put("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    val kids = pages.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    beginObj(2)
+    put(s"<< /Type /Pages /Kids [$kids] /Count ${pages.length} >>\nendobj\n")
+    for ((p, i) <- pages.zipWithIndex) {
+      val pageNum = 3 + 2 * i
+      val contNum = 4 + 2 * i
+      beginObj(pageNum)
+      put(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 ${p.w} ${p.h}] " +
+        s"/Contents $contNum 0 R /Resources << /Font << /F1 << /Type /Font " +
+        "/Subtype /Type1 /BaseFont /Helvetica >> >> >> >>\nendobj\n")
+      val raw = contentFor(p)
+      val (data, filter) =
+        if (p.compress) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
+      beginObj(contNum)
+      put(s"<< /Length ${data.length}$filter >>\nstream\n")
+      out.write(data)
+      put("\nendstream\nendobj\n")
+    }
+    val xrefOff = out.size()
+    val n = offsets.length + 1
+    put(s"xref\n0 $n\n0000000000 65535 f \n")
+    for (o <- offsets) put(f"$o%010d 00000 n \n")
+    put(s"trailer\n<< /Size $n /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+}

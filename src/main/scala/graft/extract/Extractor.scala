@@ -29,7 +29,12 @@ final case class ExtractConfig(
     shortChars: Int = 25,
     /** ≡ drop_score=0.5 score gate (tools/infer/predict_system.py:149-154),
       * rescaled for our score definition */
-    dropScore: Double = 0.05
+    dropScore: Double = 0.05,
+    /** hard cap on PDF pages processed per document (≡ img[:page_num],
+      * tools/infer/predict_system.py:221-224): a million-page mini-PDF under
+      * the byte cap cannot explode unbounded rows; the cap is recorded via the
+      * `truncated` flag (no silent caps). */
+    maxPdfPages: Int = 10000
 )
 
 /** HTML character-reference decoding (the graft's CTCLabelDecode: a canonical

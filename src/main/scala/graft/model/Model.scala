@@ -48,7 +48,10 @@ final case class ExtractedDoc(
     nSpans: Int,
     spans: Seq[Span],
     charset: String,
-    truncated: Boolean
+    truncated: Boolean,
+    /** "ok" | "pdf_unparsed" — a payload that sniffed as PDF but could not be
+      * parsed is recorded, never silently emitted as empty text. */
+    status: String = "ok"
 )
 
 /** Per-partition lineage + metrics row (north-rule checkpoint/resume unit).

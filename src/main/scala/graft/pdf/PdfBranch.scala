@@ -42,12 +42,38 @@ object PdfBranch {
 
   final case class PBlock(x: Int, y: Int, w: Int, h: Int, text: String, off: Int, end: Int)
 
+  /** Pages of one payload + parse status, shared by the single-pass extract
+    * and the per-page explode path (PdfPagedExtract) so both are structurally
+    * identical. `pagesTruncated` = the maxPdfPages cap fired (≡ img[:page_num],
+    * tools/infer/predict_system.py:221-224); `status` = "ok" | "pdf_unparsed"
+    * (unparsed is never silent — it lands in lineage). */
+  final case class PdfPages(pages: Vector[(Int, Vector[PBlock])], status: String,
+                            pagesTruncated: Boolean)
+
+  /** Parse a (byte-capped) PDF payload: real PDFs via the from-scratch subset
+    * parser (RealPdf), the %PDF-GRAFT mini format via the line parser. */
+  def parsePayload(input: Array[Byte], cfg: ExtractConfig): PdfPages =
+    if (RealPdf.isReal(input)) {
+      RealPdf.parse(input, cfg.maxPdfPages) match {
+        case Some(p) =>
+          val pages = p.pages.map(pg => (pg.pageW, pg.blocks))
+          val anyText = pages.exists(_._2.nonEmpty)
+          val status =
+            if (!anyText && p.decodeFailures > 0) "pdf_unparsed" else "ok"
+          PdfPages(pages, status, p.pagesTruncated)
+        case None => PdfPages(Vector.empty, "pdf_unparsed", pagesTruncated = false)
+      }
+    } else {
+      val all = parsePages(new String(input, StandardCharsets.UTF_8))
+      val capped = all.length > cfg.maxPdfPages
+      PdfPages(if (capped) all.take(cfg.maxPdfPages) else all, "ok", capped)
+    }
+
   def extract(url: String, payload: Array[Byte], cfg: ExtractConfig): ExtractedDoc = {
-    val truncated = payload.length > cfg.maxHtmlBytes
-    val input = if (truncated) java.util.Arrays.copyOf(payload, cfg.maxHtmlBytes) else payload
-    val s = new String(input, StandardCharsets.UTF_8)
-    val pages = parsePages(s)
-    val orderedPages = pages.map { case (w, blocks) => orderPage(w, blocks) }
+    val byteTruncated = payload.length > cfg.maxHtmlBytes
+    val input = if (byteTruncated) java.util.Arrays.copyOf(payload, cfg.maxHtmlBytes) else payload
+    val parsed = parsePayload(input, cfg)
+    val orderedPages = parsed.pages.map { case (w, blocks) => orderPage(w, blocks) }
     val pageTexts = orderedPages.map(bs => bs.map(_.text).mkString("\n\n")).filter(_.nonEmpty)
     val text = pageTexts.mkString("\n\n")
     var idx = -1
@@ -57,7 +83,8 @@ object PdfBranch {
         Span(idx, s"pdf/page$p", b.off, b.end, "content", 1.0, b.text)
       }
     }
-    ExtractedDoc(url, text, spans.length, spans, "utf-8", truncated)
+    ExtractedDoc(url, text, spans.length, spans, "utf-8",
+      byteTruncated || parsed.pagesTruncated, parsed.status)
   }
 
   /** Parse into (pageWidth, blocks-in-payload-order) per page. Malformed lines

@@ -1,0 +1,509 @@
+package graft.pdf
+
+import java.nio.charset.StandardCharsets
+import java.util.zip.Inflater
+
+import graft.extract.TextNormalizer
+import graft.pdf.PdfBranch.PBlock
+
+/** Minimal real-PDF text extraction — a from-scratch subset of the public PDF
+  * spec (ISO 32000), no native libs:
+  *
+  *  - linear object scan (`N G obj … endobj`) instead of xref parsing, which
+  *    also survives mildly damaged files;
+  *  - page tree walk: `/Type /Catalog` → `/Pages` → `/Kids` recursion, page
+  *    order = tree order (fallback: `/Type /Page` objects in object order);
+  *  - content streams: raw or `/FlateDecode` (java.util.zip.Inflater); other
+  *    filters (DCT, LZW, …) are counted as decode failures, never silently
+  *    dropped — the caller records `pdf_unparsed` in lineage;
+  *  - text operators inside BT/ET: Tj, TJ, ', ", with Td, TD, Tm, TL and
+  *    T-star positioning; literal strings with octal/escape handling, hex strings
+  *    (UTF-16BE when BOM'd, else Latin-ish byte chars);
+  *  - geometric line/paragraph merge: shows on one baseline form a line;
+  *    consecutive lines at the same left edge with regular leading form a
+  *    paragraph block (the reference's line-joining recovery,
+  *    ppstructure/recovery/recovery_to_markdown.py:23-126);
+  *  - blocks then flow through the same banded XY-cut reading order and page
+  *    concat as the mini format (PdfBranch.orderPage).
+  *
+  * Reference behavior grafted: per-page explode of check_and_read
+  * (ppocr/utils/utility.py:119-152) + layout recovery; our "rasterize+OCR" is
+  * replaced by direct content-stream text (the honest JVM-only equivalent).
+  *
+  * Width caveat (documented, not hidden): without font metrics a show's width
+  * is estimated as 0.5em per char, so column classification keys off the left
+  * edge (x midpoint), which is exact, rather than trusting the estimate.
+  */
+object RealPdf {
+
+  final case class Page(pageW: Int, pageH: Int, blocks: Vector[PBlock])
+
+  /** Parse result: pages in document order + whether any content stream
+    * failed to decode (drives the pdf_unparsed lineage status). */
+  final case class Parsed(pages: Vector[Page], decodeFailures: Int, pagesTruncated: Boolean)
+
+  private val graftMagic = "%PDF-GRAFT".getBytes(StandardCharsets.US_ASCII)
+
+  /** True for a real PDF payload (vs the %PDF-GRAFT test mini-format). */
+  def isReal(b: Array[Byte]): Boolean = {
+    if (b == null || b.length < graftMagic.length) return b != null && b.length >= 4
+    var i = 0
+    while (i < graftMagic.length) {
+      if (b(i) != graftMagic(i)) return true
+      i += 1
+    }
+    false
+  }
+
+  // ---------------------------------------------------------------- objects
+
+  private final case class PdfObj(num: Int, dict: String, streamRaw: Array[Byte])
+
+  /** Latin-1 is a 1:1 byte↔char map, so string offsets == byte offsets. */
+  private def byteView(payload: Array[Byte]): String =
+    new String(payload, StandardCharsets.ISO_8859_1)
+
+  private val objStartPat = java.util.regex.Pattern.compile("""(\d+)\s+\d+\s+obj\b""")
+
+  /** Balanced `<< … >>` scan starting at `from` (must point at '<' of "<<").
+    * Returns index just past the closing ">>", or -1. Skips strings. */
+  private def dictEnd(s: String, from: Int): Int = {
+    var depth = 0
+    var i = from
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<' && i + 1 < n && s.charAt(i + 1) == '<') { depth += 1; i += 2 }
+      else if (c == '>' && i + 1 < n && s.charAt(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0) return i
+      } else if (c == '(') { // literal string — skip with escape awareness
+        var d = 1; i += 1
+        while (i < n && d > 0) {
+          val sc = s.charAt(i)
+          if (sc == '\\') i += 1
+          else if (sc == '(') d += 1
+          else if (sc == ')') d -= 1
+          i += 1
+        }
+      } else i += 1
+    }
+    -1
+  }
+
+  /** Scan all indirect objects SEQUENTIALLY, jumping over each object's
+    * stream body before searching for the next `N G obj` — compressed stream
+    * bytes can contain anything, including phantom "12 0 obj" sequences, and
+    * a flat regex pass over the whole payload would pick those up. Stream
+    * data is located via a direct /Length when present, else by searching for
+    * "endstream". First definition of an object number wins. */
+  private def scanObjects(payload: Array[Byte], s: String): Map[Int, PdfObj] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[Int, PdfObj]
+    val n = s.length
+    val m = objStartPat.matcher(s)
+    var pos = 0
+    while (pos < n && m.find(pos)) {
+      val num = m.group(1).toInt
+      var i = m.end
+      var next = m.end // resume position for the next object search
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      var dict = ""
+      var streamRaw: Array[Byte] = null
+      if (i + 1 < n && s.charAt(i) == '<' && s.charAt(i + 1) == '<') {
+        val de = dictEnd(s, i)
+        if (de > 0) {
+          dict = s.substring(i, de)
+          var j = de
+          next = de
+          while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
+          if (s.startsWith("stream", j)) {
+            var ds = j + 6
+            if (ds < n && s.charAt(ds) == '\r') ds += 1
+            if (ds < n && s.charAt(ds) == '\n') ds += 1
+            val lenDirect = directInt(dict, "Length")
+            val end = lenDirect match {
+              case Some(len) if ds + len <= n &&
+                s.indexOf("endstream", ds + len) >= 0 => ds + len
+              case _ =>
+                val e = s.indexOf("endstream", ds)
+                if (e < 0) n
+                else { // trim the EOL that precedes "endstream"
+                  var t = e
+                  if (t > ds && s.charAt(t - 1) == '\n') t -= 1
+                  if (t > ds && s.charAt(t - 1) == '\r') t -= 1
+                  t
+                }
+            }
+            streamRaw = java.util.Arrays.copyOfRange(payload, ds, math.min(end, n))
+            val es = s.indexOf("endstream", math.min(end, n))
+            next = if (es < 0) n else es + 9
+          }
+        }
+      }
+      if (!out.contains(num)) out += num -> PdfObj(num, dict, streamRaw)
+      pos = math.max(next, m.end)
+    }
+    out.toMap
+  }
+
+  // ------------------------------------------------------------ dict access
+
+  private def directInt(dict: String, key: String): Option[Int] =
+    raw"/$key\s+(\d+)(?!\s+\d+\s+R)".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+
+  private def ref(dict: String, key: String): Option[Int] =
+    raw"/$key\s+(\d+)\s+\d+\s+R".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+
+  /** `/Key [a 0 R b 0 R …]` or the single-ref form. */
+  private def refArray(dict: String, key: String): Vector[Int] = {
+    raw"/$key\s*\[([^\]]*)\]".r.findFirstMatchIn(dict) match {
+      case Some(m) =>
+        raw"(\d+)\s+\d+\s+R".r.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toVector
+      case None => ref(dict, key).toVector
+    }
+  }
+
+  private def hasName(dict: String, key: String, value: String): Boolean =
+    raw"/$key\s*/$value\b".r.findFirstIn(dict).isDefined
+
+  /** MediaBox [x0 y0 x1 y1] — numbers may be reals. */
+  private def mediaBox(dict: String): Option[(Double, Double)] =
+    raw"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]".r
+      .findFirstMatchIn(dict)
+      .flatMap { m =>
+        try Some((m.group(3).toDouble - m.group(1).toDouble,
+          m.group(4).toDouble - m.group(2).toDouble))
+        catch { case _: NumberFormatException => None }
+      }
+
+  // ------------------------------------------------------------- page tree
+
+  /** Pages in document order: catalog→Pages→Kids walk; fallback to /Type /Page
+    * objects in object-number order when no catalog resolves. */
+  private def pageObjects(objs: Map[Int, PdfObj]): Vector[PdfObj] = {
+    val viaTree: Vector[PdfObj] = {
+      val catalog = objs.values.find(o => hasName(o.dict, "Type", "Catalog"))
+      catalog.flatMap(c => ref(c.dict, "Pages")).map { rootNum =>
+        val out = Vector.newBuilder[PdfObj]
+        val seen = scala.collection.mutable.Set.empty[Int] // cycle guard
+        def walk(num: Int): Unit =
+          if (seen.add(num)) objs.get(num).foreach { o =>
+            if (hasName(o.dict, "Type", "Pages")) refArray(o.dict, "Kids").foreach(walk)
+            else if (hasName(o.dict, "Type", "Page")) out += o
+          }
+        walk(rootNum)
+        out.result()
+      }.getOrElse(Vector.empty)
+    }
+    if (viaTree.nonEmpty) viaTree
+    else objs.values.filter(o => hasName(o.dict, "Type", "Page")).toVector.sortBy(_.num)
+  }
+
+  /** MediaBox with /Parent inheritance (default US-Letter 612×792). */
+  private def pageBox(page: PdfObj, objs: Map[Int, PdfObj]): (Double, Double) = {
+    var cur: Option[PdfObj] = Some(page)
+    var hops = 0
+    while (cur.isDefined && hops < 32) {
+      mediaBox(cur.get.dict) match {
+        case Some(wh) => return wh
+        case None     => cur = ref(cur.get.dict, "Parent").flatMap(objs.get); hops += 1
+      }
+    }
+    (612.0, 792.0)
+  }
+
+  // ---------------------------------------------------------------- streams
+
+  /** Decode one content stream; None = had data but could not decode (counted
+    * as a failure), Some(empty) = genuinely empty. */
+  private def decodeStream(o: PdfObj): Option[Array[Byte]] = {
+    val raw = o.streamRaw
+    if (raw == null) return Some(Array.emptyByteArray)
+    val hasFilter = o.dict.contains("/Filter")
+    if (!hasFilter) return Some(raw)
+    if (!o.dict.contains("/FlateDecode")) return None // unsupported filter
+    val inf = new Inflater()
+    try {
+      inf.setInput(raw)
+      val out = new java.io.ByteArrayOutputStream(math.max(64, raw.length * 4))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsDictionary()) {
+        val k = inf.inflate(buf)
+        if (k == 0 && inf.needsInput()) return if (out.size() > 0) Some(out.toByteArray) else None
+        out.write(buf, 0, k)
+      }
+      Some(out.toByteArray)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  // ------------------------------------------------- content stream → text
+
+  private[pdf] final case class Chunk(x: Double, y: Double, size: Double, text: String)
+
+  /** Parse a literal string starting at `i0` (s(i0) == '('): returns the
+    * decoded text and the index just past the closing ')'. Handles nesting,
+    * the standard escapes, octal escapes, and line continuations. */
+  private def parseLiteral(s: String, i0: Int): (String, Int) = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder()
+    var depth = 1
+    var i = i0 + 1
+    while (i < n && depth > 0) {
+      val sc = s.charAt(i)
+      if (sc == '\\' && i + 1 < n) {
+        val e = s.charAt(i + 1)
+        e match {
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case '(' => sb.append('('); i += 2
+          case ')' => sb.append(')'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case '\r' => i += 2; if (i < n && s.charAt(i) == '\n') i += 1 // line continuation
+          case '\n' => i += 2
+          case d if d >= '0' && d <= '7' => // octal, up to 3 digits
+            var v = 0; var k = 0; i += 1
+            while (k < 3 && i < n && s.charAt(i) >= '0' && s.charAt(i) <= '7') {
+              v = v * 8 + (s.charAt(i) - '0'); i += 1; k += 1
+            }
+            sb.append((v & 0xff).toChar)
+          case other => sb.append(other); i += 2
+        }
+      } else {
+        if (sc == '(') depth += 1
+        else if (sc == ')') { depth -= 1; if (depth == 0) { i += 1 } }
+        if (depth > 0) { sb.append(sc); i += 1 }
+      }
+    }
+    (sb.toString, i)
+  }
+
+  /** Tokenize a content stream and emit one Chunk per text-showing operator,
+    * positioned by the (subset) text state machine. */
+  private[pdf] def extractChunks(data: Array[Byte]): Vector[Chunk] = {
+    val s = byteView(data)
+    val n = s.length
+    val out = Vector.newBuilder[Chunk]
+    // operand stack (only the tail matters per operator)
+    val nums = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val strs = scala.collection.mutable.ArrayBuffer.empty[String]
+    var fontSize = 12.0
+    var leading = 0.0
+    var lineX = 0.0; var lineY = 0.0 // text line matrix origin (tx, ty)
+    var inText = false
+
+    def clear(): Unit = { nums.clear(); strs.clear() }
+    def show(text: String): Unit =
+      if (inText && text.nonEmpty) out += Chunk(lineX, lineY, fontSize, text)
+
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '%') { // comment to EOL
+        while (i < n && s.charAt(i) != '\n' && s.charAt(i) != '\r') i += 1
+      } else if (c == '(') { // literal string
+        val (text, ni) = parseLiteral(s, i)
+        i = ni
+        strs += text
+      } else if (c == '<' && i + 1 < n && s.charAt(i + 1) != '<') { // hex string
+        val e = s.indexOf('>', i + 1)
+        val body = if (e < 0) s.substring(i + 1) else s.substring(i + 1, e)
+        i = if (e < 0) n else e + 1
+        val hex = body.filterNot(Character.isWhitespace)
+        val padded = if (hex.length % 2 == 1) hex + "0" else hex
+        val bytes = new Array[Byte](padded.length / 2)
+        var ok = true
+        var k = 0
+        while (ok && k < bytes.length) {
+          val hi = Character.digit(padded.charAt(2 * k), 16)
+          val lo = Character.digit(padded.charAt(2 * k + 1), 16)
+          if (hi < 0 || lo < 0) ok = false else bytes(k) = ((hi << 4) | lo).toByte
+          k += 1
+        }
+        if (ok) {
+          val str =
+            if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff)
+              new String(bytes, 2, bytes.length - 2, StandardCharsets.UTF_16BE)
+            else new String(bytes, StandardCharsets.ISO_8859_1)
+          strs += str
+        }
+      } else if (c == '<' && i + 1 < n && s.charAt(i + 1) == '<') { // inline dict (e.g. BDC)
+        val de = dictEnd(s, i); i = if (de < 0) n else de
+      } else if (c == '[') { // array of strings/kerns → TJ operand (kern < -100 ⇒ space)
+        val sb = new java.lang.StringBuilder()
+        i += 1
+        var pendingKernSpace = false
+        var depthGuard = 0
+        while (i < n && s.charAt(i) != ']' && depthGuard < 1000000) {
+          depthGuard += 1
+          val ac = s.charAt(i)
+          if (ac == '(') {
+            val (text, ni) = parseLiteral(s, i)
+            i = ni
+            if (pendingKernSpace && sb.length() > 0) sb.append(' ')
+            pendingKernSpace = false
+            sb.append(text)
+          } else if (ac == '-' || ac == '+' || ac == '.' || (ac >= '0' && ac <= '9')) {
+            val ns = i
+            i += 1
+            while (i < n && { val d = s.charAt(i); d == '.' || (d >= '0' && d <= '9') }) i += 1
+            try { if (s.substring(ns, i).toDouble < -100.0) pendingKernSpace = true }
+            catch { case _: NumberFormatException => () }
+          } else i += 1
+        }
+        if (i < n) i += 1 // ']'
+        strs += sb.toString
+      } else if (c == '/') { // name — skip
+        i += 1
+        while (i < n && !isDelim(s.charAt(i))) i += 1
+      } else if (c == '-' || c == '+' || c == '.' || (c >= '0' && c <= '9')) {
+        val ns = i
+        i += 1
+        while (i < n && { val d = s.charAt(i); d == '.' || (d >= '0' && d <= '9') }) i += 1
+        try nums += s.substring(ns, i).toDouble
+        catch { case _: NumberFormatException => () }
+      } else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || c == '\'' || c == '"' || c == '*') {
+        val os = i
+        i += 1
+        while (i < n && !isDelim(s.charAt(i))) i += 1
+        val op = s.substring(os, i)
+        op match {
+          case "BT" => inText = true; lineX = 0; lineY = 0; leading = 0
+          case "ET" => inText = false
+          case "Tf" => if (nums.nonEmpty) fontSize = nums.last
+          case "TL" => if (nums.nonEmpty) leading = nums.last
+          case "Td" => if (nums.length >= 2) { lineX += nums(nums.length - 2); lineY += nums.last }
+          case "TD" => if (nums.length >= 2) {
+            leading = -nums.last; lineX += nums(nums.length - 2); lineY += nums.last
+          }
+          case "Tm" => if (nums.length >= 6) { lineX = nums(nums.length - 2); lineY = nums.last }
+          case "T*" => lineY -= leading
+          case "Tj" => if (strs.nonEmpty) show(strs.last)
+          case "TJ" => if (strs.nonEmpty) show(strs.last)
+          case "'" => lineY -= leading; if (strs.nonEmpty) show(strs.last)
+          case "\"" => lineY -= leading; if (strs.nonEmpty) show(strs.last)
+          case "BI" => // inline image: skip to EI
+            val e = s.indexOf("EI", i); i = if (e < 0) n else e + 2
+          case _ => ()
+        }
+        clear()
+      } else i += 1
+    }
+    out.result()
+  }
+
+  @inline private def isDelim(c: Char): Boolean =
+    Character.isWhitespace(c) || c == '(' || c == ')' || c == '<' || c == '>' ||
+      c == '[' || c == ']' || c == '{' || c == '}' || c == '/' || c == '%'
+
+  // --------------------------------------------- chunks → lines → blocks
+
+  /** Group chunks into baselines, baselines into paragraph blocks, and map to
+    * the top-down PBlock space that orderPage expects.
+    *
+    * Line rule: consecutive chunks on the same baseline (equal y) concatenate.
+    * Paragraph rule (geometric merge, ≡ recovery_to_markdown.py:23-126):
+    * consecutive lines with the same left edge whose downward step is at most
+    * 2× the font size join with ' '; anything else starts a new block. The
+    * per-block (x, topY) then drive the banded XY-cut — the left edge is
+    * exact, so column assignment never depends on the width estimate. */
+  private[pdf] def chunksToBlocks(chunks: Vector[Chunk], pageH: Double,
+                                  off: Int, end: Int): Vector[PBlock] = {
+    if (chunks.isEmpty) return Vector.empty
+    // merge same-baseline consecutive chunks into lines
+    final case class Line(x: Double, y: Double, size: Double, text: String)
+    val lines = Vector.newBuilder[Line]
+    var cx = chunks.head.x; var cy = chunks.head.y; var cs = chunks.head.size
+    var buf = new java.lang.StringBuilder(chunks.head.text)
+    var i = 1
+    while (i < chunks.length) {
+      val ch = chunks(i)
+      // same baseline AND same unmoved line origin = continuation of the same
+      // show sequence; same baseline at a DIFFERENT x is another column's text
+      // (two-column pages share baselines constantly) and must stay separate
+      if (math.abs(ch.y - cy) < 0.01 && math.abs(ch.x - cx) < 0.01) buf.append(ch.text)
+      else {
+        lines += Line(cx, cy, cs, buf.toString)
+        cx = ch.x; cy = ch.y; cs = ch.size
+        buf = new java.lang.StringBuilder(ch.text)
+      }
+      i += 1
+    }
+    lines += Line(cx, cy, cs, buf.toString)
+    val ls = lines.result()
+
+    // geometric paragraph merge over consecutive lines
+    val blocks = Vector.newBuilder[PBlock]
+    var b0 = 0
+    def flush(b1: Int): Unit = { // lines[b0, b1) form one block
+      if (b1 > b0) {
+        val seg = ls.slice(b0, b1)
+        val text = TextNormalizer.normalize(seg.map(_.text).mkString(" "))
+        if (text.nonEmpty) {
+          val size = seg.head.size
+          val topY = seg.map(_.y).max
+          val minX = seg.map(_.x).min
+          val wEst = 0.5 * size * seg.map(_.text.length).max // 0.5em/char, no metrics
+          blocks += PBlock(
+            math.round(minX).toInt,
+            math.round(pageH - topY - size).toInt,
+            math.round(wEst).toInt,
+            math.round(seg.length * 1.2 * size).toInt,
+            text, off, end)
+        }
+      }
+    }
+    i = 1
+    while (i < ls.length) {
+      val prev = ls(i - 1)
+      val cur = ls(i)
+      val step = prev.y - cur.y // positive = moving down the page
+      val samePara = math.abs(cur.x - prev.x) < 0.5 && step > 0.01 && step <= 2.0 * cur.size
+      if (!samePara) { flush(i); b0 = i }
+      i += 1
+    }
+    flush(ls.length)
+    blocks.result()
+  }
+
+  // ------------------------------------------------------------------ parse
+
+  /** Parse a real PDF into ordered pages of paragraph blocks. Returns None
+    * only on a structural failure (no page objects at all / exception). */
+  def parse(payload: Array[Byte], maxPages: Int): Option[Parsed] = {
+    try {
+      val s = byteView(payload)
+      val objs = scanObjects(payload, s)
+      val pagesAll = pageObjects(objs)
+      if (pagesAll.isEmpty) return None
+      val pagesTruncated = pagesAll.length > maxPages
+      val pages = if (pagesTruncated) pagesAll.take(maxPages) else pagesAll
+      var decodeFailures = 0
+      val out = pages.map { p =>
+        val (w, h) = pageBox(p, objs)
+        val contentRefs = refArray(p.dict, "Contents")
+        val datas = contentRefs.flatMap { r =>
+          objs.get(r).flatMap { o =>
+            decodeStream(o) match {
+              case Some(d) => Some(d)
+              case None    => decodeFailures += 1; None
+            }
+          }
+        }
+        // provenance offsets: the first content object's position in the payload
+        val off = contentRefs.headOption
+          .map(r => s.indexOf(s"$r 0 obj")).filter(_ >= 0).getOrElse(0)
+        val chunks = datas.flatMap(extractChunks).toVector
+        Page(math.round(w).toInt, math.round(h).toInt,
+          chunksToBlocks(chunks, h, off, math.min(payload.length, off + 1)))
+      }
+      Some(Parsed(out, decodeFailures, pagesTruncated))
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+}

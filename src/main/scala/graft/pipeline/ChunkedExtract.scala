@@ -30,6 +30,7 @@ import graft.pdf.PdfBranch
 object ChunkedExtract {
 
   final case class ChunkRow(
+      rowUid: Long, // per-input-row identity (crawl data can repeat urls)
       url: String,
       chunkIdx: Int, // -1 = whole-doc passthrough (small docs, PDFs)
       chunkStart: Int,
@@ -40,6 +41,7 @@ object ChunkedExtract {
       truncated: Boolean)
 
   final case class ChunkResult(
+      rowUid: Long,
       url: String,
       chunkIdx: Int,
       chunkStart: Int,
@@ -47,28 +49,29 @@ object ChunkedExtract {
       text: String,
       spans: Seq[Span],
       charset: String,
-      truncated: Boolean)
+      truncated: Boolean,
+      status: String)
 
   /** Split one page into chunk rows (pass-through when chunking does not
     * apply). Charset is sniffed once on the (truncated) whole payload and
     * inherited by every fragment. */
   def chunkRows(p: PageRow, cfg: ExtractConfig, chunkThreshold: Int,
-                minChunkBytes: Int): Seq[ChunkRow] = {
+                minChunkBytes: Int, rowUid: Long = 0L): Seq[ChunkRow] = {
     val html = p.html
     if (html == null || html.length < chunkThreshold || PdfBranch.isPdf(html))
-      return Seq(ChunkRow(p.url, -1, 0, 0, html, "", 0, truncated = false))
+      return Seq(ChunkRow(rowUid, p.url, -1, 0, 0, html, "", 0, truncated = false))
     val truncated = html.length > cfg.maxHtmlBytes
     val input = if (truncated) java.util.Arrays.copyOf(html, cfg.maxHtmlBytes) else html
     val (charset, bom) = Charsets.sniff(input)
     val chunks = HtmlChunker.plan(input, minChunkBytes)
     if (chunks.length == 1)
-      return Seq(ChunkRow(p.url, -1, 0, 0, html, "", 0, truncated = false))
+      return Seq(ChunkRow(rowUid, p.url, -1, 0, 0, html, "", 0, truncated = false))
     chunks.zipWithIndex.map { case (c, idx) =>
       val prefix = c.prefix.getBytes(StandardCharsets.US_ASCII)
       val payload = new Array[Byte](prefix.length + (c.end - c.start))
       System.arraycopy(prefix, 0, payload, 0, prefix.length)
       System.arraycopy(input, c.start, payload, prefix.length, c.end - c.start)
-      ChunkRow(p.url, idx, c.start, prefix.length, payload, charset.name(),
+      ChunkRow(rowUid, p.url, idx, c.start, prefix.length, payload, charset.name(),
         if (idx == 0) bom else 0, truncated)
     }
   }
@@ -79,8 +82,8 @@ object ChunkedExtract {
       if (r.chunkIdx < 0) Extractor.extract(r.url, r.payload, cfg, state)
       else Extractor.extractHtml(r.url, r.payload, Charsets.resolve(r.charsetName),
         r.bom, r.truncated, cfg, state)
-    ChunkResult(r.url, r.chunkIdx, r.chunkStart, r.prefixLen, doc.text, doc.spans,
-      doc.charset, doc.truncated)
+    ChunkResult(r.rowUid, r.url, r.chunkIdx, r.chunkStart, r.prefixLen, doc.text,
+      doc.spans, doc.charset, doc.truncated, doc.status)
   }
 
   /** Merge a document's chunk results (sorted by chunkIdx) seam-exactly. */
@@ -88,7 +91,8 @@ object ChunkedExtract {
     val sorted = results.sortBy(_.chunkIdx)
     if (sorted.length == 1 && sorted.head.chunkIdx < 0) {
       val r = sorted.head
-      return ExtractedDoc(url, r.text, r.spans.length, r.spans, r.charset, r.truncated)
+      return ExtractedDoc(url, r.text, r.spans.length, r.spans, r.charset, r.truncated,
+        r.status)
     }
     val text = sorted.map(_.text).filter(_.nonEmpty).mkString("\n\n")
     var idx = 0
@@ -115,21 +119,27 @@ object ChunkedExtract {
   }
 
   /** Distributed path: explode chunks → spread across tasks → extract →
-    * reassemble by url (one shuffle of extracted text, never raw payloads
-    * except the chunk slices themselves on the explode side). */
+    * reassemble by a per-row uid (one shuffle of extracted text, never raw
+    * payloads except the chunk slices themselves on the explode side).
+    * Keying on the uid rather than the url keeps two rows that share a url —
+    * real crawl data has them — as two independent documents (ADVICE r1). */
   def run(pages: Dataset[PageRow], cfg: ExtractConfig = ExtractConfig(),
           chunkThreshold: Int = 1 << 20,
           minChunkBytes: Int = 256 * 1024): Dataset[ExtractedDoc] = {
     val spark = pages.sparkSession
     import spark.implicits._
     pages
-      .flatMap(p => chunkRows(p, cfg, chunkThreshold, minChunkBytes))
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        it.zipWithIndex.map { case (p, i) => (pid << 36 | i.toLong, p) }
+      }
+      .flatMap { case (uid, p) => chunkRows(p, cfg, chunkThreshold, minChunkBytes, uid) }
       .repartition(spark.sparkContext.defaultParallelism * 2) // spread mega-doc chunks
       .mapPartitions { it =>
         val state = new ExtractorState()
         it.map(extractChunk(_, cfg, state))
       }
-      .groupByKey(_.url)
-      .mapGroups((url, it) => merge(url, it.toSeq))
+      .groupByKey(_.rowUid)
+      .mapGroups((_, it) => { val rs = it.toSeq; merge(rs.head.url, rs) })
   }
 }

@@ -18,6 +18,7 @@ final case class ExtractedRow(
     spans: Seq[Span],
     charset: String,
     truncated: Boolean,
+    docStatus: String, // "ok" | "pdf_unparsed" (per-doc parse outcome)
     htmlBytes: Long,
     tokenizeNanos: Long,
     domNanos: Long,
@@ -70,10 +71,14 @@ object ExtractPipeline {
   def lineageDir(outDir: String): String = s"$outDir/_lineage"
   def dataDir(outDir: String): String = s"$outDir/data"
 
-  /** Buckets marked ok in the lineage table (empty if no lineage yet). */
+  /** Buckets marked ok in the lineage table (empty if no lineage yet).
+    * Existence is probed through Hadoop's FileSystem so --resume works on
+    * HDFS/S3 paths too, not just local disk (a java.io.File probe is always
+    * false off local disk and would silently reprocess every bucket). */
   def completedBuckets(spark: SparkSession, outDir: String): Set[Int] = {
-    val dir = new java.io.File(lineageDir(outDir))
-    if (!dir.exists()) return Set.empty
+    val path = new org.apache.hadoop.fs.Path(lineageDir(outDir))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return Set.empty
     import spark.implicits._
     spark.read.parquet(lineageDir(outDir))
       .filter(col("status") === "ok")
@@ -127,7 +132,7 @@ object ExtractPipeline {
           val c0 = state.classifyNanos; val a0 = state.assembleNanos
           val doc = Extractor.extract(p.url, p.html, conf.extract, state)
           ExtractedRow(bucket, doc.url, doc.text, doc.nSpans, doc.spans,
-            doc.charset, doc.truncated,
+            doc.charset, doc.truncated, doc.status,
             if (p.html == null) 0L else p.html.length.toLong,
             state.tokenizeNanos - t0, state.domNanos - d0,
             state.classifyNanos - c0, state.assembleNanos - a0)
@@ -153,6 +158,7 @@ object ExtractPipeline {
       sum(col("htmlBytes")).as("bytes"),
       sum(when(length(col("text")) === 0, 1L).otherwise(0L)).as("emptyDocs"),
       sum(when(col("truncated"), 1L).otherwise(0L)).as("truncatedDocs"),
+      sum(when(col("docStatus") =!= "ok", 1L).otherwise(0L)).as("unparsedDocs"),
       sum(col("tokenizeNanos")).as("tokenizeNanos"),
       sum(col("domNanos")).as("domNanos"),
       sum(col("classifyNanos")).as("classifyNanos"),

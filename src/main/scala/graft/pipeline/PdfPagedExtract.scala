@@ -1,80 +1,76 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.functions._
 
-import graft.extract.TextNormalizer
 import graft.model.PageRow
 import graft.pdf.PdfBranch
 
 /** Mega-document tile-explode for the PDF branch (explicit skew handling,
   * SURVEY.md §4.4): a multi-page PDF payload is split into per-page rows, each
   * page is laid out independently (banded XY-cut), and the document is
-  * reassembled by (url, page_idx) — the Spark recast of the reference's
+  * reassembled by a per-row id — the Spark recast of the reference's
   * slice-detect → offset-rebase → merge path (tools/infer/predict_system.py:
   * 86-107, check_and_read pdf explode at ppocr/utils/utility.py:119-152,
   * page concat at ppstructure/predict_system.py:343-388).
   *
-  * Equivalence contract (tile seams must not change output): for every url,
+  * Both the %PDF-GRAFT mini format and real PDFs ride the same path: pages
+  * come from `PdfBranch.parsePayload` and are re-serialized into the
+  * line-per-block mini form for the explode, so the per-page layout work
+  * (XY-cut) and the page-concat are format-agnostic. Scale note: for real
+  * PDFs the structural parse (object scan + inflate) runs on the explode
+  * side; at cluster scale the cheaper split would ship each page's still-
+  * compressed content stream and inflate per task — same dataflow, deferred
+  * decode. The sandbox keeps decode on the explode side for simplicity; the
+  * layout work (the actual per-page CPU) is what gets distributed.
+  *
+  * Equivalence contract (tile seams must not change output): for every row,
   * `PdfPagedExtract.run(pages)` produces byte-identical text to the in-memory
   * single-pass `PdfBranch.extract` — property-tested in PdfPagedSpec. This is
   * the mechanism that lets one 10k-page PDF fan out across a cluster instead
   * of straggling one task.
+  *
+  * Reassembly keys on a per-row uid (partitionId ⊕ in-partition index), not
+  * the url: real crawl data contains duplicate urls, and grouping by url
+  * would interleave two distinct documents into one (ADVICE r1).
   */
 object PdfPagedExtract {
 
-  final case class PdfPage(url: String, pageIdx: Int, pageW: Int, blocksSrc: String)
-  final case class PageText(url: String, pageIdx: Int, text: String)
+  final case class PdfPage(rowUid: Long, url: String, pageIdx: Int, pageW: Int,
+                           blocksSrc: String)
+  final case class PageText(rowUid: Long, url: String, pageIdx: Int, text: String)
 
-  /** Split a raw payload into per-page source fragments (cheap, streaming —
-    * no layout work here; this is the explode side of the shuffle). */
-  def splitPages(url: String, payload: Array[Byte]): Seq[PdfPage] = {
+  /** Split a payload into per-page block-source fragments via the shared
+    * parser (mini format: line scan; real PDF: object scan + inflate). */
+  def splitPages(rowUid: Long, url: String, payload: Array[Byte],
+                 cfg: graft.extract.ExtractConfig): Seq[PdfPage] = {
     if (!PdfBranch.isPdf(payload)) return Nil
-    val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
-    val out = Seq.newBuilder[PdfPage]
-    var pageIdx = 0
-    var curW = 0
-    var inPage = false
-    val buf = new StringBuilder
-    for (line <- s.linesIterator) {
-      if (line.startsWith("page ")) {
-        if (inPage) { out += PdfPage(url, pageIdx, curW, buf.toString); pageIdx += 1; buf.clear() }
-        val parts = line.split(" ")
-        curW = if (parts.length >= 2) parts(1).toIntOption.getOrElse(0) else 0
-        inPage = true
-      } else if (line == "endpage") {
-        if (inPage) { out += PdfPage(url, pageIdx, curW, buf.toString); pageIdx += 1; buf.clear() }
-        inPage = false
-      } else if (inPage) {
-        buf.append(line).append('\n')
-      }
+    val parsed = PdfBranch.parsePayload(payload, cfg)
+    parsed.pages.zipWithIndex.map { case ((w, blocks), idx) =>
+      val src = blocks.map(b => s"block ${b.x} ${b.y} ${b.w} ${b.h} ${b.text}")
+        .mkString("\n")
+      PdfPage(rowUid, url, idx, w, src)
     }
-    if (inPage) out += PdfPage(url, pageIdx, curW, buf.toString)
-    out.result()
   }
 
   /** Lay out one page (the per-tile work — independent, parallelizable). */
   def layoutPage(p: PdfPage): PageText = {
-    val blocks = p.blocksSrc.linesIterator.zipWithIndex.flatMap { case (line, _) =>
+    val blocks = p.blocksSrc.linesIterator.flatMap { line =>
       if (line.startsWith("block ")) {
         val parts = line.substring(6).split(" ", 5)
-        if (parts.length == 5) {
-          val txt = TextNormalizer.normalize(parts(4))
-          if (txt.nonEmpty)
-            Some(PdfBranch.PBlock(
-              parts(0).toIntOption.getOrElse(0), parts(1).toIntOption.getOrElse(0),
-              parts(2).toIntOption.getOrElse(0), parts(3).toIntOption.getOrElse(0),
-              txt, 0, 0))
-          else None
-        } else None
+        if (parts.length == 5 && parts(4).nonEmpty)
+          Some(PdfBranch.PBlock(
+            parts(0).toIntOption.getOrElse(0), parts(1).toIntOption.getOrElse(0),
+            parts(2).toIntOption.getOrElse(0), parts(3).toIntOption.getOrElse(0),
+            parts(4), 0, 0))
+        else None
       } else None
     }.toVector
     val ordered = PdfBranch.orderPage(p.pageW, blocks)
-    PageText(p.url, p.pageIdx, ordered.map(_.text).mkString("\n\n"))
+    PageText(p.rowUid, p.url, p.pageIdx, ordered.map(_.text).mkString("\n\n"))
   }
 
-  /** Distributed path: explode pages → per-page layout → reassemble by url.
-    * One shuffle (the groupBy on url); page order restored by pageIdx sort
+  /** Distributed path: explode pages → per-page layout → reassemble by row
+    * uid. One shuffle (the groupBy); page order restored by pageIdx sort
     * inside each group so the result is partition-order independent. The
     * payload is clamped to cfg.maxHtmlBytes BEFORE splitting, matching the
     * single-pass `PdfBranch.extract` truncation exactly. */
@@ -82,18 +78,22 @@ object PdfPagedExtract {
           cfg: graft.extract.ExtractConfig = graft.extract.ExtractConfig()): DataFrame = {
     import pages.sparkSession.implicits._
     pages
-      .flatMap { p =>
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        it.zipWithIndex.map { case (p, i) => (pid << 36 | i.toLong, p) }
+      }
+      .flatMap { case (uid, p) =>
         val payload =
           if (p.html != null && p.html.length > cfg.maxHtmlBytes)
             java.util.Arrays.copyOf(p.html, cfg.maxHtmlBytes)
           else p.html
-        splitPages(p.url, payload)
+        splitPages(uid, p.url, payload, cfg)
       }
       .map(layoutPage)
-      .groupByKey(_.url)
-      .mapGroups { (url, it) =>
+      .groupByKey(_.rowUid)
+      .mapGroups { (_, it) =>
         val ordered = it.toArray.sortBy(_.pageIdx)
-        (url, ordered.map(_.text).filter(_.nonEmpty).mkString("\n\n"))
+        (ordered.head.url, ordered.map(_.text).filter(_.nonEmpty).mkString("\n\n"))
       }
       .toDF("url", "text")
   }

@@ -41,7 +41,7 @@ class PdfPagedSpec extends AnyFunSuite {
     val payload = ("%PDF-GRAFT 1.0\n" + (0 until 50).map { i =>
       s"page 800 1200\nblock 50 100 700 80 page $i text here\nendpage"
     }.mkString("\n") + "\n").getBytes("UTF-8")
-    val pages = PdfPagedExtract.splitPages("u", payload)
+    val pages = PdfPagedExtract.splitPages(0L, "u", payload, ExtractConfig())
     assert(pages.length == 50)
     assert(pages.map(_.pageIdx) == (0 until 50))
     val single = PdfBranch.extract("u", payload, ExtractConfig()).text

@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.RealPdfGen
+import graft.extract.{ExtractConfig, Extractor}
+import graft.pdf.{PdfBranch, RealPdf}
+
+/** Real-PDF branch: from-scratch parse of genuine PDF files (object scan,
+  * page tree, FlateDecode, BT/ET text operators), unparsed-status contract,
+  * and the page cap. */
+class RealPdfSpec extends AnyFunSuite {
+
+  private def onePage(blocks: Seq[RealPdfGen.Placed], compress: Boolean) =
+    RealPdfGen.build(Seq(RealPdfGen.PageSpec(800, 1200, blocks, compress)))
+
+  test("compressed and raw content streams extract identical text") {
+    val blocks = Seq(
+      RealPdfGen.Placed(50, 100, 12, Seq("Alpha beta gamma delta.", "Second line here.")),
+      RealPdfGen.Placed(50, 300, 12, Seq("Another paragraph block.")))
+    val a = Extractor.extract("u", onePage(blocks, compress = true))
+    val b = Extractor.extract("u", onePage(blocks, compress = false))
+    assert(a.status == "ok" && b.status == "ok")
+    assert(a.text == "Alpha beta gamma delta. Second line here.\n\nAnother paragraph block.")
+    assert(a.text == b.text)
+    assert(a.spans.forall(_.tagPath.startsWith("pdf/")))
+  }
+
+  test("shuffled emission order is recovered geometrically (two columns)") {
+    // right column emitted first; left edge decides the column, y the order
+    val blocks = Seq(
+      RealPdfGen.Placed(430, 150, 12, Seq("Right one.")),
+      RealPdfGen.Placed(50, 300, 12, Seq("Left two.")),
+      RealPdfGen.Placed(430, 300, 12, Seq("Right two.")),
+      RealPdfGen.Placed(50, 150, 12, Seq("Left one.")),
+      RealPdfGen.Placed(50, 40, 12, Seq("Headline.")))
+    val doc = Extractor.extract("u", onePage(blocks, compress = true))
+    assert(doc.text ==
+      "Headline.\n\nLeft one.\n\nLeft two.\n\nRight one.\n\nRight two.")
+  }
+
+  test("multi-page PDFs concatenate pages in tree order") {
+    val pdf = RealPdfGen.build(Seq(
+      RealPdfGen.PageSpec(800, 1200, Seq(RealPdfGen.Placed(50, 100, 12, Seq("Page one."))), compress = true),
+      RealPdfGen.PageSpec(800, 1200, Seq(RealPdfGen.Placed(50, 100, 12, Seq("Page two."))), compress = false)))
+    val doc = Extractor.extract("u", pdf)
+    assert(doc.text == "Page one.\n\nPage two.")
+    assert(doc.spans.map(_.tagPath) == Seq("pdf/page0", "pdf/page1"))
+  }
+
+  test("escapes, octal, hex strings and TJ kerning decode") {
+    val content =
+      """BT /F1 12 Tf 50 1100 Td ((paren\)) \\slash \101BC) Tj ET
+        |BT /F1 12 Tf 50 1000 Td [(Kerned) -250 (words) 20 (fused)] TJ ET
+        |BT /F1 12 Tf 50 900 Td <48656C6C6F> Tj ET""".stripMargin
+        .getBytes(StandardCharsets.ISO_8859_1)
+    // wrap the raw content in a minimal page by hand
+    val pdf = ("%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 800 1200] /Contents 4 0 R >>\nendobj\n" +
+      s"4 0 obj\n<< /Length ${content.length} >>\nstream\n").getBytes(StandardCharsets.ISO_8859_1) ++
+      content ++ "\nendstream\nendobj\ntrailer\n<< /Root 1 0 R >>\n%%EOF\n".getBytes(StandardCharsets.ISO_8859_1)
+    val doc = Extractor.extract("u", pdf)
+    // ((paren\)) …) decodes to "(paren))": nested open, escaped close, real close
+    assert(doc.text == "(paren)) \\slash ABC\n\nKerned wordsfused\n\nHello")
+  }
+
+  test("unparseable real PDF is recorded, never a silent empty") {
+    val junk = ("%PDF-1.7\nthis is not really a pdf body at all\n%%EOF\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val doc = Extractor.extract("u", junk)
+    assert(doc.status == "pdf_unparsed")
+    assert(doc.text == "")
+    // unsupported filter with no recoverable text → pdf_unparsed too
+    val dct = ("%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
+      "4 0 obj\n<< /Length 4 /Filter /DCTDecode >>\nstream\nABCD\nendstream\nendobj\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val doc2 = Extractor.extract("u", dct)
+    assert(doc2.status == "pdf_unparsed")
+    // the mini format and plain HTML stay "ok"
+    assert(Extractor.extract("u",
+      "%PDF-GRAFT 1.0\npage 800 1200\nblock 1 1 5 5 x\nendpage\n".getBytes("UTF-8")).status == "ok")
+    assert(Extractor.extract("u", "<p>hello world</p>".getBytes("UTF-8")).status == "ok")
+  }
+
+  test("page cap truncates and flags (mini and real formats)") {
+    val mini = ("%PDF-GRAFT 1.0\n" + (0 until 40).map(i =>
+      s"page 800 1200\nblock 50 100 700 80 page $i\nendpage").mkString("\n") + "\n")
+      .getBytes(StandardCharsets.UTF_8)
+    val capped = Extractor.extract("u", mini, ExtractConfig(maxPdfPages = 10))
+    assert(capped.truncated)
+    assert(capped.spans.map(_.tagPath).distinct.length == 10)
+    val real = RealPdfGen.build((0 until 40).map(i => RealPdfGen.PageSpec(800, 1200,
+      Seq(RealPdfGen.Placed(50, 100, 12, Seq(s"page $i"))), compress = i % 2 == 0)))
+    val cappedReal = Extractor.extract("u", real, ExtractConfig(maxPdfPages = 10))
+    assert(cappedReal.truncated)
+    assert(cappedReal.spans.map(_.tagPath).distinct.length == 10)
+    assert(!Extractor.extract("u", real).truncated)
+  }
+
+  test("paragraph merge joins wrapped lines, keeps separate blocks apart") {
+    val text = "word " * 60 // one long paragraph
+    val lines = RealPdfGen.wrap(text.trim, 40)
+    assert(lines.length > 3)
+    val doc = Extractor.extract("u",
+      onePage(Seq(RealPdfGen.Placed(50, 100, 12, lines)), compress = true))
+    assert(doc.text == text.trim) // lines re-join with single spaces
+    assert(doc.nSpans == 1)
+  }
+
+  test("RealPdf.isReal distinguishes the mini format") {
+    assert(!RealPdf.isReal("%PDF-GRAFT 1.0\n".getBytes("UTF-8")))
+    assert(RealPdf.isReal("%PDF-1.4\n".getBytes("UTF-8")))
+    assert(PdfBranch.isPdf("%PDF-1.4\n".getBytes("UTF-8")))
+  }
+}
