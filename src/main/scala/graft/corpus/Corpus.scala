@@ -1,6 +1,6 @@
 package graft.corpus
 
-import java.nio.charset.StandardCharsets
+import java.nio.charset.{Charset, StandardCharsets}
 import java.sql.Timestamp
 
 import graft.model.PageRow
@@ -265,9 +265,11 @@ object Corpus {
     Golden(html((url, ts), body), expected, Vector("content", "content", "content"), "F09")
   }
 
-  // F10: charsets — latin-1 with meta, UTF-8 BOM, CJK (no-space), RTL arabic
+  // F10: charsets — latin-1 with meta, UTF-8 BOM, CJK (no-space), RTL arabic,
+  // shift_jis / gbk / euc-kr (multi-byte ASCII supersets, raw-byte fast path),
+  // utf-16le with BOM (transcode-first path)
   private def f10Charset(r: Rng, url: String, ts: Timestamp, index: Int): Golden = {
-    (index / 16) % 4 match {
+    (index / 16) % 8 match {
       case 0 => // latin-1
         val p = "Le café prépare un résumé naïve avec une señorita über garçon élégant."
         val p2 = paragraph(r)
@@ -286,27 +288,64 @@ object Corpus {
         val doc = s"<html><body><p>$p</p><p>$p2</p></body></html>"
         Golden(PageRow(url, ts, doc.getBytes(StandardCharsets.UTF_8), null, "zh"),
           Seq(p, p2).mkString("\n\n"), Vector("content", "content"), "F10")
-      case _ => // arabic RTL (kept in logical order; no bidi reordering)
+      case 3 => // arabic RTL (kept in logical order; no bidi reordering)
         val arWords = Vector("البيانات", "المعالجة", "النظام", "توزيع", "حساب", "محرك", "وثيقة", "استخراج", "محتوى")
         val p = (0 until 10).map(_ => r.pick(arWords)).mkString(" ")
         val doc = s"""<html><body dir="rtl"><p>$p</p></body></html>"""
         Golden(PageRow(url, ts, doc.getBytes(StandardCharsets.UTF_8), null, "ar"),
           p, Vector("content"), "F10")
+      case 4 => // shift_jis with meta — trail bytes ≥ 0x40 keep the raw-byte path sound
+        val jaWords = Vector("データ", "処理", "システム", "分散", "計算", "エンジン", "文書", "抽出", "内容", "索引")
+        val p = (0 until 10).map(_ => r.pick(jaWords)).mkString("")
+        val p2 = paragraph(r)
+        val doc = s"""<html><head><meta charset="shift_jis"></head><body><p>$p</p><p>$p2</p></body></html>"""
+        Golden(PageRow(url, ts, doc.getBytes(Charset.forName("Shift_JIS")), null, "ja"),
+          Seq(p, p2).mkString("\n\n"), Vector("content", "content"), "F10")
+      case 5 => // gbk with http-equiv content-type meta
+        val zhWords = Vector("数据", "处理", "系统", "分布式", "计算", "引擎", "文档", "提取", "内容", "模型")
+        val p = (0 until 12).map(_ => r.pick(zhWords)).mkString("")
+        val doc = "<html><head><meta http-equiv=\"Content-Type\" content=\"text/html; charset=gbk\">" +
+          s"</head><body><p>$p</p></body></html>"
+        Golden(PageRow(url, ts, doc.getBytes(Charset.forName("GBK")), null, "zh"),
+          p, Vector("content"), "F10")
+      case 6 => // euc-kr with meta
+        val koWords = Vector("데이터", "처리", "시스템", "분산", "계산", "엔진", "문서", "추출", "내용", "색인")
+        val p = (0 until 10).map(_ => r.pick(koWords)).mkString(" ")
+        val doc = s"""<html><head><meta charset="euc-kr"></head><body><p>$p</p></body></html>"""
+        Golden(PageRow(url, ts, doc.getBytes(Charset.forName("EUC-KR")), null, "ko"),
+          p, Vector("content"), "F10")
+      case _ => // utf-16le with BOM — exercises the transcode-first path
+        val p = paragraph(r)
+        val p2 = "Mixed UTF-16 content — ü é 中文 — survives transcoding."
+        val doc = s"<html><body><p>$p</p><p>$p2</p></body></html>"
+        val body = doc.getBytes(StandardCharsets.UTF_16LE)
+        val payload = Array[Byte](0xff.toByte, 0xfe.toByte) ++ body
+        Golden(PageRow(url, ts, payload, null, "en"),
+          Seq(p, p2).mkString("\n\n"), Vector("content", "content"), "F10")
     }
   }
 
-  // F11: entity/style noise — entities decoded once, style tags stripped
+  // F11: entity/style noise — entities decoded once, style tags stripped.
+  // The second noisy paragraph walks the long tail: HTML4 symbol/Greek names,
+  // uppercase THORN, bare legacy refs without semicolons (&copy 1999, &amp),
+  // C1 numeric remap (&#147; → '“' via windows-1252), and the spec's
+  // longest-prefix behavior for unknown names (&notanentity; → '¬anentity;').
   private def f11Entities(r: Rng, url: String, ts: Timestamp): Golden = {
     val p1 = paragraph(r)
     val noisy = "Tom &amp; Jerry &lt;3 caf&eacute; A&#x42;C 1&nbsp;000 &copy; 2020 &mdash; fin&#46;"
     val decoded = "Tom & Jerry <3 café ABC 1 000 © 2020 — fin."
+    val noisy2 = "Go &rarr; caf&oacute;? &THORN;orn &alpha;&beta; &sum; x&sup2; " +
+      "&hearts; &zzz; stays, &notanentity; prefixes, &copy 1999 Tom &amp Jerry &#147;quoted&#148;"
+    val decoded2 = "Go → cafó? Þorn αβ ∑ x² ♥ &zzz; stays, ¬anentity; prefixes, " +
+      "© 1999 Tom & Jerry “quoted”"
     val p2 = paragraph(r)
-    val body = s"<p>$p1</p><p>$noisy</p><p><b>$p2</b><sup>1</sup></p>"
+    val body = s"<p>$p1</p><p>$noisy</p><p>$noisy2</p><p><b>$p2</b><sup>1</sup></p>"
     // <sup>1</sup> is inline: fuses into the p2 block with no separator char,
     // but as a separate text node; expected text keeps it space-separated? No:
     // "<b>p2</b><sup>1</sup>" concatenates to p2 + "1". We author it that way.
-    val expected = Seq(p1, decoded, p2 + "1").mkString("\n\n")
-    Golden(html((url, ts), body), expected, Vector("content", "content", "content"), "F11")
+    val expected = Seq(p1, decoded, decoded2, p2 + "1").mkString("\n\n")
+    Golden(html((url, ts), body), expected,
+      Vector("content", "content", "content", "content"), "F11")
   }
 
   // F12: PDF branch — two-column pages, multi-page, XY-cut order + page concat

@@ -37,69 +37,6 @@ final case class ExtractConfig(
     maxPdfPages: Int = 10000
 )
 
-/** HTML character-reference decoding (the graft's CTCLabelDecode: a canonical
-  * "index sequence → chars via dict" pass; ppocr/postprocess/rec_postprocess.py:195-226).
-  * Named set is the common core; unknown entities pass through verbatim.
-  */
-object Entities {
-  private val named: Map[String, String] = Map(
-    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
-    "nbsp" -> " ", "copy" -> "©", "reg" -> "®", "trade" -> "™",
-    "mdash" -> "—", "ndash" -> "–", "hellip" -> "…",
-    "lsquo" -> "‘", "rsquo" -> "’", "ldquo" -> "“",
-    "rdquo" -> "”", "laquo" -> "«", "raquo" -> "»",
-    "middot" -> "·", "bull" -> "•", "deg" -> "°",
-    "times" -> "×", "divide" -> "÷", "plusmn" -> "±",
-    "frac12" -> "½", "sup2" -> "²", "sup3" -> "³",
-    "eacute" -> "é", "egrave" -> "è", "agrave" -> "à",
-    "ccedil" -> "ç", "uuml" -> "ü", "ouml" -> "ö",
-    "auml" -> "ä", "szlig" -> "ß", "ntilde" -> "ñ"
-  )
-
-  /** If a decodable entity starts at `s(i)` (== '&'), return its replacement
-    * string; `endAfter(0)` receives the index just past the ';'. Returns null
-    * when not an entity (caller keeps the literal '&'). */
-  def decodeAt(s: String, i: Int, endAfter: Array[Int]): String = {
-    val semi = s.indexOf(';', i + 1)
-    if (semi <= i || semi - i > 10) return null
-    var replaced: String = null
-    val body = s.substring(i + 1, semi)
-    if (body.startsWith("#x") || body.startsWith("#X")) {
-      try {
-        val cp = Integer.parseInt(body.substring(2), 16)
-        if (Character.isValidCodePoint(cp)) replaced = new String(Character.toChars(cp))
-      } catch { case _: NumberFormatException => () }
-    } else if (body.startsWith("#")) {
-      try {
-        val cp = Integer.parseInt(body.substring(1))
-        if (Character.isValidCodePoint(cp)) replaced = new String(Character.toChars(cp))
-      } catch { case _: NumberFormatException => () }
-    } else replaced = named.getOrElse(body, null)
-    if (replaced != null) endAfter(0) = semi + 1
-    replaced
-  }
-
-  def decode(s: String): String = {
-    var i = s.indexOf('&')
-    if (i < 0) return s
-    val sb = new java.lang.StringBuilder(s.length)
-    val endAfter = new Array[Int](1)
-    var last = 0
-    while (i >= 0) {
-      val replaced = decodeAt(s, i, endAfter)
-      if (replaced != null) {
-        sb.append(s, last, i).append(replaced)
-        last = endAfter(0)
-        i = s.indexOf('&', endAfter(0))
-      } else {
-        i = s.indexOf('&', i + 1)
-      }
-    }
-    sb.append(s, last, s.length)
-    sb.toString
-  }
-}
-
 object TextNormalizer {
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u000B' || c == '\u00A0'
@@ -164,7 +101,21 @@ object Extractor {
     val truncated = html.length > cfg.maxHtmlBytes
     val input = if (truncated) java.util.Arrays.copyOf(html, cfg.maxHtmlBytes) else html
     val (charset, bom) = Charsets.sniff(input)
-    extractHtml(url, input, charset, bom, truncated, cfg, state)
+    if (Charsets.rawByteSafe(charset))
+      extractHtml(url, input, charset, bom, truncated, cfg, state)
+    else {
+      // transcode-first path (utf-16/32, iso-2022, …): these encodings can put
+      // structural-looking bytes inside character sequences, so the raw-byte
+      // tokenizer cannot run on them — decode the whole payload, re-encode
+      // UTF-8, and extract that. Span byte offsets then refer to the
+      // transcoded buffer (decode-normalized coordinates), the documented
+      // contract for this branch.
+      val decoded = new String(input, bom, input.length - bom, charset)
+      val start = if (decoded.nonEmpty && decoded.charAt(0) == '\uFEFF') 1 else 0
+      val utf8 = decoded.substring(start).getBytes(Charsets.Utf8)
+      val doc = extractHtml(url, utf8, Charsets.Utf8, 0, truncated, cfg, state)
+      doc.copy(charset = charset.name().toLowerCase)
+    }
   }
 
   /** HTML kernel with an explicit charset/BOM (used directly by the chunked

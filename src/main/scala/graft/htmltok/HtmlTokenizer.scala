@@ -81,19 +81,78 @@ object TokenFlags {
   final val HintContent = 4
 }
 
-/** Charset sniffing: BOM, then `<meta charset=...>` / http-equiv content-type in
-  * the first 1024 bytes, else UTF-8. The analog of DecodeImage's channel-order
-  * dispatch (ppocr/data/imaug/operators.py:29-61) for byte payloads.
+/** Charset sniffing: BOM (UTF-8 / UTF-16), then `<meta charset=...>` /
+  * http-equiv content-type in the first 1024 bytes, else UTF-8. The analog of
+  * DecodeImage's channel-order dispatch (ppocr/data/imaug/operators.py:29-61)
+  * for byte payloads — and the graft of the reference's ~40 per-language dicts
+  * (ppocr/utils/dict/): the JVM charset registry IS the dict table.
+  *
+  * Two decode regimes (see `rawByteSafe`):
+  *  - ASCII-superset encodings where no multi-byte sequence can contain a
+  *    structural byte (< 0x40: the '<' '>' '"' '\'' '=' '/' '&' ';' family):
+  *    utf-8, all latin/windows/koi8 single-byte pages, and the CJK families
+  *    shift_jis / gbk / gb18030 / big5 / euc-jp / euc-kr, whose trail bytes
+  *    are ≥ 0x40 by construction. These tokenize on raw bytes; text decodes
+  *    per block with the sniffed charset (the zero-copy fast path).
+  *  - everything else (utf-16/utf-32, escape-switched iso-2022-*, EBCDIC)
+  *    transcodes to UTF-8 FIRST, then tokenizes (Extractor.extract routes).
   */
 object Charsets {
   val Utf8: Charset = StandardCharsets.UTF_8
   val Latin1: Charset = StandardCharsets.ISO_8859_1
 
-  def resolve(name: String): Charset = name.toLowerCase match {
-    case "utf-8" | "utf8" | "ascii" | "us-ascii"           => Utf8
-    case "latin-1" | "latin1" | "iso-8859-1" | "iso8859-1" => Latin1
-    case "windows-1252" | "cp1252"                         => Charset.forName("windows-1252")
-    case _                                                 => Utf8
+  // cache: charset resolution + safety classification are hot (per document)
+  private val resolveCache = new java.util.concurrent.ConcurrentHashMap[String, Charset]()
+  private val safeCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  def resolve(name: String): Charset = {
+    val key = name.toLowerCase
+    val cached = resolveCache.get(key)
+    if (cached != null) return cached
+    val cs = key match {
+      case "utf-8" | "utf8" | "ascii" | "us-ascii"           => Utf8
+      case "latin-1" | "latin1" | "iso-8859-1" | "iso8859-1" => Latin1
+      // the long tail goes through the JVM registry, which knows the standard
+      // alias webs (sjis/shift-jis/ms_kanji → Shift_JIS, cpNNNN → windows-NNNN,
+      // gb2312/gbk/big5/euc-kr/koi8-r/iso-8859-N/tis-620 …); unknown or
+      // unsupported names fall back to UTF-8
+      case other =>
+        try {
+          val c = other match {
+            case "cp1250" | "cp1251" | "cp1252" | "cp1253" | "cp1254" | "cp1255" | "cp1256" | "cp1257" | "cp1258" =>
+              Charset.forName("windows-" + other.substring(2))
+            case _ => Charset.forName(other)
+          }
+          c
+        } catch { case _: Exception => Utf8 }
+    }
+    resolveCache.put(key, cs)
+    cs
+  }
+
+  /** True when raw-byte tokenization is sound for this charset: it must be an
+    * ASCII superset AND no multi-byte sequence may contain a byte < 0x40
+    * (every HTML-structural byte is < 0x40, so '<' etc. are then unambiguous).
+    * Checked by name for the families where that's a known property, plus an
+    * ASCII-roundtrip probe that rejects EBCDIC-style non-supersets. UTF-16/32
+    * and ISO-2022 (escape-switched G0) are explicitly unsafe. */
+  def rawByteSafe(cs: Charset): Boolean = {
+    val key = cs.name()
+    val cached = safeCache.get(key)
+    if (cached != null) return cached.booleanValue()
+    val up = key.toUpperCase
+    val safe =
+      if (up.startsWith("UTF-16") || up.startsWith("UTF-32") ||
+        up.startsWith("X-UTF-16") || up.startsWith("X-UTF-32") ||
+        up.contains("ISO-2022") || up.contains("ISO2022")) false
+      else {
+        // ASCII roundtrip probe: 0x00-0x7F must decode to themselves
+        val ascii = Array.tabulate[Byte](128)(_.toByte)
+        val dec = new String(ascii, cs)
+        dec.length == 128 && (0 until 128).forall(i => dec.charAt(i) == i.toChar)
+      }
+    safeCache.put(key, java.lang.Boolean.valueOf(safe))
+    safe
   }
 
   /** Returns (charset, bomLength). A `charset=` declaration is honored only
@@ -102,6 +161,10 @@ object Charsets {
   def sniff(b: Array[Byte]): (Charset, Int) = {
     if (b.length >= 3 && b(0) == 0xef.toByte && b(1) == 0xbb.toByte && b(2) == 0xbf.toByte)
       return (Utf8, 3)
+    if (b.length >= 2 && b(0) == 0xff.toByte && b(1) == 0xfe.toByte)
+      return (StandardCharsets.UTF_16LE, 2)
+    if (b.length >= 2 && b(0) == 0xfe.toByte && b(1) == 0xff.toByte)
+      return (StandardCharsets.UTF_16BE, 2)
     val n = math.min(b.length, 1024)
     val head = new String(b, 0, n, StandardCharsets.ISO_8859_1).toLowerCase
     var m = head.indexOf("<meta")
@@ -131,9 +194,13 @@ object Charsets {
   * Never loses bytes: emitted token ranges partition the input (tag-soup contract,
   * FIXTURES.md F09).
   *
-  * Structure-bearing bytes in HTML are ASCII, so tokenizing raw bytes is
-  * charset-safe for all ASCII-supersets we accept (UTF-8 / latin-1 / cp1252);
-  * text decode happens later, per block, with the sniffed charset.
+  * Structure-bearing bytes in HTML are ASCII and all < 0x40, so tokenizing
+  * raw bytes is charset-safe for every `Charsets.rawByteSafe` encoding
+  * (ASCII supersets whose multi-byte trail bytes are ≥ 0x40: utf-8, the
+  * single-byte latin/windows/koi8 family, shift_jis/gbk/big5/euc-*); text
+  * decode happens later, per block, with the sniffed charset. Non-safe
+  * encodings (utf-16/32, iso-2022) are transcoded to UTF-8 BEFORE reaching
+  * this tokenizer (Extractor.extract).
   */
 object HtmlTokenizer {
 

@@ -63,6 +63,8 @@ object ChunkedExtract {
     val truncated = html.length > cfg.maxHtmlBytes
     val input = if (truncated) java.util.Arrays.copyOf(html, cfg.maxHtmlBytes) else html
     val (charset, bom) = Charsets.sniff(input)
+    if (!Charsets.rawByteSafe(charset)) // utf-16/32 etc: byte-splitting is unsound
+      return Seq(ChunkRow(rowUid, p.url, -1, 0, 0, html, "", 0, truncated = false))
     val chunks = HtmlChunker.plan(input, minChunkBytes)
     if (chunks.length == 1)
       return Seq(ChunkRow(rowUid, p.url, -1, 0, 0, html, "", 0, truncated = false))

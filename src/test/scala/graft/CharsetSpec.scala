@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.charset.{Charset, StandardCharsets}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.extract.Extractor
+import graft.htmltok.Charsets
+
+/** Charset widening: alias resolution through the JVM registry, the raw-byte
+  * safety classification that gates the zero-copy tokenizer path, UTF-16 BOM
+  * sniffing, and end-to-end extraction in multi-byte encodings. */
+class CharsetSpec extends AnyFunSuite {
+
+  test("resolve: common crawl charset names land on the right JVM charsets") {
+    assert(Charsets.resolve("utf-8") == StandardCharsets.UTF_8)
+    assert(Charsets.resolve("Shift_JIS").name() == "Shift_JIS")
+    assert(Charsets.resolve("shift-jis").name() == "Shift_JIS")
+    assert(Charsets.resolve("sjis").name() == "Shift_JIS")
+    assert(Charsets.resolve("gbk").name() == "GBK")
+    assert(Charsets.resolve("gb2312").name().toUpperCase.contains("GB2312"))
+    assert(Charsets.resolve("gb18030").name() == "GB18030")
+    assert(Charsets.resolve("big5").name() == "Big5")
+    assert(Charsets.resolve("euc-kr").name() == "EUC-KR")
+    assert(Charsets.resolve("euc-jp").name() == "EUC-JP")
+    assert(Charsets.resolve("koi8-r").name() == "KOI8-R")
+    assert(Charsets.resolve("windows-1251").name() == "windows-1251")
+    assert(Charsets.resolve("cp1251").name() == "windows-1251")
+    assert(Charsets.resolve("iso-8859-2").name() == "ISO-8859-2")
+    assert(Charsets.resolve("iso-8859-15").name() == "ISO-8859-15")
+    // junk or unsupported names fall back to utf-8, never throw
+    assert(Charsets.resolve("definitely-not-a-charset") == StandardCharsets.UTF_8)
+    assert(Charsets.resolve("") == StandardCharsets.UTF_8)
+    assert(Charsets.resolve("utf-7") == StandardCharsets.UTF_8)
+  }
+
+  test("rawByteSafe: ASCII supersets with trail bytes >= 0x40 are safe") {
+    for (name <- Seq("UTF-8", "ISO-8859-1", "windows-1252", "windows-1251",
+      "KOI8-R", "Shift_JIS", "GBK", "GB18030", "Big5", "EUC-KR", "EUC-JP"))
+      assert(Charsets.rawByteSafe(Charset.forName(name)), name)
+    for (name <- Seq("UTF-16", "UTF-16LE", "UTF-16BE", "ISO-2022-JP", "IBM1047"))
+      assert(!Charsets.rawByteSafe(Charset.forName(name)), name)
+  }
+
+  test("sniff: UTF-16 BOMs are detected") {
+    assert(Charsets.sniff(Array(0xff.toByte, 0xfe.toByte, 'a'.toByte, 0))
+      == ((StandardCharsets.UTF_16LE, 2)))
+    assert(Charsets.sniff(Array(0xfe.toByte, 0xff.toByte, 0, 'a'.toByte))
+      == ((StandardCharsets.UTF_16BE, 2)))
+  }
+
+  test("end-to-end: windows-1251 and big5 pages extract exactly") {
+    val ru = "Данные обработка система распределение вычисление двигатель документ."
+    val doc1 = s"""<html><head><meta charset="windows-1251"></head><body><p>$ru</p></body></html>"""
+    val got1 = Extractor.extract("u", doc1.getBytes(Charset.forName("windows-1251")))
+    assert(got1.text == ru)
+    assert(got1.charset == "windows-1251")
+
+    val zh = "資料處理系統分散式計算引擎文件擷取內容模型索引查詢資料處理系統分散式計算引擎"
+    val doc2 = s"""<html><head><meta charset="big5"></head><body><p>$zh</p></body></html>"""
+    val got2 = Extractor.extract("u", doc2.getBytes(Charset.forName("Big5")))
+    assert(got2.text == zh)
+  }
+
+  test("end-to-end: utf-16be page transcodes and extracts exactly") {
+    val p = "Sixteen-bit pages survive — even with 中文 and emoji 😀 text."
+    val doc = s"<html><body><p>$p</p></body></html>"
+    val payload = Array(0xfe.toByte, 0xff.toByte) ++ doc.getBytes(StandardCharsets.UTF_16BE)
+    val got = Extractor.extract("u", payload)
+    assert(got.text == p)
+    assert(got.charset == "utf-16be")
+  }
+
+  test("multi-byte trail bytes never break tokenization (shift_jis stress)") {
+    // ソ is the classic Shift_JIS trap: its trail byte is 0x5C ('\\'); ensure
+    // structural parsing is unaffected and text round-trips
+    val ja = "ソフトウェアソースソート表能申"
+    val doc = s"""<html><head><meta charset="shift_jis"></head><body><p>$ja</p><p>second paragraph here</p></body></html>"""
+    val got = Extractor.extract("u", doc.getBytes(Charset.forName("Shift_JIS")))
+    assert(got.text == s"$ja\n\nsecond paragraph here")
+  }
+}

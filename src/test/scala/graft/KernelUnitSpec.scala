@@ -66,7 +66,7 @@ class KernelUnitSpec extends AnyFunSuite {
     assert(Entities.decode("&bogus; stays") == "&bogus; stays")
     assert(Entities.decode("&amp;amp;") == "&amp;") // decoded exactly once
     assert(Entities.decode("no entities") == "no entities")
-    assert(Entities.decode("&nbsp;") == " ")
+    assert(Entities.decode("&nbsp;") == "\u00a0") // NBSP; normalized later
   }
 
   test("whitespace normalization collapses runs incl. NBSP and trims") {
