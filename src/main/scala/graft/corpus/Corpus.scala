@@ -79,7 +79,8 @@ object Corpus {
       case 0  => f01Article(r, url, ts)
       case 1  => f02Boiler(r, url, ts)
       case 2  => f03TwoColHtml(r, url, ts)
-      case 3  => f04Table(r, url, ts)
+      case 3  => if ((index / 16) % 2 == 0) f04Table(r, url, ts)
+                 else f04TableSpans(r, url, ts)
       case 4  => f05Fragmented(r, url, ts)
       case 5  => if ((index / 16) % 2 == 0) f06PdfShuffled(r, url, ts)
                  else f06PdfReal(r, url, ts)
@@ -165,6 +166,28 @@ object Corpus {
     val tableText = (headerCells.mkString(" | ") +: rows.map(_.mkString(" | "))).mkString("\n")
     val expected = Seq(intro, tableText, outro).mkString("\n\n")
     val labels = Vector("content") ++ Vector.fill((nRows + 1) * nCols)("cell") ++ Vector("content")
+    Golden(html((url, ts), body), expected, labels, "F04")
+  }
+
+  // F04 span variant: colspan/rowspan occupancy — a rowspan leaves an empty
+  // slot (its separator stays) in the covered row; a colspan advances the
+  // column cursor. Expected text authored from the fixed span pattern.
+  private def f04TableSpans(r: Rng, url: String, ts: Timestamp): Golden = {
+    val intro = paragraph(r)
+    def cell() = r.pick(WORDS) + " " + (1 + r.nextInt(999))
+    val h = (0 until 3).map(_ => r.pick(WORDS).capitalize)
+    val (r1, b1, c1, d2, e3, f3, g3) =
+      (cell(), cell(), cell(), cell(), cell(), cell(), cell())
+    val tableHtml =
+      s"""<table><tr><th>${h(0)}</th><th>${h(1)}</th><th>${h(2)}</th></tr>""" +
+        s"""<tr><td rowspan="2">$r1</td><td>$b1</td><td>$c1</td></tr>""" +
+        s"""<tr><td colspan="2">$d2</td></tr>""" +
+        s"""<tr><td>$e3</td><td>$f3</td><td>$g3</td></tr></table>"""
+    val outro = paragraph(r)
+    val body = s"<p>$intro</p>" + tableHtml + s"<p>$outro</p>"
+    val tableText = s"${h.mkString(" | ")}\n$r1 | $b1 | $c1\n | $d2\n$e3 | $f3 | $g3"
+    val expected = Seq(intro, tableText, outro).mkString("\n\n")
+    val labels = Vector("content") ++ Vector.fill(10)("cell") ++ Vector("content")
     Golden(html((url, ts), body), expected, labels, "F04")
   }
 

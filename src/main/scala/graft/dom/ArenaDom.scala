@@ -55,6 +55,10 @@ final class DomArena(initialCapacity: Int = 512) {
 
   def isText(node: Int): Boolean = tagId(node) < 0
 
+  /** Table-span attributes of a node (1 when absent; packed by the tokenizer). */
+  def colspanOf(node: Int): Int = TokenFlags.colspan(flags(node))
+  def rowspanOf(node: Int): Int = TokenFlags.rowspan(flags(node))
+
   // memoized root→node path strings (shared prefixes computed once per doc;
   // entries are invalidated per-node in addNode, so reuse across docs is safe)
   private var pathCache: Array[String] = new Array[String](initialCapacity)

@@ -143,23 +143,25 @@ object Extractor {
   }
 
   /** A kept block with the DOM facts assembly needs. */
-  final case class Kept(span: Span, anchor: Int, tableAnc: Int, trAnc: Int, listAnc: Int)
+  final case class Kept(span: Span, anchor: Int, tableAnc: Int, trAnc: Int,
+                        listAnc: Int, cellAnc: Int)
 
-  /** One walk to the root collecting all three assembly anchors (table/tr/
-    * list) — replaces three separate ancestor scans per kept block. */
-  private def assemblyAnchors(dom: DomArena, node: Int): (Int, Int, Int) = {
-    var tableAnc = -1; var trAnc = -1; var listAnc = -1
+  /** One walk to the root collecting all assembly anchors (table/tr/list/cell)
+    * — replaces separate ancestor scans per kept block. */
+  private def assemblyAnchors(dom: DomArena, node: Int): (Int, Int, Int, Int) = {
+    var tableAnc = -1; var trAnc = -1; var listAnc = -1; var cellAnc = -1
     var cur = node
     while (cur >= 0) {
       if (!dom.isText(cur)) {
         val nm = dom.name(cur)
         if (trAnc < 0 && nm == "tr") trAnc = cur
+        if (cellAnc < 0 && (nm == "td" || nm == "th")) cellAnc = cur
         if (tableAnc < 0 && nm == "table") tableAnc = cur
         if (listAnc < 0 && (nm == "ul" || nm == "ol" || nm == "dl")) listAnc = cur
       }
       cur = dom.parent(cur)
     }
-    (tableAnc, trAnc, listAnc)
+    (tableAnc, trAnc, listAnc, cellAnc)
   }
 
   /** Rule-cascade classifier over candidate blocks (SURVEY.md §7.1 step 5; the
@@ -264,8 +266,8 @@ object Extractor {
         if (score >= cfg.dropScore) {
           val span = Span(kept, dom.tagPath(anchor), blocks.byteStart(b),
             blocks.byteEnd(b), label, score, text)
-          val (tableAnc, trAnc, listAnc) = assemblyAnchors(dom, anchor)
-          out += Kept(span, anchor, tableAnc, trAnc, listAnc)
+          val (tableAnc, trAnc, listAnc, cellAnc) = assemblyAnchors(dom, anchor)
+          out += Kept(span, anchor, tableAnc, trAnc, listAnc, cellAnc)
           kept += 1
         }
       }
@@ -286,18 +288,9 @@ object Extractor {
     while (i < kept.length) {
       val k = kept(i)
       if (k.tableAnc >= 0) {
-        // gather the run of blocks in the same table
-        val sb = new java.lang.StringBuilder(64)
-        var row = k.trAnc
-        sb.append(k.span.text)
         var j = i + 1
-        while (j < kept.length && kept(j).tableAnc == k.tableAnc) {
-          if (kept(j).trAnc == row) sb.append(" | ") else sb.append('\n')
-          row = kept(j).trAnc
-          sb.append(kept(j).span.text)
-          j += 1
-        }
-        groups += sb.toString
+        while (j < kept.length && kept(j).tableAnc == k.tableAnc) j += 1
+        groups += assembleTable(kept, i, j, dom)
         i = j
       } else if (k.listAnc >= 0) {
         val sb = new java.lang.StringBuilder(64)
@@ -315,5 +308,78 @@ object Extractor {
       }
     }
     groups.result().mkString("\n\n")
+  }
+
+  /** Assemble one table run kept[from, until) with colspan/rowspan occupancy
+    * (≡ the reference's span-aware structure decode,
+    * ppocr/postprocess/table_postprocess.py:60-94):
+    *
+    *  - consecutive kept blocks inside the same cell join with " | "
+    *    (pre-span behavior preserved);
+    *  - rows = consecutive runs of one tr; cells within a row join with
+    *    " | ", rows join with "\n";
+    *  - a grid column covered by a rowspan from ABOVE contributes an empty
+    *    slot (its " | " separator stays), so later cells keep their visual
+    *    column — `a | b` / ` | c` reads "c sits under b";
+    *  - a colspan advances the column cursor without emitting extra slots
+    *    (the spanning cell itself is present in the row).
+    *
+    * Known boundary: a source row with no kept cells (fully empty <tr>)
+    * emits nothing and does not age rowspan coverage — same as the pre-span
+    * behavior of skipping dropped cells. */
+  private def assembleTable(kept: Vector[Kept], from: Int, until: Int,
+                            dom: DomArena): String = {
+    val sb = new java.lang.StringBuilder(64)
+    val colFill = scala.collection.mutable.ArrayBuffer.empty[Int] // rows still covered per column
+    var firstRow = true
+    var i = from
+    while (i < until) {
+      val rowTr = kept(i).trAnc
+      var j = i + 1
+      while (j < until && kept(j).trAnc == rowTr) j += 1
+      if (!firstRow) sb.append('\n')
+      firstRow = false
+      if (rowTr < 0) {
+        // caption-like blocks outside any tr: no grid, plain " | " join
+        var c = i
+        while (c < j) { if (c > i) sb.append(" | "); sb.append(kept(c).span.text); c += 1 }
+      } else {
+        var col = 0
+        var firstCell = true
+        @inline def sep(): Unit =
+          if (firstCell) firstCell = false else sb.append(" | ")
+        var c = i
+        while (c < j) {
+          // fuse consecutive kept blocks of the same cell into one grid cell
+          val cell = kept(c).cellAnc
+          val cellText = new java.lang.StringBuilder(16)
+          cellText.append(kept(c).span.text)
+          var e = c + 1
+          while (e < j && cell >= 0 && kept(e).cellAnc == cell) {
+            cellText.append(" | ").append(kept(e).span.text)
+            e += 1
+          }
+          // skip columns still covered by rowspans from earlier rows
+          while (col < colFill.length && colFill(col) > 0) { sep(); col += 1 }
+          sep()
+          sb.append(cellText)
+          val cs = if (cell >= 0) dom.colspanOf(cell) else 1
+          val rs = if (cell >= 0) dom.rowspanOf(cell) else 1
+          // coverage includes the current row (aged by the end-of-row
+          // decrement below), so rowspan=N covers the N-1 following rows
+          while (colFill.length < col + cs) colFill += 0
+          if (rs > 1) { var x = col; while (x < col + cs) { colFill(x) = rs; x += 1 } }
+          col += cs
+          c = e
+        }
+        // trailing covered columns after the last cell keep their slots
+        while (col < colFill.length && colFill(col) > 0) { sep(); col += 1 }
+        // this row is done: age all coverage by one row
+        var x = 0
+        while (x < colFill.length) { if (colFill(x) > 0) colFill(x) -= 1; x += 1 }
+      }
+      i = j
+    }
+    sb.toString
   }
 }

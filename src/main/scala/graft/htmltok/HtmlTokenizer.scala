@@ -79,6 +79,21 @@ object TokenFlags {
   final val HintBoiler = 2
   /** class/id attribute matches the content-hint lexicon */
   final val HintContent = 4
+  // colspan-1 / rowspan-1 packed in bits 4..13 / 14..23 (0 ⇒ span 1; the
+  // HTML5 clamp is 1000, we cap at the 10-bit 1023) — table structure decode
+  // carries spans like the reference (ppocr/postprocess/table_postprocess.py:60-94)
+  final val ColspanShift = 4
+  final val RowspanShift = 14
+  final val SpanMask = 0x3ff
+
+  def colspan(flag: Int): Int = ((flag >>> ColspanShift) & SpanMask) + 1
+  def rowspan(flag: Int): Int = ((flag >>> RowspanShift) & SpanMask) + 1
+
+  /** Encode a span attribute value (1 ⇒ no bits set). */
+  def packSpan(value: Int, shift: Int): Int = {
+    val v = math.min(math.max(value, 1), 1000) - 1
+    v << shift
+  }
 }
 
 /** Charset sniffing: BOM (UTF-8 / UTF-16), then `<meta charset=...>` /
@@ -354,6 +369,10 @@ object HtmlTokenizer {
         }
         if (vStart >= 0) {
           if (nameIs(input, anStart, anLen, "href")) flag |= TokenFlags.HasHref
+          else if (nameIs(input, anStart, anLen, "colspan"))
+            flag |= TokenFlags.packSpan(parseUInt(input, vStart, vEnd), TokenFlags.ColspanShift)
+          else if (nameIs(input, anStart, anLen, "rowspan"))
+            flag |= TokenFlags.packSpan(parseUInt(input, vStart, vEnd), TokenFlags.RowspanShift)
           else if (nameIs(input, anStart, anLen, "class") || nameIs(input, anStart, anLen, "id")) {
             var k = 0
             var done = false
@@ -382,6 +401,20 @@ object HtmlTokenizer {
     val kind = if (selfClose || HtmlNames.isVoid(name)) Tok.SelfClose else Tok.Start
     arena.add(kind, i0, j, arena.intern(name), flag)
     j
+  }
+
+  /** Leading unsigned integer of a byte range, HTML-attribute style: skip
+    * leading whitespace, read digits, ignore trailing junk ("2px" → 2);
+    * 0/absent digits → 1 (the HTML5 span-attribute clamp). Capped at 1023. */
+  private def parseUInt(input: Array[Byte], from: Int, to: Int): Int = {
+    var i = from
+    while (i < to && (input(i) == ' ' || input(i) == '\t')) i += 1
+    var v = 0
+    var any = false
+    while (i < to && input(i) >= '0' && input(i) <= '9' && v < 1024) {
+      v = v * 10 + (input(i) - '0'); any = true; i += 1
+    }
+    if (!any || v == 0) 1 else math.min(v, 1023)
   }
 
   /** Case-insensitive byte-range equality against an ASCII-lowercase name. */
