@@ -277,6 +277,10 @@ object SparkEntry {
     "d07_lsh_pairs" -> ((s, dir) => DedupFunctions.lshCandidatePairs(docs(s, dir), 4)),
     "d08_jaccard_pairs" -> ((s, dir) => DedupFunctions.jaccardPairs(docs(s, dir), 0.5)),
     "d09_simhash16" -> ((s, dir) => TextFunctions.simhash16(docs(s, dir))),
+    // word-level spans (get_word_info analog); doc_id < 200 keeps the oracle
+    // compare bounded — the operator itself is unbounded (pure window math)
+    "d11_word_spans" -> ((s, dir) =>
+      TextFunctions.wordSpans(docs(s, dir).filter(col("doc_id") < 200))),
     // production 64-bit simhash (xxhash64 — no DuckDB analog; spec-tested)
     "d10_simhash_pairs" -> ((s, dir) => DedupFunctions.simhashPairs(docs(s, dir), 12)),
 
@@ -499,6 +503,22 @@ object SparkEntry {
          |SELECT doc_id, ($bits)::BIGINT AS simhash16
          |FROM votes ORDER BY doc_id""".stripMargin
     },
+    "d11_word_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(text, ' ')) AS word,
+        |         generate_subscripts(string_split(text, ' '), 1) - 1 AS word_idx
+        |  FROM documents WHERE doc_id < 200),
+        |offs AS (
+        |  SELECT doc_id, word_idx, word,
+        |         COALESCE(sum(length(word)) OVER (PARTITION BY doc_id ORDER BY word_idx
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           + word_idx AS start_off
+        |  FROM toks)
+        |SELECT doc_id, word_idx::BIGINT AS word_idx, word,
+        |       start_off::BIGINT AS start_off,
+        |       (start_off + length(word))::BIGINT AS end_off
+        |FROM offs ORDER BY doc_id, word_idx""".stripMargin,
     "q12_json_props" ->
       """SELECT event_type, count(*)::BIGINT AS n,
         |       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,

@@ -95,17 +95,30 @@ object DedupFunctions {
     votes.select(col("doc_id"), sim.as("simhash64")).orderBy("doc_id")
   }
 
-  /** SimHash near-dup pairs: 4 bands of 16 bits each — docs collide if ANY
-    * band matches (a ≤`maxHamming`-bit difference leaves at least one band
-    * intact with high probability), then exact hamming ≤ maxHamming via
-    * bit_count over the candidate pairs. The standard band-OR construction:
-    * candidate generation is an equi-join on (band_idx, band_value), never an
-    * all-pairs scan. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+  /** SimHash near-dup pairs: 64/bandBits bands of `bandBits` bits each — docs
+    * collide if ANY band matches (a ≤`maxHamming`-bit difference leaves at
+    * least one band intact with high probability), then exact hamming ≤
+    * maxHamming via bit_count over the candidate pairs. The standard band-OR
+    * construction: candidate generation is an equi-join on (band_idx,
+    * band_value), never an all-pairs scan.
+    *
+    * Band-width scaling (the n-dependent knob, SCALE.md): each band's bucket
+    * count is 2^bandBits, so expected same-bucket pairs per band ≈
+    * n²/2^bandBits. The sandbox default bandBits=16 (65k buckets) is sized
+    * for ~10^5-10^6 docs; at 10^9 use 32-bit bands (4×10^18 bucket space),
+    * at 10^12 either 32-bit bands over a 128-bit simhash or band+prefix
+    * keys — widen the key, never the join. Fewer, wider bands trade recall
+    * (only maxHamming < nBands is collision-guaranteed) for bucket size;
+    * recall at bandBits=32 is spec-tested on planted near-dups. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int, bandBits: Int = 16): DataFrame = {
+    require(64 % bandBits == 0 && bandBits > 0 && bandBits <= 64,
+      s"bandBits must divide 64, got $bandBits")
+    val nBands = 64 / bandBits
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     val sig = simhash64(docs)
     val bands = sig.select(col("doc_id"), col("simhash64"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("simhash64"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+      posexplode(array((0 until nBands).map(b =>
+        shiftrightunsigned(col("simhash64"), b * bandBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band_idx", "band")))
     bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") && col("a.band") === col("b.band")

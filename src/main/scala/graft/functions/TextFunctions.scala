@@ -103,6 +103,27 @@ object TextFunctions {
       .orderBy("doc_id")
   }
 
+  /** Word-level spans: each token with its [start, end) character offsets
+    * inside the document text — the graft of get_word_info / cal_ocr_word_box
+    * (ppocr/postprocess/rec_postprocess.py:72-136, ppstructure/utility.py:
+    * 243-298: sub-block word boxes from the block-level result). Offsets
+    * partition the single-spaced text exactly (property-tested): start of
+    * word k = sum of previous word lengths + k separators. Pure window
+    * arithmetic — one narrow shuffle on doc_id, no UDFs. */
+  def wordSpans(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("word_idx", "word")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("word_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("start_off",
+        (coalesce(sum(length(col("word"))).over(w), lit(0)) + col("word_idx")).cast("long"))
+      .select(col("doc_id"), col("word_idx").cast("long").as("word_idx"), col("word"),
+        col("start_off"),
+        (col("start_off") + length(col("word"))).cast("long").as("end_off"))
+      .orderBy("doc_id", "word_idx")
+  }
+
   /** Word 3-shingles of a token array column (empty when <3 tokens). */
   def shingles3(ws: Column): Column =
     when(size(ws) >= 3,

@@ -56,6 +56,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((0L, 9002L)))
   }
 
+  test("simhashPairs recall holds at the 32-bit band setting (the scale knob)") {
+    // wider bands = fewer, bigger band keys: the 10^9+-doc configuration.
+    // Exact dups always collide (hamming 0); the one-word mutant's few bit
+    // flips must leave one 32-bit half intact on this corpus.
+    val pairs = DedupFunctions.simhashPairs(docsWithPlants, maxHamming = 12,
+      bandBits = 32).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 9001L)))
+    assert(pairs.contains((0L, 9002L)))
+    // and the candidate set only shrinks as bands widen (same verify filter)
+    val pairs16 = DedupFunctions.simhashPairs(docsWithPlants, maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.subsetOf(pairs16))
+  }
+
   test("minhash LSH finds exact and near duplicates as candidates") {
     val pairs = DedupFunctions.lshCandidatePairs(docsWithPlants, 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -89,6 +103,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ANN wider-planes setting keeps recall via more tables (scale knob)") {
+    // at scale nPlanes grows with log(n) (smaller buckets) and nTables grows
+    // to recover recall — verify the trade holds on this corpus: planes 2→4
+    // with tables 4→16 keeps recall in the same band
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val brute = SimilarityFunctions.knnBrute(emb, 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val annWide = SimilarityFunctions.annBucketed(emb, 10, 5, nPlanes = 4, dim = 64,
+      nTables = 16).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.count(annWide.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"wide-planes ANN recall too low: $recall")
+  }
+
   test("exact dedup groups identical texts under min doc_id") {
     val g = DedupFunctions.exactGroups(docsWithPlants)
       .filter(col("group_size") > 1).collect()
@@ -102,5 +129,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val sig = TextFunctions.minhashSignature(tiny, 2).collect()
     assert(sig(0).isNullAt(1) && sig(0).isNullAt(2))
     assert(!sig(1).isNullAt(1))
+  }
+
+  test("word spans partition the document text exactly") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 50)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val spans = TextFunctions.wordSpans(docs).collect()
+    assert(spans.nonEmpty)
+    val byDoc = spans.groupBy(_.getLong(0))
+    for ((docId, ws) <- byDoc) {
+      val text = texts(docId)
+      val sorted = ws.sortBy(_.getLong(1))
+      // substring at [start_off, end_off) must equal the word, spans must tile
+      var expectNext = 0L
+      for (w <- sorted) {
+        val (word, s, e) = (w.getString(2), w.getLong(3), w.getLong(4))
+        assert(s == expectNext, s"gap at doc $docId word ${w.getLong(1)}")
+        assert(text.substring(s.toInt, e.toInt) == word)
+        expectNext = e + 1 // the single separator space
+      }
+      assert(expectNext - 1 == text.length, s"doc $docId spans don't cover the text")
+    }
   }
 }
