@@ -281,6 +281,12 @@ object SparkEntry {
     // compare bounded — the operator itself is unbounded (pure window math)
     "d11_word_spans" -> ((s, dir) =>
       TextFunctions.wordSpans(docs(s, dir).filter(col("doc_id") < 200))),
+    // RTL segment reversal (pred_reverse analog) — row-local, fully pushable
+    "d12_pred_reverse" -> ((s, dir) =>
+      docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          TextFunctions.predReverse(col("text")).as("reversed"))
+        .orderBy("doc_id")),
     // production 64-bit simhash (xxhash64 — no DuckDB analog; spec-tested)
     "d10_simhash_pairs" -> ((s, dir) => DedupFunctions.simhashPairs(docs(s, dir), 12)),
 
@@ -503,6 +509,11 @@ object SparkEntry {
          |SELECT doc_id, ($bits)::BIGINT AS simhash16
          |FROM votes ORDER BY doc_id""".stripMargin
     },
+    "d12_pred_reverse" ->
+      """SELECT doc_id,
+        |       array_to_string(list_reverse(regexp_extract_all(text,
+        |         '[a-zA-Z0-9 :*./%+-]+|[^a-zA-Z0-9 :*./%+-]')), '') AS reversed
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
     "d11_word_spans" ->
       """WITH toks AS (
         |  SELECT doc_id,

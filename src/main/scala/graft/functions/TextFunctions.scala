@@ -124,6 +124,19 @@ object TextFunctions {
       .orderBy("doc_id", "word_idx")
   }
 
+  /** RTL display-order recovery — the exact graft of pred_reverse
+    * (ppocr/postprocess/rec_postprocess.py:53-67): split the string into
+    * maximal runs of the LTR-safe class [a-zA-Z0-9 :*./%+-] and single chars
+    * of everything else, then reverse the segment order. Applied by the
+    * reference when the rec dictionary is RTL (arabic family); surfaced here
+    * as an opt-in column function (extraction keeps logical order, the
+    * documented contract for RTL pages). Pure codegen'd expressions. */
+  def predReverse(c: Column): Column =
+    array_join(
+      reverse(regexp_extract_all(c,
+        lit("[a-zA-Z0-9 :*./%+-]+|[^a-zA-Z0-9 :*./%+-]"), lit(0))),
+      "")
+
   /** Word 3-shingles of a token array column (empty when <3 tokens). */
   def shingles3(ws: Column): Column =
     when(size(ws) >= 3,

@@ -131,6 +131,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!sig(1).isNullAt(1))
   }
 
+  test("predReverse matches the reference's pred_reverse segment semantics") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "abc مرحبا def"), (2L, "سعر 25.5% فقط"),
+      (3L, "plain ltr text"), (4L, "،؟"))
+      .toDF("doc_id", "text")
+    val got = in.select(col("doc_id"), TextFunctions.predReverse(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // expected computed with the reference implementation
+    // (ppocr/postprocess/rec_postprocess.py:53-67)
+    assert(got(1L) == " defابحرمabc ")
+    assert(got(2L) == "طقف 25.5% رعس")
+    assert(got(3L) == "plain ltr text")
+    assert(got(4L) == "؟،")
+  }
+
   test("word spans partition the document text exactly") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .filter(col("doc_id") < 50)
