@@ -295,6 +295,11 @@ object SparkEntry {
     // complete mode, drained) — oracle checks it equals the batch answer
     "s01_stream_window" -> ((s, dir) =>
       graft.streaming.EventStream.runStream(s, dir)),
+    // production ingest shape: watermark + append mode over a time-ordered
+    // file replay — bounded state; oracle = batch agg restricted to windows
+    // closed by the final watermark (end <= max(ts) - delay)
+    "s02_stream_append" -> ((s, dir) =>
+      graft.streaming.EventStream.runStreamAppend(s, dir)),
 
     // ================= similarity ops over `embeddings` ====================
     "e01_knn_brute" -> ((s, dir) => SimilarityFunctions.knnBrute(emb(s, dir), 5, 5)),
@@ -306,7 +311,13 @@ object SparkEntry {
     "e03_label_centroids" -> ((s, dir) => SimilarityFunctions.labelCentroids(emb(s, dir))),
     // LSH-bucketed ANN (scale path; recall measured vs e01 in SimilaritySpec)
     "e04_ann_bucketed" -> ((s, dir) =>
-      SimilarityFunctions.annBucketed(emb(s, dir), 5, 5, nPlanes = 4, dim = 64))
+      SimilarityFunctions.annBucketed(emb(s, dir), 5, 5, nPlanes = 4, dim = 64)),
+    // embedding-cosine near-dup pairs: oracle-checked brute on a bounded id
+    // subset (the correctness surface); cosineDupPairs is the SRP-blocked
+    // scale path, spec-tested with planted duplicates
+    "e05_cosine_dups" -> ((s, dir) =>
+      SimilarityFunctions.cosineDupPairsBrute(
+        emb(s, dir).filter(col("vec_id") < 200), 0.3))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -541,6 +552,17 @@ object SparkEntry {
         |       count(*)::BIGINT AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s02_stream_append" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+        |agg AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+        |         count(*)::BIGINT AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_start, event_type, n, sum_value
+        |FROM agg, m
+        |WHERE window_start + INTERVAL '5 minutes' <= mx - INTERVAL '10 minutes'
+        |ORDER BY window_start, event_type""".stripMargin,
     "e01_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
         |           FROM embeddings WHERE vec_id < 5),
@@ -564,6 +586,16 @@ object SparkEntry {
         |       round(avg((embedding::DOUBLE[])[i+1]), 4) + 0.0 AS centroid_v,
         |       count(*)::BIGINT AS n
         |FROM embeddings, range(64) t(i)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e05_cosine_dups" ->
+      """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE vec_id < 200),
+        |scored AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         round(list_sum(list_transform(range(len(a.v)),
+        |               i -> a.v[i+1] * b.v[i+1])), 4) + 0.0 AS cos
+        |  FROM s a JOIN s b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cos FROM scored
+        |WHERE cos >= 0.3 ORDER BY vec_a, vec_b""".stripMargin
   )
 }

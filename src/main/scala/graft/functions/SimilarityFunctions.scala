@@ -88,6 +88,44 @@ object SimilarityFunctions {
       explode(array(bucketCols: _*)).as("bucket"))
   }
 
+  /** Embedding-cosine near-duplicate pairs, brute variant: all pairs with
+    * rounded cosine ≥ minCos. Quadratic by construction — the CORRECTNESS
+    * baseline/oracle surface, meant for a bounded id subset; the scale path
+    * is `cosineDupPairs`. */
+  def cosineDupPairsBrute(emb: DataFrame, minCos: Double): DataFrame = {
+    val t = emb.select(col("vec_id"), col("embedding"))
+    t.as("a").join(t.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (round(dot(col("a.embedding"), col("b.embedding")), 4) + lit(0.0)).as("cos"))
+      .filter(col("cos") >= minCos)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Embedding-cosine near-duplicate pairs at scale: SRP buckets are the
+    * blocking key (equi-join on (table, bucket) — never all-pairs), candidate
+    * (vec_a, vec_b) ids are deduped across tables, then embeddings join back
+    * by id and the exact cosine filter runs once per candidate — the same
+    * candidates→verify shape as the MinHash-LSH → Jaccard dedup pipeline.
+    * Recall rises with nTables (OR-amplification); an exact duplicate
+    * (cosine 1.0) collides in EVERY table by construction. */
+  def cosineDupPairs(emb: DataFrame, minCos: Double, nPlanes: Int, dim: Int,
+                     nTables: Int = 4): DataFrame = {
+    val bucketed = srpBuckets(emb, nPlanes, nTables, dim)
+      .select(col("vec_id"), col("bucket"))
+    val cands = bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val t = emb.select(col("vec_id"), col("embedding"))
+    cands
+      .join(t.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(t.as("b"), col("vec_b") === col("b.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
+        (round(dot(col("a.embedding"), col("b.embedding")), 4) + lit(0.0)).as("cos"))
+      .filter(col("cos") >= minCos)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Bucketed ANN: exact cosine top-k restricted to the union of the query's
     * SRP buckets across nTables hash tables. Recall vs knnBrute is measured in
     * DedupSimilaritySpec; scores of returned candidates are exact (same dot).

@@ -116,6 +116,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"wide-planes ANN recall too low: $recall")
   }
 
+  test("cosine near-dup pairs: SRP-blocked path finds planted duplicates") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label", "embedding")
+    // plant 9001 = exact copy of vec 0 (cosine 1.0 — must collide in EVERY
+    // SRP table), 9002 = vec 0 with a small perturbation (near dup)
+    val v0 = emb.filter(col("vec_id") === 0).head.getSeq[Float](2).toArray
+    val v0near = v0.clone(); v0near(0) = v0near(0) + 0.05f
+    val planted = Seq((9001L, 0L, v0.toSeq), (9002L, 0L, v0near.toSeq))
+      .toDF("vec_id", "label", "embedding")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<float>"))
+    val all = emb.union(planted)
+    val pairs = SimilarityFunctions.cosineDupPairs(all, 0.95, nPlanes = 4, dim = 64)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.get((0L, 9001L)).contains(1.0), s"exact dup: ${pairs.get((0L, 9001L))}")
+    assert(pairs.get((0L, 9002L)).exists(_ >= 0.95), s"near dup: ${pairs.get((0L, 9002L))}")
+    // every blocked-path pair must also pass the brute filter with equal score
+    val brute = SimilarityFunctions.cosineDupPairsBrute(all, 0.95)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    pairs.foreach { case (k, c) => assert(brute.get(k).contains(c), s"mismatch at $k") }
+  }
+
   test("exact dedup groups identical texts under min doc_id") {
     val g = DedupFunctions.exactGroups(docsWithPlants)
       .filter(col("group_size") > 1).collect()

@@ -23,4 +23,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("append-mode stream emits exactly the watermark-closed windows") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val appended = EventStream.runStreamAppend(spark, dir, "10 minutes")
+      .collect().map(_.toString).toSeq
+    // expected: batch agg restricted to windows with end <= max(ts) - delay
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val maxTs = events.agg(max(col("ts"))).head
+      .getAs[java.time.LocalDateTime](0)
+    val closedBound = maxTs.minusMinutes(10)
+    val closed = EventStream.windowedAgg(events)
+      .filter(col("window_start") + expr("INTERVAL 5 MINUTES") <= lit(closedBound))
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toString).toSeq
+    assert(appended.nonEmpty)
+    assert(appended == closed,
+      s"append emitted ${appended.size} windows, closed-filter expects ${closed.size}")
+  }
 }
