@@ -148,33 +148,48 @@ object RealPdf {
 
   // ------------------------------------------------------------ dict access
 
-  private def directInt(dict: String, key: String): Option[Int] =
-    raw"/$key\s+(\d+)(?!\s+\d+\s+R)".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+  // dict keys come from a tiny fixed set, but the patterns embed the key —
+  // cache compiled patterns per key (compiling per call was 30% of PDF parse)
+  private val patCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+  private def pat(p: String): java.util.regex.Pattern =
+    patCache.computeIfAbsent(p, java.util.regex.Pattern.compile(_))
 
-  private def ref(dict: String, key: String): Option[Int] =
-    raw"/$key\s+(\d+)\s+\d+\s+R".r.findFirstMatchIn(dict).map(_.group(1).toInt)
-
-  /** `/Key [a 0 R b 0 R …]` or the single-ref form. */
-  private def refArray(dict: String, key: String): Vector[Int] = {
-    raw"/$key\s*\[([^\]]*)\]".r.findFirstMatchIn(dict) match {
-      case Some(m) =>
-        raw"(\d+)\s+\d+\s+R".r.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toVector
-      case None => ref(dict, key).toVector
-    }
+  private def firstGroup(p: String, dict: String): Option[String] = {
+    val m = pat(p).matcher(dict)
+    if (m.find()) Some(m.group(1)) else None
   }
 
+  private def directInt(dict: String, key: String): Option[Int] =
+    firstGroup(raw"/$key\s+(\d+)(?!\s+\d+\s+R)", dict).map(_.toInt)
+
+  private def ref(dict: String, key: String): Option[Int] =
+    firstGroup(raw"/$key\s+(\d+)\s+\d+\s+R", dict).map(_.toInt)
+
+  /** `/Key [a 0 R b 0 R …]` or the single-ref form. */
+  private def refArray(dict: String, key: String): Vector[Int] =
+    firstGroup(raw"/$key\s*\[([^\]]*)\]", dict) match {
+      case Some(body) =>
+        val m = pat(raw"(\d+)\s+\d+\s+R").matcher(body)
+        val out = Vector.newBuilder[Int]
+        while (m.find()) out += m.group(1).toInt
+        out.result()
+      case None => ref(dict, key).toVector
+    }
+
   private def hasName(dict: String, key: String, value: String): Boolean =
-    raw"/$key\s*/$value\b".r.findFirstIn(dict).isDefined
+    pat(raw"/$key\s*/$value\b").matcher(dict).find()
 
   /** MediaBox [x0 y0 x1 y1] — numbers may be reals. */
-  private def mediaBox(dict: String): Option[(Double, Double)] =
-    raw"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]".r
-      .findFirstMatchIn(dict)
-      .flatMap { m =>
-        try Some((m.group(3).toDouble - m.group(1).toDouble,
-          m.group(4).toDouble - m.group(2).toDouble))
-        catch { case _: NumberFormatException => None }
-      }
+  private def mediaBox(dict: String): Option[(Double, Double)] = {
+    val m = pat(raw"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]")
+      .matcher(dict)
+    if (!m.find()) None
+    else
+      try Some((m.group(3).toDouble - m.group(1).toDouble,
+        m.group(4).toDouble - m.group(2).toDouble))
+      catch { case _: NumberFormatException => None }
+  }
 
   // ------------------------------------------------------------- page tree
 
