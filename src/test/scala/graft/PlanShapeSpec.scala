@@ -72,4 +72,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("d08: Jaccard verifies over LSH candidates via equi-joins only") {
+    val plan = planOf("d08_jaccard_pairs")
+    // candidate generation + token-set joins must all be hash/merge EQUI
+    // joins — no nested-loop or cartesian anywhere (the r1 quadratic
+    // within-block join would show as a non-equi join condition)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("d11: word spans push the doc_id bound to the scan") {
+    val plan = planOf("d11_word_spans")
+    assert(plan.contains("LessThan(doc_id,200)"), plan)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang"), readSchema) // only doc_id + text read
+  }
+
+  test("e05: blocked cosine pairs are equi-joins; brute subset bound pushed") {
+    val bruteP = planOf("e05_cosine_dups")
+    assert(bruteP.contains("LessThan(vec_id,200)"), bruteP)
+    val blockedP = graft.functions.SimilarityFunctions
+      .cosineDupPairs(spark.read.parquet(s"$sf/embeddings.parquet"), 0.95,
+        nPlanes = 4, dim = 64)
+      .queryExecution.executedPlan.toString
+    assert(!blockedP.contains("CartesianProduct"), blockedP)
+    assert(!blockedP.contains("BroadcastNestedLoopJoin"), blockedP)
+  }
 }
