@@ -15,7 +15,7 @@ import graft.pipeline.{ExtractPipeline, PipelineConf}
   *   --in /data/pages_parquet --out /data/extracted \
   *   [--resume] [--buckets 4096] [--mega-buckets 64] [--mega-bytes 1048576] \
   *   [--max-html-bytes 8388608] [--max-blocks 10000] [--min-content-chars 10] \
-  *   [--drop-score 0.05] [--attempt 0]
+  *   [--drop-score 0.05] [--max-pdf-pages 10000] [--attempt 0]
   * }}}
   *
   * Input: parquet/Iceberg-layout table with the BASELINE.json `input_hint`
@@ -54,7 +54,8 @@ object Main {
         maxHtmlBytes = a.get("max-html-bytes").map(_.toInt).getOrElse(8 * 1024 * 1024),
         maxBlocksPerDoc = a.get("max-blocks").map(_.toInt).getOrElse(10000),
         minContentChars = a.get("min-content-chars").map(_.toInt).getOrElse(10),
-        dropScore = a.get("drop-score").map(_.toDouble).getOrElse(0.05)))
+        dropScore = a.get("drop-score").map(_.toDouble).getOrElse(0.05),
+        maxPdfPages = a.get("max-pdf-pages").map(_.toInt).getOrElse(10000)))
 
     // spark-submit provides master/memory; local fallback for direct runs
     val builder = SparkSession.builder().appName("graft-extract")

@@ -309,9 +309,13 @@ object HtmlTokenizer {
           } else {
             val tokIdx = arena.size - 1 // parseStartTag added the token
             i = parsed; textStart = i
-            // rawtext elements: scan to the literal close tag
+            // rawtext/RCDATA elements: scan to the literal close tag. script/
+            // style are rawtext; textarea/title are RCDATA — tags inside are
+            // literal text per HTML5 (entity decode still applies later in the
+            // per-block decode pass, which is exactly RCDATA semantics).
             val name = arena.tagName(arena.tagIds(tokIdx))
-            if ((name == "script" || name == "style") && arena.kinds(tokIdx) == Tok.Start) {
+            if ((name == "script" || name == "style" || name == "textarea" ||
+                name == "title") && arena.kinds(tokIdx) == Tok.Start) {
               val close = findCloseTag(input, i, n, name)
               if (close > i) { arena.add(Tok.Text, i, close, -1, 0); i = close; textStart = i }
             }

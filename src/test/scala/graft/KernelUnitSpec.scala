@@ -117,4 +117,17 @@ class KernelUnitSpec extends AnyFunSuite {
     val got = Extractor.extract("u", bytes, ExtractConfig()).text
     assert(got == "café naïve garçon über")
   }
+
+  test("textarea and title are RCDATA: tags inside are literal text") {
+    import graft.extract.{ExtractConfig, Extractor}
+    val doc = ("<html><body><p>before paragraph text</p>" +
+      "<textarea><b>not bold</b> &amp; raw</textarea>" +
+      "<p>after paragraph text</p></body></html>").getBytes("UTF-8")
+    val got = Extractor.extract("u", doc)
+    // <b> must NOT become an element; entities still decode (RCDATA)
+    assert(got.text == "before paragraph text\n\n<b>not bold</b> & raw\n\nafter paragraph text", got.text)
+    // title inside head stays excluded even as rawtext
+    val doc2 = "<html><head><title>x <p>y</p></title></head><body><p>z paragraph text here</p></body></html>".getBytes("UTF-8")
+    assert(Extractor.extract("u", doc2).text == "z paragraph text here")
+  }
 }

@@ -112,6 +112,25 @@ class RealPdfSpec extends AnyFunSuite {
     assert(doc.nSpans == 1)
   }
 
+  test("fuzz: random bytes after %PDF- never crash, never silently succeed") {
+    val rng = new java.util.Random(42)
+    for (trial <- 0 until 200) {
+      val n = 16 + rng.nextInt(4096)
+      val junk = new Array[Byte](n)
+      rng.nextBytes(junk)
+      val payload = "%PDF-1.4\n".getBytes(StandardCharsets.ISO_8859_1) ++ junk
+      val doc = Extractor.extract(s"u$trial", payload)
+      // a structurally-random payload has no page tree: must be recorded
+      assert(doc.status == "pdf_unparsed" || doc.text.nonEmpty,
+        s"trial $trial: empty text with ok status")
+    }
+    // truncated-at-every-prefix version of a VALID pdf must also never crash
+    val valid = onePage(Seq(RealPdfGen.Placed(50, 100, 12, Seq("Some text here."))),
+      compress = true)
+    for (cut <- 1 until valid.length by 7)
+      Extractor.extract("u", java.util.Arrays.copyOf(valid, cut))
+  }
+
   test("RealPdf.isReal distinguishes the mini format") {
     assert(!RealPdf.isReal("%PDF-GRAFT 1.0\n".getBytes("UTF-8")))
     assert(RealPdf.isReal("%PDF-1.4\n".getBytes("UTF-8")))
