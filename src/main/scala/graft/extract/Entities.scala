@@ -78,6 +78,46 @@ object Entities {
     "loz" -> 9674, "spades" -> 9824, "clubs" -> 9827, "hearts" -> 9829,
     "diams" -> 9830)
 
+  /** HTML5 second tier: the frequently-seen additions beyond the 4.01 table
+    * (ASCII punctuation names, alias names, fractions, spaces, common
+    * symbols). A curated SURE subset of the ~2.2k HTML5 list — names only go
+    * in here with a verified codepoint; unknown names still pass through
+    * verbatim rather than decode wrongly. */
+  private val html5: Array[(String, Int)] = Array(
+    // ASCII punctuation names
+    "excl" -> 33, "num" -> 35, "dollar" -> 36, "percnt" -> 37,
+    "lpar" -> 40, "rpar" -> 41, "ast" -> 42, "midast" -> 42, "plus" -> 43,
+    "comma" -> 44, "period" -> 46, "sol" -> 47, "colon" -> 58, "semi" -> 59,
+    "equals" -> 61, "quest" -> 63, "commat" -> 64, "lsqb" -> 91, "bsol" -> 92,
+    "rsqb" -> 93, "Hat" -> 94, "lowbar" -> 95, "grave" -> 96, "lbrace" -> 123,
+    "verbar" -> 124, "rbrace" -> 125,
+    // alias names for 4.01 codepoints
+    "TRADE" -> 8482, "leq" -> 8804, "geq" -> 8805, "subset" -> 8834,
+    "supset" -> 8835, "subseteq" -> 8838, "supseteq" -> 8839, "wedge" -> 8743,
+    "vee" -> 8744, "emptyset" -> 8709, "ddagger" -> 8225,
+    "NonBreakingSpace" -> 160, "ThinSpace" -> 8201, "ohm" -> 937,
+    "angst" -> 197, "OpenCurlyQuote" -> 8216, "CloseCurlyQuote" -> 8217,
+    "OpenCurlyDoubleQuote" -> 8220, "CloseCurlyDoubleQuote" -> 8221,
+    // spaces and dashes
+    "hairsp" -> 8202, "puncsp" -> 8200, "numsp" -> 8199, "emsp13" -> 8196,
+    "emsp14" -> 8197, "hyphen" -> 8208, "dash" -> 8208, "horbar" -> 8213,
+    "Vert" -> 8214,
+    // symbols
+    "star" -> 9734, "starf" -> 9733, "check" -> 10003, "cross" -> 10007,
+    "male" -> 9794, "female" -> 9792, "phone" -> 9742, "numero" -> 8470,
+    "copysr" -> 8471, "flat" -> 9837, "sharp" -> 9839,
+    // arrows and math beyond 4.01
+    "Larr" -> 8606, "Rarr" -> 8608, "mapsto" -> 8614, "ll" -> 8810,
+    "gg" -> 8811, "setminus" -> 8726, "coprod" -> 8720,
+    // letterlike
+    "imath" -> 305, "jmath" -> 567, "ell" -> 8467, "hbar" -> 8463,
+    "planck" -> 8463, "naturals" -> 8469, "reals" -> 8477,
+    "rationals" -> 8474, "integers" -> 8484, "complexes" -> 8450,
+    // fractions U+2153..U+215E
+    "frac13" -> 8531, "frac23" -> 8532, "frac15" -> 8533, "frac25" -> 8534,
+    "frac35" -> 8535, "frac45" -> 8536, "frac16" -> 8537, "frac56" -> 8538,
+    "frac18" -> 8539, "frac38" -> 8540, "frac58" -> 8541, "frac78" -> 8542)
+
   private def cp(c: Int): String = new String(Character.toChars(c))
 
   private[extract] val named: java.util.HashMap[String, String] = {
@@ -91,6 +131,7 @@ object Entities {
     i = 0
     while (i < greekLower.length) { m.put(greekLower(i), cp(945 + i)); i += 1 }
     for ((n, c) <- explicit) m.put(n, cp(c))
+    for ((n, c) <- html5) m.put(n, cp(c))
     // HTML5 legacy uppercase aliases (semicolon or bare)
     for (n <- Array("AMP" -> 38, "LT" -> 60, "GT" -> 62, "QUOT" -> 34,
       "COPY" -> 169, "REG" -> 174)) m.put(n._1, cp(n._2))

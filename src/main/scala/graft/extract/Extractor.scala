@@ -216,22 +216,40 @@ object Extractor {
         }
         else {
           val from = math.max(blocks.segStart(s), bom)
-          val len = blocks.segEnd(s) - from
+          val segEnd = blocks.segEnd(s)
+          val len = segEnd - from
           if (len > 0) {
-            val dec = new String(input, from, len, charset)
             val inLink = blocks.segInLink(s)
             val inPre = blocks.segInPre(s)
-            var i = 0
-            while (i < dec.length) {
-              val c = dec.charAt(i)
-              if (c == '&') {
-                val rep = Entities.decodeAt(dec, i, endAfter)
-                if (rep != null) {
-                  var r = 0
-                  while (r < rep.length) { putChar(rep.charAt(r), inLink, inPre); r += 1 }
-                  i = endAfter(0)
+            // fast path: a pure-ASCII segment with no entity start decodes to
+            // its own bytes under EVERY rawByteSafe charset (the 0x00-0x7F
+            // roundtrip probe in Charsets guarantees it), so the String
+            // allocation + charset decode can be skipped — most segments of
+            // most pages take this path
+            var asciiNoAmp = true
+            var p = from
+            while (asciiNoAmp && p < segEnd) {
+              val b = input(p)
+              if (b < 0 || b == '&') asciiNoAmp = false
+              p += 1
+            }
+            if (asciiNoAmp) {
+              p = from
+              while (p < segEnd) { putChar(input(p).toChar, inLink, inPre); p += 1 }
+            } else {
+              val dec = new String(input, from, len, charset)
+              var i = 0
+              while (i < dec.length) {
+                val c = dec.charAt(i)
+                if (c == '&') {
+                  val rep = Entities.decodeAt(dec, i, endAfter)
+                  if (rep != null) {
+                    var r = 0
+                    while (r < rep.length) { putChar(rep.charAt(r), inLink, inPre); r += 1 }
+                    i = endAfter(0)
+                  } else { putChar(c, inLink, inPre); i += 1 }
                 } else { putChar(c, inLink, inPre); i += 1 }
-              } else { putChar(c, inLink, inPre); i += 1 }
+              }
             }
           }
         }

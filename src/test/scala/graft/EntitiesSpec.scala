@@ -58,7 +58,8 @@ class EntitiesSpec extends AnyFunSuite {
   test("case sensitivity is spec-exact") {
     assert(Entities.decode("&Auml;&auml;") == "Ää")
     assert(Entities.decode("&Sigma;&sigma;") == "Σσ")
-    assert(Entities.decode("&Rarr;") == "&Rarr;") // HTML5-only name not in the 4.01 table
+    assert(Entities.decode("&Rarr;") == "↠") // HTML5 second tier
+    assert(Entities.decode("&Rarrtl;") == "&Rarrtl;") // beyond the curated set: pass through
   }
 
   test("decode is non-destructive on plain text and stray ampersands") {
