@@ -281,6 +281,8 @@ object SparkEntry {
     // compare bounded — the operator itself is unbounded (pure window math)
     "d11_word_spans" -> ((s, dir) =>
       TextFunctions.wordSpans(docs(s, dir).filter(col("doc_id") < 200))),
+    // BPE-ish sub-word token counting next to the whitespace count
+    "d13_bpe_tokens" -> ((s, dir) => TextFunctions.bpeTokenStats(docs(s, dir))),
     // RTL segment reversal (pred_reverse analog) — row-local, fully pushable
     "d12_pred_reverse" -> ((s, dir) =>
       docs(s, dir).filter(col("doc_id") < 200)
@@ -519,6 +521,13 @@ object SparkEntry {
          |  FROM toks GROUP BY doc_id)
          |SELECT doc_id, ($bits)::BIGINT AS simhash16
          |FROM votes ORDER BY doc_id""".stripMargin
+    },
+    "d13_bpe_tokens" -> {
+      val pat = TextFunctions.bpePattern.replace("'", "''") // SQL-literal escape
+      s"""SELECT doc_id,
+         |       len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+         |       len(regexp_extract_all(text, '$pat'))::BIGINT AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin
     },
     "d12_pred_reverse" ->
       """SELECT doc_id,

@@ -31,6 +31,24 @@ object TextFunctions {
       length(col("text")).cast("long").as("n_chars"))
       .orderBy("doc_id")
 
+  /** BPE-ish pre-tokenizer pattern (the GPT-2 family shape, lookahead-free so
+    * the SAME pattern runs identically under Java regex and DuckDB's RE2):
+    * English contractions, optional-space letter runs, optional-space digit
+    * runs, optional-space punctuation runs. */
+  val bpePattern: String =
+    "('s|'t|'re|'ve|'m|'ll|'d)|( ?[A-Za-zÀ-ÿ]+)|( ?[0-9]+)|( ?[^A-Za-zÀ-ÿ0-9 ]+)"
+
+  /** BPE-ish token counting (builder prompt: "whitespace + a BPE-ish regex"):
+    * counts sub-word-style tokens per document next to the whitespace count.
+    * Pure codegen'd regexp — one pass, no UDFs. */
+  def bpeTokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+        .cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
   /** Quality scoring: length/punctuation/stopword ratios — the graft of the
     * reference's drop_score confidence gate inputs (block features that feed
     * a keep/drop decision, tools/infer/predict_system.py:149-154).
@@ -53,13 +71,22 @@ object TextFunctions {
 
   /** Marker lexicons for the language-ID vote (public-knowledge function
     * words; the heuristic itself is the deliverable, per-token equality —
-    * not substring — so it is exactly expressible in SQL too). */
+    * not substring — so it is exactly expressible in SQL too). Markers are
+    * chosen to be unambiguous across the covered set; no-space scripts
+    * (ja/ko) need shingle markers rather than token equality and stay with
+    * the charset-level signal. The DuckDB oracle builds its VALUES table from
+    * this same Seq, so the two sides can never drift. */
   val langMarkers: Seq[(String, String)] = Seq(
     "en" -> "the", "en" -> "and", "en" -> "of", "en" -> "is", "en" -> "a",
     "de" -> "der", "de" -> "die", "de" -> "und", "de" -> "ist", "de" -> "das",
     "fr" -> "le", "fr" -> "la", "fr" -> "et", "fr" -> "est", "fr" -> "les",
     "es" -> "el", "es" -> "los", "es" -> "y", "es" -> "es", "es" -> "de",
-    "zh" -> "的", "zh" -> "是", "zh" -> "了", "zh" -> "在", "zh" -> "我")
+    "zh" -> "的", "zh" -> "是", "zh" -> "了", "zh" -> "在", "zh" -> "我",
+    "ru" -> "и", "ru" -> "в", "ru" -> "не", "ru" -> "на", "ru" -> "что",
+    "pt" -> "não", "pt" -> "uma", "pt" -> "você", "pt" -> "são", "pt" -> "também",
+    "it" -> "di", "it" -> "che", "it" -> "della", "it" -> "sono", "it" -> "anche",
+    "nl" -> "het", "nl" -> "een", "nl" -> "niet", "nl" -> "voor", "nl" -> "zijn",
+    "ar" -> "في", "ar" -> "من", "ar" -> "على", "ar" -> "أن", "ar" -> "هذا")
 
   /** N-gram-heuristic language ID: explode tokens, broadcast-join the marker
     * lexicon (≡ the char-dict broadcast pattern), vote per (doc, lang), argmax

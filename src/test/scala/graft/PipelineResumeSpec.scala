@@ -90,4 +90,27 @@ class PipelineResumeSpec extends AnyFunSuite {
     assert(small < 8)
     assert(mega >= 8 && mega < 10)
   }
+
+  test("unparseable PDFs surface in lineage, never as silent empties") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(0L)
+    val rows = Seq(
+      graft.model.PageRow("https://x/ok", ts,
+        "<html><body><p>perfectly fine paragraph text</p></body></html>".getBytes("UTF-8"), null, "en"),
+      graft.model.PageRow("https://x/badpdf", ts,
+        "%PDF-1.7\nthis is junk that cannot parse\n%%EOF\n".getBytes("UTF-8"), null, "en"),
+      graft.model.PageRow("https://x/empty", ts, Array.emptyByteArray, null, "en"))
+    val out = tmp()
+    ExtractPipeline.run(spark, rows.toDS(), out, PipelineConf(numBuckets = 4, megaBuckets = 1))
+    val lin = ExtractPipeline.lineage(spark, out)
+      .agg(sum("unparsedDocs"), sum("emptyDocs"), sum("docs")).head
+    assert(lin.getLong(0) == 1, s"unparsedDocs: $lin")
+    assert(lin.getLong(1) == 2, s"emptyDocs (bad pdf + empty payload): $lin")
+    assert(lin.getLong(2) == 3)
+    val statuses = ExtractPipeline.output(spark, out)
+      .select("url", "docStatus").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(statuses("https://x/badpdf") == "pdf_unparsed")
+    assert(statuses("https://x/ok") == "ok")
+  }
 }
