@@ -95,6 +95,14 @@ object SparkEntry {
     "x07_pdf_paged" -> ((s, _) =>
       graft.pipeline.PdfPagedExtract.run(CorpusSource.pages(s, 280))
         .orderBy("url")),
+    // word-level offsets over EXTRACTION output (cal_ocr_word_box applied to
+    // extracted text; rows-only check — corpus-synthesized input). The spans
+    // tile the text exactly (property-tested in DedupSimilaritySpec).
+    "x10_extract_word_spans" -> ((s, _) =>
+      TextFunctions.wordSpans(
+        Extract.run(CorpusSource.pages(s, 140)).toDF()
+          .filter(length(col("text")) > 0)
+          .select(col("url").as("doc_id"), col("text")))),
     // PDF branch: page/span explode over PDF payloads only
     "x06_pdf_spans" -> ((s, _) =>
       Extract.run(CorpusSource.pages(s, 280)).toDF()

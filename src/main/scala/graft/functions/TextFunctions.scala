@@ -88,30 +88,34 @@ object TextFunctions {
     "nl" -> "het", "nl" -> "een", "nl" -> "niet", "nl" -> "voor", "nl" -> "zijn",
     "ar" -> "في", "ar" -> "من", "ar" -> "على", "ar" -> "أن", "ar" -> "هذا")
 
-  /** N-gram-heuristic language ID: explode tokens, broadcast-join the marker
-    * lexicon (≡ the char-dict broadcast pattern), vote per (doc, lang), argmax
-    * with deterministic tie-break (votes desc, lang asc); docs with no marker
-    * hits predict "und". */
+  /** N-gram-heuristic language ID as a ZERO-SHUFFLE map-side vote: per
+    * language, votes = occurrences of that language's marker tokens (a
+    * higher-order `filter` over the token array — the marker lexicons compile
+    * into the plan as literals, the in-plan form of the char-dict broadcast);
+    * argmax by a left-to-right fold over languages in ascending order with a
+    * strict `>`, which reproduces the (votes desc, lang asc) tie-break of the
+    * windowed formulation exactly. No explode, no join, no window — the
+    * whole operator is row-local, so at 10^12 rows it runs inside the scan
+    * stage (the r1 version shuffled (doc, lang) vote pairs twice). Docs with
+    * no marker hits predict "und". */
   def langId(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val markers = langMarkers.toDF("cand_lang", "marker")
-    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val votes = toks.join(broadcast(markers), col("tok") === col("marker"))
-      .groupBy(col("doc_id"), col("cand_lang"))
-      .agg(count(lit(1)).as("votes"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("votes").desc, col("cand_lang").asc)
-    val best = votes.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("cand_lang"), col("votes"))
-    docs.select(col("doc_id"), col("lang"))
-      .join(best, Seq("doc_id"), "left")
-      .select(
+    val ws = tokens(col("text"))
+    val byLang = langMarkers.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val langsAsc = byLang.keys.toSeq.sorted
+    val cands = array(langsAsc.map { l =>
+      val markers = array(byLang(l).map(lit): _*)
+      struct(
+        size(filter(ws, t => array_contains(markers, t))).cast("long").as("v"),
+        lit(l).as("cand_lang"))
+    }: _*)
+    val best = aggregate(cands,
+      struct(lit(0L).as("v"), lit("und").as("cand_lang")),
+      (acc, x) => when(x.getField("v") > acc.getField("v"), x).otherwise(acc))
+    docs.select(
         col("doc_id"),
-        coalesce(col("cand_lang"), lit("und")).as("pred_lang"),
-        coalesce(col("votes"), lit(0L)).as("votes"),
-        (coalesce(col("cand_lang"), lit("und")) === col("lang")).as("matches_label"))
+        best.getField("cand_lang").as("pred_lang"),
+        best.getField("v").as("votes"),
+        (best.getField("cand_lang") === col("lang")).as("matches_label"))
       .orderBy("doc_id")
   }
 

@@ -43,9 +43,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
-  test("d03: marker lexicon joins as broadcast (char-dict pattern)") {
+  test("d03: language vote is join-free; only the presentation sort shuffles") {
     val plan = planOf("d03_lang_id")
-    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the marker lexicons are in-plan literals (the char-dict broadcast made
+    // static); the vote itself is row-local — no join, no aggregation shuffle
+    assert(!plan.contains("Join"), plan)
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 1, plan)
   }
 
   test("extraction stage is shuffle-free") {
