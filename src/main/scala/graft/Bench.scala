@@ -104,10 +104,13 @@ object Bench {
     // level keeps its best trial. Higher levels run the corpus several times
     // per trial so every measurement window is a comparable length.
     val levels = Seq(1, 2, 4, 8, cpus).distinct
-    // repeats scale with the level so every window is a comparable length
-    // AND long enough that steal bursts average out (the union inside
-    // extractRun keeps it one job regardless of the repeat count)
-    val repeats: Map[Int, Int] = levels.map(l => l -> math.max(1, l)).toMap
+    // repeats scale with the level so every window is a comparable ~9s length
+    // AND long enough that (a) steal bursts average out and (b) the one-time
+    // job setup (~0.3s) is the SAME small fraction of every window — with
+    // r=1 at level 1 the setup was 14% of its window vs 3% at level 32,
+    // which overstated efficiency to a superlinear raw 1.02 (the union
+    // inside extractRun keeps each window one job regardless of r)
+    val repeats: Map[Int, Int] = levels.map(l => l -> math.max(4, l * 4)).toMap
     val best = scala.collection.mutable.Map.empty[Int, (Double, Double, Map[String, Long])]
     val roundRates = Array.fill(trials)(scala.collection.mutable.Map.empty[Int, Double])
     val checksums = scala.collection.mutable.Map.empty[Int, Long]

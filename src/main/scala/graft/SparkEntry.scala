@@ -310,6 +310,11 @@ object SparkEntry {
     // closed by the final watermark (end <= max(ts) - delay)
     "s02_stream_append" -> ((s, dir) =>
       graft.streaming.EventStream.runStreamAppend(s, dir)),
+    // streaming EXTRACTION: the pure kernel over file micro-batches — drained
+    // output byte-identical to batch extraction (StreamingSpec); rows-only
+    "s03_stream_extract" -> ((s, _) =>
+      graft.streaming.PageStream.runStreamExtract(s, CorpusSource.pages(s, 140))
+        .drop("text")),
 
     // ================= similarity ops over `embeddings` ====================
     "e01_knn_brute" -> ((s, dir) => SimilarityFunctions.knnBrute(emb(s, dir), 5, 5)),

@@ -24,6 +24,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming extraction is byte-identical to batch extraction") {
+    import graft.pipeline.{CorpusSource, Extract}
+    val pages = CorpusSource.pages(spark, 96)
+    val streamed = graft.streaming.PageStream.runStreamExtract(spark, pages)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getInt(2))).toMap
+    val batch = Extract.run(pages).collect()
+      .map(d => d.url -> (d.text, d.nSpans)).toMap
+    assert(streamed.size == 96 && streamed == batch)
+  }
+
   test("append-mode stream emits exactly the watermark-closed windows") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
