@@ -41,7 +41,10 @@ object Main {
     m.toMap
   }
 
-  def main(args: Array[String]): Unit = {
+  /** Parse args and run the pipeline on the given session. Returns
+    * (bucketsProcessed, totalDocs). Factored out of main so the CLI surface
+    * is end-to-end testable without owning the session lifecycle. */
+  def run(spark: SparkSession, args: Array[String]): (Long, Long) = {
     val a = parseArgs(args)
     val in = a.getOrElse("in", sys.error("--in <pages parquet> is required"))
     val out = a.getOrElse("out", sys.error("--out <output dir> is required"))
@@ -57,6 +60,17 @@ object Main {
         dropScore = a.get("drop-score").map(_.toDouble).getOrElse(0.05),
         maxPdfPages = a.get("max-pdf-pages").map(_.toInt).getOrElse(10000)))
 
+    import spark.implicits._
+    val pages = spark.read.parquet(in).as[PageRow]
+    val n = ExtractPipeline.run(spark, pages, out, conf,
+      resume = a.contains("resume"),
+      attempt = a.get("attempt").map(_.toInt).getOrElse(0))
+    val docs = ExtractPipeline.output(spark, out).count()
+    println(s"""{"buckets_processed":$n,"total_docs":$docs,"out":"$out"}""")
+    (n, docs)
+  }
+
+  def main(args: Array[String]): Unit = {
     // spark-submit provides master/memory; local fallback for direct runs
     val builder = SparkSession.builder().appName("graft-extract")
     val spark = (if (sys.props.contains("spark.master")) builder
@@ -66,14 +80,7 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-
-    val pages = spark.read.parquet(in).as[PageRow]
-    val n = ExtractPipeline.run(spark, pages, out, conf,
-      resume = a.contains("resume"),
-      attempt = a.get("attempt").map(_.toInt).getOrElse(0))
-    val docs = ExtractPipeline.output(spark, out).count()
-    println(s"""{"buckets_processed":$n,"total_docs":$docs,"out":"$out"}""")
+    run(spark, args)
     spark.stop()
   }
 }
