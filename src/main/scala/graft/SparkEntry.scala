@@ -103,6 +103,18 @@ object SparkEntry {
         Extract.run(CorpusSource.pages(s, 140)).toDF()
           .filter(length(col("text")) > 0)
           .select(col("url").as("doc_id"), col("text")))),
+    // DetResizeForTest arithmetic over media metadata (exact, spec-tested)
+    "x11_media_resize" -> ((s, _) =>
+      MultimodalFunctions.resizePlan(
+          MultimodalFunctions.mediaMeta(CorpusSource.pages(s, 280)))
+        .orderBy("url")),
+    // per-frame explode rows with stub decode (frame-sample plumbing)
+    "x12_frame_sample" -> ((s, _) =>
+      MultimodalFunctions.frameSample(CorpusSource.pages(s, 280))
+        .withColumn("feature_sum",
+          round(aggregate(col("feature"), lit(0.0d), (acc, x) => acc + x.cast("double")), 4))
+        .drop("feature")
+        .orderBy("url", "frame_idx")),
     // PDF branch: page/span explode over PDF payloads only
     "x06_pdf_spans" -> ((s, _) =>
       Extract.run(CorpusSource.pages(s, 280)).toDF()

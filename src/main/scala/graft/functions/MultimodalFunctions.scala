@@ -48,6 +48,57 @@ object MultimodalFunctions {
         digest.map("%02x".format(_)).mkString, w, h, feat)
     }
 
+  /** Resize planning on media metadata — the EXACT arithmetic of the
+    * reference's DetResizeForTest type-0 path (limit the long side to
+    * `limitSideLen`; truncate the scaled dims like Python's int(); round to
+    * the nearest multiple of 32 with HALF_EVEN — Python 3 round() IS
+    * banker's rounding — floor 32; ppocr/data/imaug/operators.py:198-325).
+    * The pixels are stubbed elsewhere; this arithmetic is real and
+    * spec-tested against hand-computed reference values. Pure column
+    * expressions — row-local, no shuffle. */
+  def resizePlan(meta: DataFrame, limitSideLen: Int = 960): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val w = col("width").cast("double")
+    val h = col("height").cast("double")
+    val ratio = when(greatest(w, h) > limitSideLen, lit(limitSideLen.toDouble) / greatest(w, h))
+      .otherwise(lit(1.0))
+    def snap32(c: org.apache.spark.sql.Column) = {
+      val truncated = floor(c) // int(h * ratio): positive values truncate = floor
+      greatest(bround(truncated / 32) * 32, lit(32)).cast("int") // bround = HALF_EVEN
+    }
+    meta.select(col("url"), col("width"), col("height"),
+      snap32(w * ratio).as("out_w"), snap32(h * ratio).as("out_h"))
+  }
+
+  /** STUB frame sampling for video-ish payloads: one row per sampled frame
+    * (url, frame_idx, frame_ts_ms, feature) — the real Spark shape of
+    * frame extraction (explode to per-frame rows that downstream ops join
+    * or embed) with a deterministic fake decoder (no codecs in sandbox).
+    * Frame count = min(maxFrames, 1 + n_bytes/strideBytes); features derive
+    * from md5(payload digest ++ frame_idx). No shuffle: scan → mapPartitions
+    * → rows. */
+  def frameSample(pages: Dataset[PageRow], strideBytes: Int = 4096,
+                  maxFrames: Int = 8): DataFrame = {
+    import pages.sparkSession.implicits._
+    pages.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { p =>
+        val payload = if (p.html == null) Array.emptyByteArray else p.html
+        md.reset()
+        val digest = md.digest(payload)
+        val nFrames = math.min(maxFrames, 1 + payload.length / strideBytes)
+        (0 until nFrames).map { i =>
+          md.reset()
+          md.update(digest)
+          md.update(i.toByte)
+          val fd = md.digest()
+          val feat = Array.tabulate(8)(k => (fd(k) & 0xff).toFloat / 255.0f)
+          (p.url, i, i.toLong * 40L, feat) // 40ms ≈ 25fps frame spacing
+        }
+      }
+    }.toDF("url", "frame_idx", "frame_ts_ms", "feature")
+  }
+
   /** Metadata + stub-decoded features for every page payload, batched per
     * partition. No shuffle: scan → mapPartitions → rows. */
   def mediaMeta(pages: Dataset[PageRow]): DataFrame = {
