@@ -103,6 +103,28 @@ object SparkEntry {
         Extract.run(CorpusSource.pages(s, 140)).toDF()
           .filter(length(col("text")) > 0)
           .select(col("url").as("doc_id"), col("text")))),
+    // end-to-end training-data pipeline COMPOSITION: extract → quality gate →
+    // exact dedup (keep min id per digest) → near-dup removal (Jaccard ≥ 0.9
+    // over LSH candidates, drop the higher id) — the library ops chained the
+    // way a corpus-construction job would chain them. The F14 fixture
+    // category plants exact duplicates of F01 content, so the dedup stages
+    // provably remove rows. Rows-only check (corpus-synthesized input).
+    "x13_training_pipeline" -> ((s, _) => {
+      val docs = Extract.run(CorpusSource.pages(s, 280)).toDF()
+        .filter(length(col("text")) > 0)
+        .select(col("url").as("doc_id"), col("text"))
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .filter(col("n_tokens") >= 5) // quality gate
+      val w = Window.partitionBy(md5(col("text").cast("binary")))
+        .orderBy(col("doc_id"))
+      val exactDeduped = docs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      val nearDups = DedupFunctions.jaccardPairs(exactDeduped, 0.9)
+        .select(col("doc_b").as("doc_id"))
+      exactDeduped.join(nearDups, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
     // DetResizeForTest arithmetic over media metadata (exact, spec-tested)
     "x11_media_resize" -> ((s, _) =>
       MultimodalFunctions.resizePlan(
