@@ -95,6 +95,65 @@ case class TokenCountExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Single-pass 64-bit SimHash kernel over a UTF8String: tokens are the
+  * single-space splits (Spark `split(text, " ")` semantics incl. empty
+  * tokens), each hashed with Spark's own XXH64 (seed 42 — bit-identical to
+  * `xxhash64(tok)`), bits majority-voted by occurrence. Static so codegen
+  * calls it directly without a virtual dispatch. */
+object SimHash64Kernel {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.unsafe.Platform
+
+  def compute(s: UTF8String): Long = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes()
+    val votes = new Array[Int](64)
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      // 0x20 never occurs inside a multi-byte UTF-8 sequence, so byte-level
+      // splitting is exact
+      if (i == n || Platform.getByte(base, off + i) == ' '.toByte) {
+        val h = XXH64.hashUnsafeBytes(base, off + start, i - start, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sim |= 1L << b; b += 1 }
+    sim
+  }
+}
+
+/** `graft_simhash64(s STRING) -> BIGINT`: the whole per-document SimHash in
+  * ONE row-local expression — replaces the explode-every-token → groupBy
+  * formulation whose shuffle re-keyed the entire corpus (at 10^12 rows, the
+  * scale-killer). Codegen stays alive via a static kernel call. */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType}")
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHash64Kernel.compute(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.SimHash64Kernel.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
   import org.apache.spark.sql.graftshim.ColumnBridge
 
@@ -102,12 +161,16 @@ object GraftExpressions {
     ColumnBridge.column(ExtractTextExpr(ColumnBridge.expression(c)))
   def token_count(c: Column): Column =
     ColumnBridge.column(TokenCountExpr(ColumnBridge.expression(c)))
+  def simhash64(c: Column): Column =
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(c)))
 
-  /** Register both as SQL functions on the session. */
+  /** Register all as SQL functions on the session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_extract_text", exprs => ExtractTextExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_token_count", exprs => TokenCountExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash64", exprs => SimHash64Expr(exprs.head), "scala_udf")
   }
 }

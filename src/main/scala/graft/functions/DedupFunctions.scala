@@ -76,24 +76,19 @@ object DedupFunctions {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash over whitespace tokens using xxhash64 (Spark-native,
-    * codegen'd): per bit b, majority vote of token-hash bit b. Production
-    * variant of TextFunctions.simhash16 (which exists for oracle parity);
-    * near-dup pairs = hamming distance ≤ `maxHamming` within same band.
-    */
-  def simhash64(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(TextFunctions.tokens(col("text"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val voteCols = (0 until 64).map { b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"v$b")
-    }
-    val votes = toks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
-    val sim = (0 until 64).map { b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, c) => a.bitwiseOR(c))
-    votes.select(col("doc_id"), sim.as("simhash64")).orderBy("doc_id")
-  }
+  /** 64-bit SimHash over whitespace tokens using xxhash64 semantics: per bit
+    * b, majority vote of token-hash bit b. Production variant of
+    * TextFunctions.simhash16 (which exists for oracle parity); near-dup
+    * pairs = hamming distance ≤ `maxHamming` within same band.
+    *
+    * Computed by the single-pass `graft_simhash64` Catalyst expression —
+    * ZERO shuffle, fully row-local (the previous explode-every-token →
+    * 64-vote groupBy re-keyed the whole corpus through an exchange; the
+    * equivalence of the two formulations is spec-tested bit-for-bit). */
+  def simhash64(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.expressions.GraftExpressions.simhash64(col("text")).as("simhash64"))
+      .orderBy("doc_id")
 
   /** SimHash near-dup pairs: 64/bandBits bands of `bandBits` bits each — docs
     * collide if ANY band matches (a ≤`maxHamming`-bit difference leaves at

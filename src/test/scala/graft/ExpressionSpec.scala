@@ -43,6 +43,37 @@ class ExpressionSpec extends AnyFunSuite {
     assert(got == Seq(3L, 1L, 0L, 2L, 3L))
   }
 
+  test("graft_simhash64 equals the explode+groupBy formulation bit-for-bit") {
+    GraftExpressions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // reference formulation (the r1 implementation): explode every token,
+    // xxhash64 per token, 64 vote sums, recombine
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val voteCols = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"v$b")
+    }
+    val votes = toks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    val sim = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, c) => a.bitwiseOR(c))
+    val want = votes.select(col("doc_id"), sim.as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = docs.select(col("doc_id"), GraftExpressions.simhash64(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == want.size && got == want)
+  }
+
+  test("graft_simhash64 runs inside WholeStageCodegen, zero shuffle") {
+    GraftExpressions.register(spark)
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(GraftExpressions.simhash64(col("text")).as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_simhash64"), s"no codegen span in:\n$plan")
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("token counter runs inside WholeStageCodegen") {
     GraftExpressions.register(spark)
     val df = spark.range(100)
