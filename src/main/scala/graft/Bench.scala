@@ -164,10 +164,16 @@ object Bench {
       .mkString("{", ",", "}")
 
     // --- phase 2: per-query bench on the driver's sf dir ---
+    // noop sink, NOT count(): count() lets the optimizer prune every
+    // projected column, so pure-projection queries would measure only their
+    // scan (observed: a row-local signature query "took" 0.24s by computing
+    // nothing). The noop writer consumes full rows.
     val spark = session(cpus)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      val ok = try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true
+      } catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)

@@ -110,11 +110,16 @@ object SparkEntry {
     // category plants exact duplicates of F01 content, so the dedup stages
     // provably remove rows. Rows-only check (corpus-synthesized input).
     "x13_training_pipeline" -> ((s, _) => {
+      // localCheckpoint = the in-query stand-in for "extraction wrote its
+      // table first": every dedup stage below references `docs` several
+      // times (self-joins + anti-join), and without materialization each
+      // reference re-runs the extraction kernel (measured 160s vs ~4s)
       val docs = Extract.run(CorpusSource.pages(s, 280)).toDF()
         .filter(length(col("text")) > 0)
         .select(col("url").as("doc_id"), col("text"))
         .withColumn("n_tokens", size(split(col("text"), " ")))
         .filter(col("n_tokens") >= 5) // quality gate
+        .localCheckpoint()
       val w = Window.partitionBy(md5(col("text").cast("binary")))
         .orderBy(col("doc_id"))
       val exactDeduped = docs.withColumn("rn", row_number().over(w))

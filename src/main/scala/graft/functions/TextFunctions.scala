@@ -96,7 +96,10 @@ object TextFunctions {
     * strict `>`, which reproduces the (votes desc, lang asc) tie-break of the
     * windowed formulation exactly. No explode, no join, no window — the
     * whole operator is row-local, so at 10^12 rows it runs inside the scan
-    * stage (the r1 version shuffled (doc, lang) vote pairs twice). Docs with
+    * stage (the r1 version shuffled (doc, lang) vote pairs twice). Measured
+    * trade at sf0.1: ~30% more single-node CPU than the exploded+joined form
+    * (higher-order lambdas evaluate interpreted) for zero exchanges — the
+    * right side of that trade everywhere beyond a single node. Docs with
     * no marker hits predict "und". */
   def langId(docs: DataFrame): DataFrame = {
     val ws = tokens(col("text"))
@@ -181,8 +184,13 @@ object TextFunctions {
     *
     * Shape: explode shingles to rows, then k `min` aggregations in ONE
     * groupBy — a single narrow shuffle of (doc_id, shingle) pairs with
-    * map-side combine, rather than k nested array-lambda evaluations per row
-    * (which defeat common-subexpression elimination and blow up codegen). */
+    * map-side combine. A zero-shuffle `array_min(transform(...))` rewrite
+    * was MEASURED ~7× slower per evaluation: higher-order lambdas evaluate
+    * interpreted (md5 per element outside codegen) while the exploded path
+    * keeps md5 inside WholeStageCodegen, and self-joins downstream (d07/d08)
+    * re-evaluate a row-local projection once per side whereas the exchange
+    * here is computed once and reused. The shuffle is small (doc_id +
+    * shingle) and combines map-side — it IS the materialization point. */
   def minhashSignature(docs: DataFrame, k: Int): DataFrame = {
     val base = docs.select(col("doc_id"), tokens(col("text")).as("ws"))
     val sh = base.filter(size(col("ws")) >= 3)
@@ -197,7 +205,11 @@ object TextFunctions {
   /** 16-plane SimHash from the top bit of each md5 nibble, per token
     * occurrence: plane d is 1 iff the majority of tokens have md5 hex digit
     * d+1 in [8..f]. Exactly expressible in SQL (oracle-checked); the 64-bit
-    * production variant lives in Dedup.simhash64. */
+    * production variant (and the SCALE path — a compiled single-pass
+    * Catalyst expression, zero shuffle) lives in Dedup.simhash64. This
+    * oracle variant deliberately keeps the exploded codegen'd shape: a
+    * row-local transform/filter rewrite measured 2× slower (higher-order
+    * lambdas evaluate interpreted). */
   def simhash16(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok").cast("binary")))
