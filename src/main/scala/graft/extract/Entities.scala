@@ -165,6 +165,10 @@ object Entities {
 
   private def numeric(cp0: Int): String = {
     if (cp0 >= 0x80 && cp0 <= 0x9f) return c1Remap(cp0 - 0x80)
+    // HTML5: surrogate-range references decode to U+FFFD — emitting a lone
+    // UTF-16 surrogate would make an ill-formed String whose parquet/UTF-8
+    // round trip ('?' substitution) breaks the byte-identity contract
+    if (cp0 >= 0xd800 && cp0 <= 0xdfff) return "�"
     if (cp0 > 0 && Character.isValidCodePoint(cp0)) new String(Character.toChars(cp0))
     else null
   }

@@ -81,10 +81,14 @@ object TokenFlags {
   final val HintContent = 4
   // colspan-1 / rowspan-1 packed in bits 4..13 / 14..23 (0 ⇒ span 1; the
   // HTML5 clamp is 1000, we cap at the 10-bit 1023) — table structure decode
-  // carries spans like the reference (ppocr/postprocess/table_postprocess.py:60-94)
+  // carries spans like the reference (ppocr/postprocess/table_postprocess.py:60-94).
+  // Seen-markers make repeated attributes first-one-wins (browsers' rule) —
+  // OR-merging a duplicate would produce a span matching neither value.
   final val ColspanShift = 4
   final val RowspanShift = 14
   final val SpanMask = 0x3ff
+  final val ColspanSeen = 1 << 24
+  final val RowspanSeen = 1 << 25
 
   def colspan(flag: Int): Int = ((flag >>> ColspanShift) & SpanMask) + 1
   def rowspan(flag: Int): Int = ((flag >>> RowspanShift) & SpanMask) + 1
@@ -128,43 +132,51 @@ object Charsets {
       case "utf-8" | "utf8" | "ascii" | "us-ascii"           => Utf8
       case "latin-1" | "latin1" | "iso-8859-1" | "iso8859-1" => Latin1
       // the long tail goes through the JVM registry, which knows the standard
-      // alias webs (sjis/shift-jis/ms_kanji → Shift_JIS, cpNNNN → windows-NNNN,
-      // gb2312/gbk/big5/euc-kr/koi8-r/iso-8859-N/tis-620 …); unknown or
-      // unsupported names fall back to UTF-8
+      // alias webs (sjis/shift-jis/ms_kanji → Shift_JIS, cpNNNN →
+      // windows-NNNN, gb2312/gbk/big5/euc-kr/koi8-r/iso-8859-N/tis-620 …);
+      // unknown or unsupported names fall back to UTF-8
       case other =>
-        try {
-          val c = other match {
-            case "cp1250" | "cp1251" | "cp1252" | "cp1253" | "cp1254" | "cp1255" | "cp1256" | "cp1257" | "cp1258" =>
-              Charset.forName("windows-" + other.substring(2))
-            case _ => Charset.forName(other)
-          }
-          c
-        } catch { case _: Exception => Utf8 }
+        try Charset.forName(other)
+        catch { case _: Exception => Utf8 }
     }
     resolveCache.put(key, cs)
     cs
   }
 
+  /** Canonical names of multi-byte charsets KNOWN to keep every trail byte ≥
+    * 0x40 (so no structural HTML byte can appear inside a character). This is
+    * a whitelist on purpose: default-allow would wrongly admit e.g. Johab
+    * (trail bytes include 0x3C '<') or the escape-switched x-windows-5022x
+    * JIS variants whose names don't contain "ISO-2022". */
+  private val multiByteSafe: Set[String] = Set(
+    "UTF-8", "Shift_JIS", "windows-31j", "x-MS932_0213", "GBK", "GB2312",
+    "x-mswin-936", "GB18030", "Big5", "Big5-HKSCS", "x-windows-950",
+    "EUC-JP", "EUC-KR", "x-windows-949")
+
   /** True when raw-byte tokenization is sound for this charset: it must be an
     * ASCII superset AND no multi-byte sequence may contain a byte < 0x40
     * (every HTML-structural byte is < 0x40, so '<' etc. are then unambiguous).
-    * Checked by name for the families where that's a known property, plus an
-    * ASCII-roundtrip probe that rejects EBCDIC-style non-supersets. UTF-16/32
-    * and ISO-2022 (escape-switched G0) are explicitly unsafe. */
+    * Sound = single-byte charsets passing an ASCII-roundtrip probe (rejects
+    * EBCDIC-style non-supersets), or the whitelisted multi-byte families
+    * above. Everything else — UTF-16/32, ISO-2022, Johab, autodetectors —
+    * takes the transcode-first path. */
   def rawByteSafe(cs: Charset): Boolean = {
     val key = cs.name()
     val cached = safeCache.get(key)
     if (cached != null) return cached.booleanValue()
-    val up = key.toUpperCase
     val safe =
-      if (up.startsWith("UTF-16") || up.startsWith("UTF-32") ||
-        up.startsWith("X-UTF-16") || up.startsWith("X-UTF-32") ||
-        up.contains("ISO-2022") || up.contains("ISO2022")) false
+      if (multiByteSafe.contains(key)) true
       else {
-        // ASCII roundtrip probe: 0x00-0x7F must decode to themselves
-        val ascii = Array.tabulate[Byte](128)(_.toByte)
-        val dec = new String(ascii, cs)
-        dec.length == 128 && (0 until 128).forall(i => dec.charAt(i) == i.toChar)
+        val singleByte =
+          try cs.canEncode && cs.newEncoder().maxBytesPerChar() == 1.0f
+          catch { case _: Exception => false }
+        if (!singleByte) false
+        else {
+          // ASCII roundtrip probe: 0x00-0x7F must decode to themselves
+          val ascii = Array.tabulate[Byte](128)(_.toByte)
+          val dec = new String(ascii, cs)
+          dec.length == 128 && (0 until 128).forall(i => dec.charAt(i) == i.toChar)
+        }
       }
     safeCache.put(key, java.lang.Boolean.valueOf(safe))
     safe
@@ -193,7 +205,13 @@ object Charsets {
         while (j < head.length && (head(j).isLetterOrDigit || head(j) == '-' || head(j) == '_')) {
           sb.append(head(j)); j += 1
         }
-        return (resolve(sb.toString), 0)
+        val declared = resolve(sb.toString)
+        // HTML5 §13.2: a meta-declared utf-16 label means utf-8 — the
+        // declaration was readable as ASCII bytes, which proves the payload
+        // is NOT utf-16 (real utf-16 is caught by the BOM checks above)
+        val cs =
+          if (declared.name().toUpperCase.startsWith("UTF-16")) Utf8 else declared
+        return (cs, 0)
       }
       m = head.indexOf("<meta", m + 5)
     }
@@ -373,10 +391,17 @@ object HtmlTokenizer {
         }
         if (vStart >= 0) {
           if (nameIs(input, anStart, anLen, "href")) flag |= TokenFlags.HasHref
-          else if (nameIs(input, anStart, anLen, "colspan"))
-            flag |= TokenFlags.packSpan(parseUInt(input, vStart, vEnd), TokenFlags.ColspanShift)
-          else if (nameIs(input, anStart, anLen, "rowspan"))
-            flag |= TokenFlags.packSpan(parseUInt(input, vStart, vEnd), TokenFlags.RowspanShift)
+          else if (nameIs(input, anStart, anLen, "colspan")) {
+            if ((flag & TokenFlags.ColspanSeen) == 0) {
+              flag |= TokenFlags.ColspanSeen |
+                TokenFlags.packSpan(parseUInt(input, vStart, vEnd), TokenFlags.ColspanShift)
+            }
+          } else if (nameIs(input, anStart, anLen, "rowspan")) {
+            if ((flag & TokenFlags.RowspanSeen) == 0) {
+              flag |= TokenFlags.RowspanSeen |
+                TokenFlags.packSpan(parseUInt(input, vStart, vEnd), TokenFlags.RowspanShift)
+            }
+          }
           else if (nameIs(input, anStart, anLen, "class") || nameIs(input, anStart, anLen, "id")) {
             var k = 0
             var done = false

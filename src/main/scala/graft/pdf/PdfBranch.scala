@@ -45,8 +45,10 @@ object PdfBranch {
   /** Pages of one payload + parse status, shared by the single-pass extract
     * and the per-page explode path (PdfPagedExtract) so both are structurally
     * identical. `pagesTruncated` = the maxPdfPages cap fired (≡ img[:page_num],
-    * tools/infer/predict_system.py:221-224); `status` = "ok" | "pdf_unparsed"
-    * (unparsed is never silent — it lands in lineage). */
+    * tools/infer/predict_system.py:221-224); `status` = "ok" | "pdf_partial"
+    * (some content streams failed to decode — the extracted text is missing
+    * those pages) | "pdf_unparsed" (nothing decodable). Neither failure mode
+    * is silent: lineage counts every status ≠ "ok" as unparsedDocs. */
   final case class PdfPages(pages: Vector[(Int, Vector[PBlock])], status: String,
                             pagesTruncated: Boolean)
 
@@ -59,7 +61,9 @@ object PdfBranch {
           val pages = p.pages.map(pg => (pg.pageW, pg.blocks))
           val anyText = pages.exists(_._2.nonEmpty)
           val status =
-            if (!anyText && p.decodeFailures > 0) "pdf_unparsed" else "ok"
+            if (p.decodeFailures == 0) "ok"
+            else if (anyText) "pdf_partial" // text emitted, but pages are missing
+            else "pdf_unparsed"
           PdfPages(pages, status, p.pagesTruncated)
         case None => PdfPages(Vector.empty, "pdf_unparsed", pagesTruncated = false)
       }

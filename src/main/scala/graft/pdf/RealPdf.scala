@@ -57,7 +57,8 @@ object RealPdf {
 
   // ---------------------------------------------------------------- objects
 
-  private final case class PdfObj(num: Int, dict: String, streamRaw: Array[Byte])
+  private final case class PdfObj(num: Int, dict: String, streamRaw: Array[Byte],
+                                  offset: Int)
 
   /** Latin-1 is a 1:1 byte↔char map, so string offsets == byte offsets. */
   private def byteView(payload: Array[Byte]): String =
@@ -140,7 +141,7 @@ object RealPdf {
           }
         }
       }
-      if (!out.contains(num)) out += num -> PdfObj(num, dict, streamRaw)
+      if (!out.contains(num)) out += num -> PdfObj(num, dict, streamRaw, m.start)
       pos = math.max(next, m.end)
     }
     out.toMap
@@ -509,9 +510,10 @@ object RealPdf {
             }
           }
         }
-        // provenance offsets: the first content object's position in the payload
-        val off = contentRefs.headOption
-          .map(r => s.indexOf(s"$r 0 obj")).filter(_ >= 0).getOrElse(0)
+        // provenance offsets: the first content object's position, taken from
+        // the sequential scan (a substring re-search could match "4 0 obj"
+        // inside "14 0 obj" or inside compressed stream bytes)
+        val off = contentRefs.headOption.flatMap(objs.get).map(_.offset).getOrElse(0)
         val chunks = datas.flatMap(extractChunks).toVector
         Page(math.round(w).toInt, math.round(h).toInt,
           chunksToBlocks(chunks, h, off, math.min(payload.length, off + 1)))

@@ -130,11 +130,7 @@ object ChunkedExtract {
           minChunkBytes: Int = 256 * 1024): Dataset[ExtractedDoc] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    pages
-      .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
-        it.zipWithIndex.map { case (p, i) => (pid << 36 | i.toLong, p) }
-      }
+    RowIds.keyed(pages)
       .flatMap { case (uid, p) => chunkRows(p, cfg, chunkThreshold, minChunkBytes, uid) }
       .repartition(spark.sparkContext.defaultParallelism * 2) // spread mega-doc chunks
       .mapPartitions { it =>

@@ -77,11 +77,7 @@ object PdfPagedExtract {
   def run(pages: Dataset[PageRow],
           cfg: graft.extract.ExtractConfig = graft.extract.ExtractConfig()): DataFrame = {
     import pages.sparkSession.implicits._
-    pages
-      .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
-        it.zipWithIndex.map { case (p, i) => (pid << 36 | i.toLong, p) }
-      }
+    RowIds.keyed(pages)
       .flatMap { case (uid, p) =>
         val payload =
           if (p.html != null && p.html.length > cfg.maxHtmlBytes)

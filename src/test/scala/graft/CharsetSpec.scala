@@ -40,6 +40,21 @@ class CharsetSpec extends AnyFunSuite {
       assert(Charsets.rawByteSafe(Charset.forName(name)), name)
     for (name <- Seq("UTF-16", "UTF-16LE", "UTF-16BE", "ISO-2022-JP", "IBM1047"))
       assert(!Charsets.rawByteSafe(Charset.forName(name)), name)
+    // multi-byte charsets OUTSIDE the known-safe families must transcode:
+    // Johab trail bytes include 0x3C '<'; the 5022x JIS variants are
+    // escape-switched but their canonical names don't say ISO-2022
+    for (name <- Seq("x-Johab", "x-windows-50221", "x-JISAutoDetect"))
+      scala.util.Try(Charset.forName(name)).foreach { cs =>
+        assert(!Charsets.rawByteSafe(cs), name)
+      }
+  }
+
+  test("meta-declared utf-16 means utf-8 (HTML5 rule; real utf-16 has a BOM)") {
+    val doc = """<html><head><meta charset="utf-16"></head><body><p>readable ascii paragraph</p></body></html>"""
+    val (cs, bom) = Charsets.sniff(doc.getBytes(StandardCharsets.UTF_8))
+    assert(cs == StandardCharsets.UTF_8 && bom == 0)
+    assert(Extractor.extract("u", doc.getBytes(StandardCharsets.UTF_8)).text
+      == "readable ascii paragraph")
   }
 
   test("sniff: UTF-16 BOMs are detected") {

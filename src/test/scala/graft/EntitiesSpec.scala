@@ -35,6 +35,8 @@ class EntitiesSpec extends AnyFunSuite {
     assert(Entities.decode("&#65;&#x42;&#x1F600;") == "AB😀")
     assert(Entities.decode("&#147;x&#148; &#133; &#150;") == "“x” … –")
     assert(Entities.decode("&#0; &#x110000;") == "&#0; &#x110000;") // invalid pass through
+    // surrogate range → U+FFFD (a lone surrogate would be an ill-formed String)
+    assert(Entities.decode("&#xD800;&#xDFFF;&#55357;") == "���")
   }
 
   test("bare legacy refs decode without a semicolon; non-legacy don't") {

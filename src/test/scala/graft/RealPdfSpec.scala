@@ -112,6 +112,21 @@ class RealPdfSpec extends AnyFunSuite {
     assert(doc.nSpans == 1)
   }
 
+  test("partially decodable PDF is flagged pdf_partial, text still emitted") {
+    // page 1 decodes (raw stream); page 2 has an unsupported filter
+    val c1 = "BT /F1 12 Tf 50 1100 Td (Readable page.) Tj ET"
+    val pdf = ("%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 800 1200] /Contents 4 0 R >>\nendobj\n" +
+      s"4 0 obj\n<< /Length ${c1.length} >>\nstream\n$c1\nendstream\nendobj\n" +
+      "5 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 800 1200] /Contents 6 0 R >>\nendobj\n" +
+      "6 0 obj\n<< /Length 4 /Filter /DCTDecode >>\nstream\nABCD\nendstream\nendobj\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val doc = Extractor.extract("u", pdf)
+    assert(doc.status == "pdf_partial", doc.status)
+    assert(doc.text == "Readable page.")
+  }
+
   test("fuzz: random bytes after %PDF- never crash, never silently succeed") {
     val rng = new java.util.Random(42)
     for (trial <- 0 until 200) {

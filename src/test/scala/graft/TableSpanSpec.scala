@@ -64,6 +64,15 @@ class TableSpanSpec extends AnyFunSuite {
     assert(extract(t2) == "A\nB")
   }
 
+  test("duplicate span attributes: first one wins (browser rule)") {
+    val t = """<table>
+      |<tr><td rowspan="2" rowspan="5">A</td><td colspan="1" colspan="3">B</td><td>C</td></tr>
+      |<tr><td>D</td><td>E</td></tr>
+      |<tr><td>F</td><td>G</td><td>H</td></tr>
+      |</table>""".stripMargin
+    assert(extract(t) == "A | B | C\n | D | E\nF | G | H")
+  }
+
   test("trailing covered column keeps its slot") {
     val t = """<table>
       |<tr><td>A</td><td rowspan="2">B</td></tr>
