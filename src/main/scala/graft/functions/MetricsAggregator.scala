@@ -16,8 +16,24 @@ object MetricsAggregator {
   final case class Buf(correct: Long, total: Long, normEditSum: Double)
   final case class QaMetric(exactMatch: Double, meanNormEdit: Double, total: Long)
 
-  /** Iterative two-row Levenshtein (no external deps; O(len_a·len_b)). */
-  def levenshtein(a: String, b: String): Int = {
+  /** Iterative two-row Levenshtein (no external deps; O(len_a·len_b)).
+    * Equal strings short-circuit to 0 and a shared prefix/suffix is trimmed
+    * first — in the QA use the common case is byte-identical extraction, and
+    * O(n²) DP on equal multi-KB texts was the whole cost of the metric
+    * (measured 9.5 s of the x08 query). */
+  def levenshtein(a0: String, b0: String): Int = {
+    if (a0 == b0) return 0
+    // trim common prefix/suffix (cannot change the distance)
+    var lo = 0
+    val maxLo = math.min(a0.length, b0.length)
+    while (lo < maxLo && a0.charAt(lo) == b0.charAt(lo)) lo += 1
+    var aHi = a0.length
+    var bHi = b0.length
+    while (aHi > lo && bHi > lo && a0.charAt(aHi - 1) == b0.charAt(bHi - 1)) {
+      aHi -= 1; bHi -= 1
+    }
+    val a = a0.substring(lo, aHi)
+    val b = b0.substring(lo, bHi)
     if (a.isEmpty) return b.length
     if (b.isEmpty) return a.length
     var prev = Array.tabulate(b.length + 1)(identity)
