@@ -49,8 +49,9 @@ final case class ExtractedDoc(
     spans: Seq[Span],
     charset: String,
     truncated: Boolean,
-    /** "ok" | "pdf_unparsed" — a payload that sniffed as PDF but could not be
-      * parsed is recorded, never silently emitted as empty text. */
+    /** "ok" | "pdf_partial" (some PDF content streams failed to decode — the
+      * text is missing those pages) | "pdf_unparsed" (nothing decodable).
+      * Decode loss is recorded, never silent. */
     status: String = "ok"
 )
 

@@ -18,7 +18,7 @@ final case class ExtractedRow(
     spans: Seq[Span],
     charset: String,
     truncated: Boolean,
-    docStatus: String, // "ok" | "pdf_unparsed" (per-doc parse outcome)
+    docStatus: String, // "ok" | "pdf_partial" | "pdf_unparsed" (per-doc parse outcome)
     htmlBytes: Long,
     tokenizeNanos: Long,
     domNanos: Long,
