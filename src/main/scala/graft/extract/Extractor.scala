@@ -112,9 +112,20 @@ object Extractor {
       // contract for this branch.
       val decoded = new String(input, bom, input.length - bom, charset)
       val start = if (decoded.nonEmpty && decoded.charAt(0) == '\uFEFF') 1 else 0
-      val utf8 = decoded.substring(start).getBytes(Charsets.Utf8)
-      val doc = extractHtml(url, utf8, Charsets.Utf8, 0, truncated, cfg, state)
-      doc.copy(charset = charset.name().toLowerCase)
+      val utf8all = decoded.substring(start).getBytes(Charsets.Utf8)
+      // re-apply the byte cap: CJK-heavy UTF-16 re-encodes up to 1.5\u00D7 larger
+      // in UTF-8, and maxHtmlBytes is the per-doc work/memory bound \u2014 trim to
+      // a char boundary so the tail never splits a sequence
+      val (utf8, reTruncated) =
+        if (utf8all.length <= cfg.maxHtmlBytes) (utf8all, false)
+        else {
+          var end = cfg.maxHtmlBytes
+          while (end > 0 && (utf8all(end) & 0xc0) == 0x80) end -= 1
+          (java.util.Arrays.copyOf(utf8all, end), true)
+        }
+      val doc = extractHtml(url, utf8, Charsets.Utf8, 0, truncated || reTruncated,
+        cfg, state)
+      doc.copy(charset = charset.name().toLowerCase(java.util.Locale.ROOT))
     }
   }
 

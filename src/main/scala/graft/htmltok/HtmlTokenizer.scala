@@ -125,7 +125,7 @@ object Charsets {
   private val safeCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   def resolve(name: String): Charset = {
-    val key = name.toLowerCase
+    val key = name.toLowerCase(java.util.Locale.ROOT) // tr-TR 'I'→'ı' trap
     val cached = resolveCache.get(key)
     if (cached != null) return cached
     val cs = key match {
@@ -188,12 +188,21 @@ object Charsets {
   def sniff(b: Array[Byte]): (Charset, Int) = {
     if (b.length >= 3 && b(0) == 0xef.toByte && b(1) == 0xbb.toByte && b(2) == 0xbf.toByte)
       return (Utf8, 3)
+    // UTF-32 BOMs BEFORE UTF-16: FF FE 00 00 is UTF-32LE, and its 2-byte
+    // prefix would otherwise misdetect as UTF-16LE
+    if (b.length >= 4 && b(0) == 0xff.toByte && b(1) == 0xfe.toByte &&
+      b(2) == 0.toByte && b(3) == 0.toByte)
+      return (Charset.forName("UTF-32LE"), 4)
+    if (b.length >= 4 && b(0) == 0.toByte && b(1) == 0.toByte &&
+      b(2) == 0xfe.toByte && b(3) == 0xff.toByte)
+      return (Charset.forName("UTF-32BE"), 4)
     if (b.length >= 2 && b(0) == 0xff.toByte && b(1) == 0xfe.toByte)
       return (StandardCharsets.UTF_16LE, 2)
     if (b.length >= 2 && b(0) == 0xfe.toByte && b(1) == 0xff.toByte)
       return (StandardCharsets.UTF_16BE, 2)
     val n = math.min(b.length, 1024)
-    val head = new String(b, 0, n, StandardCharsets.ISO_8859_1).toLowerCase
+    val head = new String(b, 0, n, StandardCharsets.ISO_8859_1)
+      .toLowerCase(java.util.Locale.ROOT)
     var m = head.indexOf("<meta")
     while (m >= 0) {
       val tagEnd = { val e = head.indexOf('>', m); if (e < 0) head.length else e }
@@ -208,9 +217,10 @@ object Charsets {
         val declared = resolve(sb.toString)
         // HTML5 §13.2: a meta-declared utf-16 label means utf-8 — the
         // declaration was readable as ASCII bytes, which proves the payload
-        // is NOT utf-16 (real utf-16 is caught by the BOM checks above)
-        val cs =
-          if (declared.name().toUpperCase.startsWith("UTF-16")) Utf8 else declared
+        // is NOT utf-16 (real utf-16/32 is caught by the BOM checks above)
+        val declaredUp = declared.name().toUpperCase(java.util.Locale.ROOT)
+        val cs = if (declaredUp.startsWith("UTF-16") ||
+          declaredUp.startsWith("UTF-32")) Utf8 else declared
         return (cs, 0)
       }
       m = head.indexOf("<meta", m + 5)
@@ -393,13 +403,13 @@ object HtmlTokenizer {
           if (nameIs(input, anStart, anLen, "href")) flag |= TokenFlags.HasHref
           else if (nameIs(input, anStart, anLen, "colspan")) {
             if ((flag & TokenFlags.ColspanSeen) == 0) {
-              flag |= TokenFlags.ColspanSeen |
-                TokenFlags.packSpan(parseUInt(input, vStart, vEnd), TokenFlags.ColspanShift)
+              flag |= TokenFlags.ColspanSeen | TokenFlags.packSpan(
+                colspanValue(parseUInt(input, vStart, vEnd)), TokenFlags.ColspanShift)
             }
           } else if (nameIs(input, anStart, anLen, "rowspan")) {
             if ((flag & TokenFlags.RowspanSeen) == 0) {
-              flag |= TokenFlags.RowspanSeen |
-                TokenFlags.packSpan(parseUInt(input, vStart, vEnd), TokenFlags.RowspanShift)
+              flag |= TokenFlags.RowspanSeen | TokenFlags.packSpan(
+                rowspanValue(parseUInt(input, vStart, vEnd)), TokenFlags.RowspanShift)
             }
           }
           else if (nameIs(input, anStart, anLen, "class") || nameIs(input, anStart, anLen, "id")) {
@@ -434,7 +444,7 @@ object HtmlTokenizer {
 
   /** Leading unsigned integer of a byte range, HTML-attribute style: skip
     * leading whitespace, read digits, ignore trailing junk ("2px" → 2);
-    * 0/absent digits → 1 (the HTML5 span-attribute clamp). Capped at 1023. */
+    * absent digits → -1 (caller defaults). Capped at 1023. */
   private def parseUInt(input: Array[Byte], from: Int, to: Int): Int = {
     var i = from
     while (i < to && (input(i) == ' ' || input(i) == '\t')) i += 1
@@ -443,8 +453,15 @@ object HtmlTokenizer {
     while (i < to && input(i) >= '0' && input(i) <= '9' && v < 1024) {
       v = v * 10 + (input(i) - '0'); any = true; i += 1
     }
-    if (!any || v == 0) 1 else math.min(v, 1023)
+    if (!any) -1 else math.min(v, 1023)
   }
+
+  /** HTML5 span-attribute semantics: colspan 0/junk → 1; rowspan junk → 1,
+    * but rowspan="0" means "span the remaining rows of the row group" —
+    * encoded as the 1023 cap (coverage dies with the table run anyway). */
+  private def colspanValue(raw: Int): Int = if (raw <= 0) 1 else raw
+  private def rowspanValue(raw: Int): Int =
+    if (raw < 0) 1 else if (raw == 0) 1023 else raw
 
   /** Case-insensitive byte-range equality against an ASCII-lowercase name. */
   @inline private def nameIs(input: Array[Byte], start: Int, len: Int, name: String): Boolean = {

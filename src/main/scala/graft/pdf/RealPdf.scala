@@ -230,14 +230,19 @@ object RealPdf {
 
   // ---------------------------------------------------------------- streams
 
-  /** Decode one content stream; None = had data but could not decode (counted
-    * as a failure), Some(empty) = genuinely empty. */
-  private def decodeStream(o: PdfObj): Option[Array[Byte]] = {
+  /** One decoded content stream: `data` may be empty (genuinely empty stream)
+    * or partial (truncated zlib input); `failed` marks any decode loss —
+    * unsupported filter, corrupt Flate, or premature end — so the caller can
+    * surface pdf_partial/pdf_unparsed (decode loss is never silent). */
+  private final case class Decoded(data: Array[Byte], failed: Boolean)
+
+  private def decodeStream(o: PdfObj): Decoded = {
     val raw = o.streamRaw
-    if (raw == null) return Some(Array.emptyByteArray)
+    if (raw == null) return Decoded(Array.emptyByteArray, failed = false)
     val hasFilter = o.dict.contains("/Filter")
-    if (!hasFilter) return Some(raw)
-    if (!o.dict.contains("/FlateDecode")) return None // unsupported filter
+    if (!hasFilter) return Decoded(raw, failed = false)
+    if (!o.dict.contains("/FlateDecode"))
+      return Decoded(Array.emptyByteArray, failed = true) // unsupported filter
     val inf = new Inflater()
     try {
       inf.setInput(raw)
@@ -245,12 +250,15 @@ object RealPdf {
       val buf = new Array[Byte](8192)
       while (!inf.finished() && !inf.needsDictionary()) {
         val k = inf.inflate(buf)
-        if (k == 0 && inf.needsInput()) return if (out.size() > 0) Some(out.toByteArray) else None
+        if (k == 0 && inf.needsInput())
+          // truncated zlib stream: keep the partial text but FLAG the loss
+          return Decoded(out.toByteArray, failed = true)
         out.write(buf, 0, k)
       }
-      Some(out.toByteArray)
+      Decoded(out.toByteArray, failed = inf.needsDictionary())
     } catch {
-      case _: java.util.zip.DataFormatException => None
+      case _: java.util.zip.DataFormatException =>
+        Decoded(Array.emptyByteArray, failed = true)
     } finally inf.end()
   }
 
@@ -298,6 +306,32 @@ object RealPdf {
     (sb.toString, i)
   }
 
+  /** Parse a hex string starting at `i0` (s(i0) == '<', not "<<"): returns
+    * (decoded text or null if malformed, index past the closing '>').
+    * UTF-16BE when BOM'd, else Latin-ish byte chars. */
+  private def parseHex(s: String, i0: Int): (String, Int) = {
+    val n = s.length
+    val e = s.indexOf('>', i0 + 1)
+    val body = if (e < 0) s.substring(i0 + 1) else s.substring(i0 + 1, e)
+    val next = if (e < 0) n else e + 1
+    val hex = body.filterNot(Character.isWhitespace)
+    val padded = if (hex.length % 2 == 1) hex + "0" else hex
+    val bytes = new Array[Byte](padded.length / 2)
+    var k = 0
+    while (k < bytes.length) {
+      val hi = Character.digit(padded.charAt(2 * k), 16)
+      val lo = Character.digit(padded.charAt(2 * k + 1), 16)
+      if (hi < 0 || lo < 0) return (null, next)
+      bytes(k) = ((hi << 4) | lo).toByte
+      k += 1
+    }
+    val str =
+      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff)
+        new String(bytes, 2, bytes.length - 2, StandardCharsets.UTF_16BE)
+      else new String(bytes, StandardCharsets.ISO_8859_1)
+    (str, next)
+  }
+
   /** Tokenize a content stream and emit one Chunk per text-showing operator,
     * positioned by the (subset) text state machine. */
   private[pdf] def extractChunks(data: Array[Byte]): Vector[Chunk] = {
@@ -326,27 +360,9 @@ object RealPdf {
         i = ni
         strs += text
       } else if (c == '<' && i + 1 < n && s.charAt(i + 1) != '<') { // hex string
-        val e = s.indexOf('>', i + 1)
-        val body = if (e < 0) s.substring(i + 1) else s.substring(i + 1, e)
-        i = if (e < 0) n else e + 1
-        val hex = body.filterNot(Character.isWhitespace)
-        val padded = if (hex.length % 2 == 1) hex + "0" else hex
-        val bytes = new Array[Byte](padded.length / 2)
-        var ok = true
-        var k = 0
-        while (ok && k < bytes.length) {
-          val hi = Character.digit(padded.charAt(2 * k), 16)
-          val lo = Character.digit(padded.charAt(2 * k + 1), 16)
-          if (hi < 0 || lo < 0) ok = false else bytes(k) = ((hi << 4) | lo).toByte
-          k += 1
-        }
-        if (ok) {
-          val str =
-            if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff)
-              new String(bytes, 2, bytes.length - 2, StandardCharsets.UTF_16BE)
-            else new String(bytes, StandardCharsets.ISO_8859_1)
-          strs += str
-        }
+        val (str, ni) = parseHex(s, i)
+        i = ni
+        if (str != null) strs += str
       } else if (c == '<' && i + 1 < n && s.charAt(i + 1) == '<') { // inline dict (e.g. BDC)
         val de = dictEnd(s, i); i = if (de < 0) n else de
       } else if (c == '[') { // array of strings/kerns → TJ operand (kern < -100 ⇒ space)
@@ -363,6 +379,16 @@ object RealPdf {
             if (pendingKernSpace && sb.length() > 0) sb.append(' ')
             pendingKernSpace = false
             sb.append(text)
+          } else if (ac == '<') {
+            // hex strings inside TJ arrays — the standard form most PDF
+            // writers emit ([<0041> -250 <0042>] TJ)
+            val (text, ni) = parseHex(s, i)
+            i = ni
+            if (text != null) {
+              if (pendingKernSpace && sb.length() > 0) sb.append(' ')
+              pendingKernSpace = false
+              sb.append(text)
+            }
           } else if (ac == '-' || ac == '+' || ac == '.' || (ac >= '0' && ac <= '9')) {
             val ns = i
             i += 1
@@ -503,11 +529,10 @@ object RealPdf {
         val (w, h) = pageBox(p, objs)
         val contentRefs = refArray(p.dict, "Contents")
         val datas = contentRefs.flatMap { r =>
-          objs.get(r).flatMap { o =>
-            decodeStream(o) match {
-              case Some(d) => Some(d)
-              case None    => decodeFailures += 1; None
-            }
+          objs.get(r).map { o =>
+            val d = decodeStream(o)
+            if (d.failed) decodeFailures += 1
+            d.data
           }
         }
         // provenance offsets: the first content object's position, taken from

@@ -34,31 +34,15 @@ object EventStream {
     val batchDf = spark.read.parquet(s"$dir/events.parquet")
     // stage into a directory of several files: the file stream source requires
     // a directory, and >1 file exercises real multi-micro-batch incremental
-    // state (maxFilesPerTrigger=1 → 4 micro-batches).
-    // A fresh temp dir per call: restaging keeps the stream in sync if the
-    // source is regenerated in place, and a per-call dir cannot collide across
-    // concurrent runStream calls (a path-hash-keyed dir could — and
-    // math.abs(Int.MinValue) is negative).
-    val staging = java.nio.file.Files.createTempDirectory("graft_stream_in_").toString
-    batchDf.repartition(4).write.mode("overwrite").parquet(staging)
-    val queryName = s"graft_stream_${System.nanoTime()}"
-    val stream = spark.readStream
-      .schema(batchDf.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(staging)
-    val q = windowedAgg(stream)
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable()
-    finally {
-      q.stop()
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
-    }
-    spark.table(queryName)
-      .orderBy("window_start", "event_type")
+    // state (maxFilesPerTrigger=1 → 4 micro-batches)
+    StreamHarness.runDrained(spark, "graft_stream", "complete") { staging =>
+      batchDf.repartition(4).write.mode("overwrite").parquet(staging)
+    } { staging =>
+      windowedAgg(spark.readStream
+        .schema(batchDf.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging))
+    }.orderBy("window_start", "event_type")
   }
 
   /** Batch equivalent (the oracle's formulation). */
@@ -77,45 +61,34 @@ object EventStream {
   def runStreamAppend(spark: SparkSession, dir: String,
                       delay: String = "10 minutes"): DataFrame = {
     val batchDf = spark.read.parquet(s"$dir/events.parquet")
-    val staging = java.nio.file.Files.createTempDirectory("graft_stream_app_").toString
-    // a real append-mode ingest consumes files in event-time order (a log
-    // tail); round-robin staging would race the watermark ahead on the first
-    // file and drop the rest as late data. Range-partition by ts and force
-    // ascending modification times so the file source (oldest-first) replays
-    // the month in order.
-    batchDf.repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
-      .write.mode("overwrite").parquet(staging)
-    val parts = new java.io.File(staging).listFiles()
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    val mtimeBase = System.currentTimeMillis() - 1000000
-    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(mtimeBase + i * 10000) }
-    val queryName = s"graft_stream_append_${System.nanoTime()}"
-    val stream = spark.readStream
-      .schema(batchDf.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(staging)
-    val agg = stream
-      // watermarks require TIMESTAMP (instant); the table stores TIMESTAMP_NTZ.
-      // The session is pinned to UTC so the round-trip is lossless; the output
-      // window casts back to NTZ to match the batch/oracle surface (s01).
-      .withColumn("ts", col("ts").cast("timestamp"))
-      .withWatermark("ts", delay)
-      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
-      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
-        col("event_type"), col("n"), col("sum_value"))
-    val q = agg.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable()
-    finally {
-      q.stop()
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
-    }
-    spark.table(queryName)
-      .orderBy("window_start", "event_type")
+    StreamHarness.runDrained(spark, "graft_stream_append", "append") { staging =>
+      // a real append-mode ingest consumes files in event-time order (a log
+      // tail); round-robin staging would race the watermark ahead on the
+      // first file and drop the rest as late data. Range-partition by ts and
+      // force ascending modification times so the file source (oldest-first)
+      // replays the month in order.
+      batchDf.repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(staging)
+      val parts = new java.io.File(staging).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val mtimeBase = System.currentTimeMillis() - 1000000
+      parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(mtimeBase + i * 10000) }
+    } { staging =>
+      spark.readStream
+        .schema(batchDf.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+        // watermarks require TIMESTAMP (instant); the table stores
+        // TIMESTAMP_NTZ. The session is pinned to UTC so the round-trip is
+        // lossless; the output window casts back to NTZ to match the
+        // batch/oracle surface (s01).
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", delay)
+        .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+    }.orderBy("window_start", "event_type")
   }
 }

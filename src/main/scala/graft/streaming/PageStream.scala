@@ -23,32 +23,22 @@ object PageStream {
   def runStreamExtract(spark: SparkSession, pages: Dataset[PageRow],
                        cfg: ExtractConfig = ExtractConfig()): DataFrame = {
     import spark.implicits._
-    val staging = java.nio.file.Files.createTempDirectory("graft_page_stream_").toString
-    pages.repartition(4).write.mode("overwrite").parquet(staging)
-    val queryName = s"graft_page_stream_${System.nanoTime()}"
-    val stream = spark.readStream
-      .schema(pages.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(staging)
-      .as[PageRow]
-      .mapPartitions { it =>
-        val state = new ExtractorState()
-        it.map { p =>
-          val d = Extractor.extract(p.url, p.html, cfg, state)
-          (d.url, d.text, d.nSpans, d.charset, d.status)
+    StreamHarness.runDrained(spark, "graft_page_stream", "append") { staging =>
+      pages.repartition(4).write.mode("overwrite").parquet(staging)
+    } { staging =>
+      spark.readStream
+        .schema(pages.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+        .as[PageRow]
+        .mapPartitions { it =>
+          val state = new ExtractorState()
+          it.map { p =>
+            val d = Extractor.extract(p.url, p.html, cfg, state)
+            (d.url, d.text, d.nSpans, d.charset, d.status)
+          }
         }
-      }
-      .toDF("url", "text", "n_spans", "charset", "status")
-    val q = stream.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable()
-    finally {
-      q.stop()
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
-    }
-    spark.table(queryName).orderBy("url")
+        .toDF("url", "text", "n_spans", "charset", "status")
+    }.orderBy("url")
   }
 }

@@ -77,6 +77,17 @@ class CharsetSpec extends AnyFunSuite {
     assert(got2.text == zh)
   }
 
+  test("UTF-32 BOMs detected (FF FE 00 00 is NOT UTF-16LE) and extract") {
+    val p = "thirty-two bit pages decode too"
+    val doc = s"<html><body><p>$p</p></body></html>"
+    val le = Array[Byte](0xff.toByte, 0xfe.toByte, 0, 0) ++ doc.getBytes(Charset.forName("UTF-32LE"))
+    assert(Charsets.sniff(le)._1.name() == "UTF-32LE")
+    assert(Extractor.extract("u", le).text == p)
+    val be = Array[Byte](0, 0, 0xfe.toByte, 0xff.toByte) ++ doc.getBytes(Charset.forName("UTF-32BE"))
+    assert(Charsets.sniff(be)._1.name() == "UTF-32BE")
+    assert(Extractor.extract("u", be).text == p)
+  }
+
   test("end-to-end: utf-16be page transcodes and extracts exactly") {
     val p = "Sixteen-bit pages survive — even with 中文 and emoji 😀 text."
     val doc = s"<html><body><p>$p</p></body></html>"

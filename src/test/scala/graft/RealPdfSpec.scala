@@ -112,6 +112,34 @@ class RealPdfSpec extends AnyFunSuite {
     assert(doc.nSpans == 1)
   }
 
+  test("hex strings inside TJ arrays decode (the common writer form)") {
+    val content =
+      "BT /F1 12 Tf 50 1100 Td [<48656C6C6F> -250 <776F726C64>] TJ ET"
+        .getBytes(StandardCharsets.ISO_8859_1)
+    val pdf = ("%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 800 1200] /Contents 4 0 R >>\nendobj\n" +
+      s"4 0 obj\n<< /Length ${content.length} >>\nstream\n").getBytes(StandardCharsets.ISO_8859_1) ++
+      content ++ "\nendstream\nendobj\n".getBytes(StandardCharsets.ISO_8859_1)
+    val doc = Extractor.extract("u", pdf)
+    assert(doc.text == "Hello world") // -250 kern gap → word space
+    assert(doc.status == "ok")
+  }
+
+  test("truncated Flate stream is never a silent full success") {
+    val full = onePage(Seq(RealPdfGen.Placed(50, 100, 12,
+      Seq("Some paragraph text that compresses to more than a few bytes here."))),
+      compress = true)
+    // chop INSIDE the compressed stream data (just before its endstream):
+    // /Length now overruns the remaining bytes, inflate ends prematurely
+    val view = new String(full, StandardCharsets.ISO_8859_1)
+    val endstream = view.indexOf("endstream")
+    assert(endstream > 0)
+    val cut = java.util.Arrays.copyOf(full, endstream - 20)
+    val doc = Extractor.extract("u", cut)
+    assert(doc.status != "ok", s"status=${doc.status} text=${doc.text}")
+  }
+
   test("partially decodable PDF is flagged pdf_partial, text still emitted") {
     // page 1 decodes (raw stream); page 2 has an unsupported filter
     val c1 = "BT /F1 12 Tf 50 1100 Td (Readable page.) Tj ET"

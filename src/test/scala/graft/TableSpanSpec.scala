@@ -56,12 +56,21 @@ class TableSpanSpec extends AnyFunSuite {
 
   test("junk span values behave like 1; huge values clamp") {
     val t = """<table>
-      |<tr><td rowspan="abc">A</td><td rowspan="0">B</td></tr>
+      |<tr><td rowspan="abc">A</td><td rowspan="junk">B</td></tr>
       |<tr><td>C</td><td>D</td></tr>
       |</table>""".stripMargin
     assert(extract(t) == "A | B\nC | D")
     val t2 = """<table><tr><td colspan="99999">A</td></tr><tr><td>B</td></tr></table>"""
     assert(extract(t2) == "A\nB")
+  }
+
+  test("rowspan=0 spans the remaining rows (HTML5), not just one") {
+    val t = """<table>
+      |<tr><td rowspan="0">A</td><td>B</td></tr>
+      |<tr><td>C</td></tr>
+      |<tr><td>D</td></tr>
+      |</table>""".stripMargin
+    assert(extract(t) == "A | B\n | C\n | D")
   }
 
   test("duplicate span attributes: first one wins (browser rule)") {
