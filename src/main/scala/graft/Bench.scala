@@ -89,7 +89,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "30000").toLong
     val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "4").toInt
-    val corpusDir = s"/tmp/graft_bench_corpus_v3_$nDocs" // v3: real-PDF F06/F12 variants
+    val corpusDir = s"/tmp/graft_bench_corpus_v4_$nDocs" // v4: hex-line PDF content
     ensureCorpus(corpusDir, nDocs)
     val bytes = { // corpus payload volume (for MB/s)
       val s = session(8)

@@ -47,10 +47,15 @@ object RealPdfGen {
     sb.toString
   }
 
+  private def hex(s: String): String =
+    s.getBytes(StandardCharsets.ISO_8859_1).map(b => f"${b & 0xff}%02X").mkString
+
   /** Content stream for one page: one BT/ET per block, lines via Td steps.
     * Baseline of a line at top-down y is (pageH - y - fontSize) in PDF
     * bottom-up coordinates — the inverse of the extractor's flip, so the
-    * extractor's PBlock (x, y) reproduces (x, yTop) exactly. */
+    * extractor's PBlock (x, y) reproduces (x, yTop) exactly. Even lines show
+    * as escaped literals, odd lines as hex strings inside TJ arrays — both
+    * writer forms stay golden-covered. */
   private def contentFor(p: PageSpec): Array[Byte] = {
     val sb = new java.lang.StringBuilder()
     for (b <- p.blocks) {
@@ -58,11 +63,10 @@ object RealPdfGen {
       val y0 = p.h - b.yTop - b.fontSize
       sb.append("BT\n/F1 ").append(b.fontSize).append(" Tf\n")
         .append(b.x).append(' ').append(y0).append(" Td\n")
-      var first = true
-      for (line <- b.lines) {
-        if (!first) sb.append("0 -").append(leading).append(" Td\n")
-        first = false
-        sb.append('(').append(esc(line)).append(") Tj\n")
+      for ((line, idx) <- b.lines.zipWithIndex) {
+        if (idx > 0) sb.append("0 -").append(leading).append(" Td\n")
+        if (idx % 2 == 0) sb.append('(').append(esc(line)).append(") Tj\n")
+        else sb.append("[<").append(hex(line)).append(">] TJ\n")
       }
       sb.append("ET\n")
     }
