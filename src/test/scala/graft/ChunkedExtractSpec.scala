@@ -96,4 +96,20 @@ class ChunkedExtractSpec extends AnyFunSuite {
       assert(got(g.row.url) == single.text, s"distributed chunk divergence at ${g.row.url}")
     }
   }
+
+  test("chunked == single-pass for multi-byte (Shift_JIS) mega documents") {
+    // raw-byte-safe multi-byte content: '<' can never be a trail byte, so
+    // the chunk planner's byte-level split points stay on char boundaries
+    val ja = Vector("データ", "処理", "システム", "分散", "計算", "エンジン", "文書", "抽出")
+    val rng = new java.util.Random(7)
+    val body = (0 until 120).map { i =>
+      val words = (0 until 30).map(_ => ja(rng.nextInt(ja.length))).mkString("")
+      s"<p>section $i $words</p>"
+    }.mkString
+    val doc = s"""<html><head><meta charset="shift_jis"></head><body>$body</body></html>"""
+    val row = PageRow("https://x/sjis-mega", new java.sql.Timestamp(0L),
+      doc.getBytes(java.nio.charset.Charset.forName("Shift_JIS")), null, "ja")
+    for (minChunk <- Seq(512, 2048, 8192))
+      assert(equivalent(row, minChunk).isEmpty, s"minChunk=$minChunk")
+  }
 }
