@@ -63,16 +63,27 @@ final class DomArena(initialCapacity: Int = 512) {
   // entries are invalidated per-node in addNode, so reuse across docs is safe)
   private var pathCache: Array[String] = new Array[String](initialCapacity)
 
-  /** Path of element names from root to `node`, '/'-joined (span tagPath). */
+  /** Path of element names from root to `node`, '/'-joined (span tagPath).
+    * Iterative: walk up to the nearest cached ancestor, then fill the cache
+    * back down — recursion on DOM depth StackOverflowed on pathological
+    * 10k+-deep nesting, deterministically killing the task AND its retries. */
   def tagPath(node: Int): String = {
     val elem = if (isText(node)) parent(node) else node
     if (elem < 0) return ""
     val cached = pathCache(elem)
     if (cached != null) return cached
-    val p = parent(elem)
-    val s = if (p < 0) name(elem) else tagPath(p) + "/" + name(elem)
-    pathCache(elem) = s
-    s
+    val chain = new scala.collection.mutable.ArrayBuffer[Int](16)
+    var cur = elem
+    while (cur >= 0 && pathCache(cur) == null) { chain += cur; cur = parent(cur) }
+    var prefix: String = if (cur >= 0) pathCache(cur) else null
+    var k = chain.length - 1
+    while (k >= 0) {
+      val n = chain(k)
+      prefix = if (prefix == null) name(n) else prefix + "/" + name(n)
+      pathCache(n) = prefix
+      k -= 1
+    }
+    prefix
   }
 
   private def addNode(p: Int, tag: Int, fl: Int, ts: Int, te: Int, tagName: String): Int = {
@@ -122,12 +133,29 @@ final class DomArena(initialCapacity: Int = 512) {
     var i = 0
     while (i < toks.size) {
       (toks.kinds(i): @annotation.switch) match {
-        case Tok.Text | Tok.Cdata =>
-          // skip pure-markup offsets for CDATA wrapper? keep raw range; CDATA rare
+        case Tok.Text =>
           addNode(top, -1, 0, toks.starts(i), toks.ends(i), null)
+        case Tok.Cdata =>
+          // strip the "<![CDATA[" / "]]>" wrapper bytes — they are markup,
+          // not content (9 = opener length, 3 = closer; an unclosed construct
+          // runs to EOF and just loses its phantom closer range)
+          val ts = toks.starts(i) + 9
+          val te = math.max(ts, toks.ends(i) - 3)
+          if (te > ts) addNode(top, -1, 0, ts, te, null)
         case Tok.Start =>
           val tid = toks.tagIds(i)
           val nm = names(tid)
+          // implicit </head>: anything body-level (body itself or any block
+          // element) closes an open head — a page omitting </head> (legal
+          // HTML5) must not inherit head's skip-subtree status for its whole
+          // body, which extracted as EMPTY text
+          if (nm == "body" || HtmlNames.isBlock(nm)) {
+            var k = sp - 1
+            while (k >= 0) {
+              if (tagId(stack(k)) >= 0 && name(stack(k)) == "head") { sp = k; k = 0 }
+              k -= 1
+            }
+          }
           // implicit closes
           if (HtmlNames.autoCloses(nm)) {
             // close an open same-name sibling up to the nearest block boundary

@@ -129,8 +129,13 @@ object Charsets {
     val cached = resolveCache.get(key)
     if (cached != null) return cached
     val cs = key match {
-      case "utf-8" | "utf8" | "ascii" | "us-ascii"           => Utf8
-      case "latin-1" | "latin1" | "iso-8859-1" | "iso8859-1" => Latin1
+      case "utf-8" | "utf8" => Utf8
+      // WHATWG encoding standard: the ascii / latin1 / iso-8859-1 label
+      // family maps to windows-1252 — real pages labeled iso-8859-1
+      // overwhelmingly contain cp1252 punctuation in 0x80-0x9F, which plain
+      // ISO-8859-1 would decode to invisible C1 control characters
+      case "latin-1" | "latin1" | "iso-8859-1" | "iso8859-1" | "ascii" | "us-ascii" =>
+        Charset.forName("windows-1252")
       // the long tail goes through the JVM registry, which knows the standard
       // alias webs (sjis/shift-jis/ms_kanji → Shift_JIS, cpNNNN →
       // windows-NNNN, gb2312/gbk/big5/euc-kr/koi8-r/iso-8859-N/tis-620 …);
@@ -206,15 +211,60 @@ object Charsets {
     var m = head.indexOf("<meta")
     while (m >= 0) {
       val tagEnd = { val e = head.indexOf('>', m); if (e < 0) head.length else e }
-      val i = head.indexOf("charset=", m)
-      if (i >= 0 && i < tagEnd) {
-        var j = i + 8
-        if (j < head.length && (head(j) == '"' || head(j) == '\'')) j += 1
-        val sb = new StringBuilder
-        while (j < head.length && (head(j).isLetterOrDigit || head(j) == '-' || head(j) == '_')) {
-          sb.append(head(j)); j += 1
-        }
-        val declared = resolve(sb.toString)
+      // attribute-level scan (NOT a raw substring search — "charset=" inside
+      // an unrelated attribute VALUE like content="how to use charset=x"
+      // must not hijack the document charset): collect the charset attr, and
+      // the http-equiv/content pair for the legacy content-type form
+      var charsetVal: String = null
+      var httpEquiv: String = null
+      var contentVal: String = null
+      var j = m + 5
+      while (j < tagEnd) {
+        if (head(j).isLetter) {
+          val ns = j
+          while (j < tagEnd && (head(j).isLetterOrDigit || head(j) == '-' || head(j) == '_')) j += 1
+          val aname = head.substring(ns, j)
+          while (j < tagEnd && head(j).isWhitespace) j += 1
+          var avalue: String = null
+          if (j < tagEnd && head(j) == '=') {
+            j += 1
+            while (j < tagEnd && head(j).isWhitespace) j += 1
+            if (j < tagEnd && (head(j) == '"' || head(j) == '\'')) {
+              val q = head(j); j += 1
+              val vs = j
+              while (j < tagEnd && head(j) != q) j += 1
+              avalue = head.substring(vs, j)
+              if (j < tagEnd) j += 1
+            } else {
+              val vs = j
+              while (j < tagEnd && !head(j).isWhitespace && head(j) != '>') j += 1
+              avalue = head.substring(vs, j)
+            }
+          }
+          if (avalue != null) aname match {
+            case "charset"    => if (charsetVal == null) charsetVal = avalue.trim
+            case "http-equiv" => httpEquiv = avalue.trim
+            case "content"    => contentVal = avalue
+            case _            => ()
+          }
+        } else j += 1
+      }
+      val fromContent =
+        if (charsetVal == null && httpEquiv == "content-type" && contentVal != null) {
+          val ci = contentVal.indexOf("charset=")
+          if (ci >= 0) {
+            var k = ci + 8
+            if (k < contentVal.length && (contentVal(k) == '"' || contentVal(k) == '\'')) k += 1
+            val vs = k
+            while (k < contentVal.length &&
+              (contentVal(k).isLetterOrDigit || contentVal(k) == '-' || contentVal(k) == '_')) k += 1
+            val v = contentVal.substring(vs, k)
+            if (v.nonEmpty) v else null
+          } else null
+        } else null
+      val label = if (charsetVal != null && charsetVal.nonEmpty) charsetVal else fromContent
+      if (label != null) {
+        val declared = resolve(label)
         // HTML5 §13.2: a meta-declared utf-16 label means utf-8 — the
         // declaration was readable as ASCII bytes, which proves the payload
         // is NOT utf-16 (real utf-16/32 is caught by the BOM checks above)
@@ -276,13 +326,19 @@ object HtmlTokenizer {
           // comment / doctype / CDATA
           flushText(i)
           if (i + 3 < n && input(i + 2) == '-' && input(i + 3) == '-') {
-            var j = i + 4
+            // HTML5 abruptly-closed comments are complete: "<!-->" and
+            // "<!--->" (without them, one typo'd comment swallows the page)
             var end = -1
-            while (end < 0 && j + 2 < n) {
-              if (input(j) == '-' && input(j + 1) == '-' && input(j + 2) == '>') end = j + 3
-              j += 1
+            if (i + 4 < n && input(i + 4) == '>') end = i + 5
+            else if (i + 5 < n && input(i + 4) == '-' && input(i + 5) == '>') end = i + 6
+            else {
+              var j = i + 4
+              while (end < 0 && j + 2 < n) {
+                if (input(j) == '-' && input(j + 1) == '-' && input(j + 2) == '>') end = j + 3
+                j += 1
+              }
+              if (end < 0) end = n // unclosed comment swallows to EOF
             }
-            if (end < 0) end = n // unclosed comment swallows to EOF
             arena.add(Tok.Comment, i, end, -1, 0)
             i = end; textStart = i
           } else if (i + 8 < n && input(i + 2) == '[' &&
@@ -341,9 +397,10 @@ object HtmlTokenizer {
             // style are rawtext; textarea/title are RCDATA — tags inside are
             // literal text per HTML5 (entity decode still applies later in the
             // per-block decode pass, which is exactly RCDATA semantics).
+            // parseStartTag forces these to Tok.Start even when written
+            // XHTML-style as <script/>, so the guard is on the name alone.
             val name = arena.tagName(arena.tagIds(tokIdx))
-            if ((name == "script" || name == "style" || name == "textarea" ||
-                name == "title") && arena.kinds(tokIdx) == Tok.Start) {
+            if (HtmlNames.isRawtext(name) && arena.kinds(tokIdx) == Tok.Start) {
               val close = findCloseTag(input, i, n, name)
               if (close > i) { arena.add(Tok.Text, i, close, -1, 0); i = close; textStart = i }
             }
@@ -437,7 +494,13 @@ object HtmlTokenizer {
     if (j >= n) return -1 // no '>' — malformed tag at EOF; treat as text
     j += 1 // consume '>'
     val name = nameSb.toString
-    val kind = if (selfClose || HtmlNames.isVoid(name)) Tok.SelfClose else Tok.Start
+    // browsers ignore the self-closing slash on non-void HTML elements; for
+    // rawtext/RCDATA elements that matters: "<script src=x/>" OPENS a script
+    // (its body must be skipped), it does not close one
+    val kind =
+      if (HtmlNames.isVoid(name)) Tok.SelfClose
+      else if (selfClose && !HtmlNames.isRawtext(name)) Tok.SelfClose
+      else Tok.Start
     arena.add(kind, i0, j, arena.intern(name), flag)
     j
   }
@@ -533,6 +596,9 @@ object HtmlNames {
     "iframe", "object", "template")
   private val boilerTags = Set("nav", "header", "footer", "aside")
   private val headingTags = Set("h1", "h2", "h3", "h4", "h5", "h6")
+  /** rawtext (script/style) + RCDATA (textarea/title): content is literal
+    * text to the matching close tag, and the self-closing slash is ignored */
+  private val rawtextTags = Set("script", "style", "textarea", "title")
   /** end tag of these implicitly closes an open sibling of the same name */
   private val autoCloseSibling = Set("p", "li", "td", "th", "tr", "option", "dd", "dt")
 
@@ -541,5 +607,6 @@ object HtmlNames {
   def isSkip(t: String): Boolean = skipSubtree.contains(t)
   def isBoiler(t: String): Boolean = boilerTags.contains(t)
   def isHeading(t: String): Boolean = headingTags.contains(t)
+  def isRawtext(t: String): Boolean = rawtextTags.contains(t)
   def autoCloses(t: String): Boolean = autoCloseSibling.contains(t)
 }

@@ -164,10 +164,11 @@ object ExtractPipeline {
       sum(col("classifyNanos")).as("classifyNanos"),
       sum(col("assembleNanos")).as("assembleNanos")
     )
-    val n = lineage.count()
-    if (n > 0)
-      lineage.write.mode(SaveMode.Append).parquet(lineageDir(outDir))
-    n
+    // no pre-count: written.nonEmpty already guarantees rows (each written
+    // bucket committed ≥1 row), and a count() here re-ran the whole lineage
+    // aggregation as a second job before the write
+    lineage.write.mode(SaveMode.Append).parquet(lineageDir(outDir))
+    written.size.toLong
   }
 
   /** The final extracted table (all committed buckets). */
