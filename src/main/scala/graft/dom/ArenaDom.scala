@@ -136,11 +136,12 @@ final class DomArena(initialCapacity: Int = 512) {
         case Tok.Text =>
           addNode(top, -1, 0, toks.starts(i), toks.ends(i), null)
         case Tok.Cdata =>
-          // strip the "<![CDATA[" / "]]>" wrapper bytes — they are markup,
-          // not content (9 = opener length, 3 = closer; an unclosed construct
-          // runs to EOF and just loses its phantom closer range)
+          // strip the "<![CDATA[" wrapper (9 bytes) and, ONLY when the
+          // closer exists (token flag 1), the trailing "]]>" — an unclosed
+          // construct to EOF has real content in its last 3 bytes
           val ts = toks.starts(i) + 9
-          val te = math.max(ts, toks.ends(i) - 3)
+          val closerLen = if (toks.flags(i) == 1) 3 else 0
+          val te = math.max(ts, toks.ends(i) - closerLen)
           if (te > ts) addNode(top, -1, 0, ts, te, null)
         case Tok.Start =>
           val tid = toks.tagIds(i)
@@ -201,7 +202,6 @@ final class BlockArena(initialCapacity: Int = 256) {
   var segOff: Array[Int] = new Array[Int](initialCapacity + 1) // CSR offsets into seg arrays
   var byteStart: Array[Int] = new Array[Int](initialCapacity)
   var byteEnd: Array[Int] = new Array[Int](initialCapacity)
-  var linkSegCount: Array[Int] = new Array[Int](initialCapacity)
 
   var nSegs: Int = 0
   var segKind: Array[Int] = new Array[Int](1024)
@@ -218,7 +218,6 @@ final class BlockArena(initialCapacity: Int = 256) {
     segOff = java.util.Arrays.copyOf(segOff, cap + 1)
     byteStart = java.util.Arrays.copyOf(byteStart, cap)
     byteEnd = java.util.Arrays.copyOf(byteEnd, cap)
-    linkSegCount = java.util.Arrays.copyOf(linkSegCount, cap)
   }
   private def growSegs(): Unit = {
     val cap = segKind.length * 2
@@ -234,7 +233,6 @@ final class BlockArena(initialCapacity: Int = 256) {
     anchor(nBlocks) = anchorNode
     byteStart(nBlocks) = Int.MaxValue
     byteEnd(nBlocks) = Int.MinValue
-    linkSegCount(nBlocks) = 0
     nBlocks += 1
     segOff(nBlocks) = nSegs
   }
@@ -253,7 +251,6 @@ final class BlockArena(initialCapacity: Int = 256) {
       val b = nBlocks - 1
       if (start < byteStart(b)) byteStart(b) = start
       if (end > byteEnd(b)) byteEnd(b) = end
-      if (inLink) linkSegCount(b) += 1
     }
   }
 }

@@ -149,7 +149,8 @@ object Extractor {
     val text = assemble(spans, state.dom)
     t0 = System.nanoTime(); state.assembleNanos += t0 - t1
 
-    ExtractedDoc(url, text, spans.length, spans.map(_.span), charset.name().toLowerCase,
+    ExtractedDoc(url, text, spans.length, spans.map(_.span),
+      charset.name().toLowerCase(java.util.Locale.ROOT),
       truncated)
   }
 

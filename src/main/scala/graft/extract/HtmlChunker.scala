@@ -82,7 +82,17 @@ object HtmlChunker {
             chunkStart = toks.starts(i)
             pendingPrefix = prefixHere
           }
-          // mirror DomArena.build transitions
+          // mirror DomArena.build transitions (MUST stay in lockstep —
+          // including the implicit-</head> close: without it a mega-doc that
+          // omits </head> pins head on this stack so chunking silently never
+          // happens, and a stray </head> later desyncs the two stacks)
+          if (nm == "body" || HtmlNames.isBlock(nm)) {
+            var k = sp - 1
+            while (k >= 0) {
+              if (nameAt(k) == "head") { sp = k; k = 0 }
+              k -= 1
+            }
+          }
           if (HtmlNames.autoCloses(nm)) {
             var k = sp - 1
             var found = -1

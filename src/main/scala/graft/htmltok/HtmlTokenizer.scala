@@ -351,8 +351,11 @@ object HtmlTokenizer {
               if (input(j) == ']' && input(j + 1) == ']' && input(j + 2) == '>') end = j + 3
               j += 1
             }
+            // flag=1 iff the "]]>" closer exists — the DOM strips it only
+            // then (an unclosed construct to EOF has no closer bytes to trim)
+            val closed = end >= 0
             if (end < 0) end = n
-            arena.add(Tok.Cdata, i, end, -1, 0)
+            arena.add(Tok.Cdata, i, end, -1, if (closed) 1 else 0)
             i = end; textStart = i
           } else {
             var j = i + 2

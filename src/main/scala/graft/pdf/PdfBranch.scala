@@ -68,7 +68,7 @@ object PdfBranch {
         case None => PdfPages(Vector.empty, "pdf_unparsed", pagesTruncated = false)
       }
     } else {
-      val all = parsePages(new String(input, StandardCharsets.UTF_8))
+      val all = parsePages(input)
       val capped = all.length > cfg.maxPdfPages
       PdfPages(if (capped) all.take(cfg.maxPdfPages) else all, "ok", capped)
     }
@@ -92,17 +92,24 @@ object PdfBranch {
   }
 
   /** Parse into (pageWidth, blocks-in-payload-order) per page. Malformed lines
-    * are skipped (tag-soup tolerance, same spirit as the HTML branch). */
-  private def parsePages(s: String): Vector[(Int, Vector[PBlock])] = {
+    * are skipped (tag-soup tolerance, same spirit as the HTML branch). Lines
+    * are split at the BYTE level so Span offsets are exact payload offsets —
+    * measuring the utf8 length of the DECODED line drifts whenever malformed
+    * bytes become U+FFFD replacements (1 raw byte counted as 3). */
+  private def parsePages(input: Array[Byte]): Vector[(Int, Vector[PBlock])] = {
     val pages = Vector.newBuilder[(Int, Vector[PBlock])]
     var curW = 0
     var blocks = Vector.newBuilder[PBlock]
     var inPage = false
-    var off = 0 // BYTE offset into the raw payload (Span contract, Model.scala)
-    for (line <- s.linesWithSeparators) {
-      val lineStart = off
-      off += utf8Len(line)
-      val t = line.stripLineEnd
+    val n = input.length
+    var ls = 0 // BYTE offset of the current line (Span contract, Model.scala)
+    while (ls < n) {
+      var le = ls
+      while (le < n && input(le) != '\n') le += 1
+      val lineEnd = if (le < n) le + 1 else le // incl. the separator
+      var ce = le
+      if (ce > ls && input(ce - 1) == '\r') ce -= 1
+      val t = new String(input, ls, ce - ls, StandardCharsets.UTF_8)
       if (t.startsWith("page ")) {
         if (inPage) { pages += ((curW, blocks.result())) }
         val parts = t.split(" ")
@@ -113,14 +120,14 @@ object PdfBranch {
         if (inPage) { pages += ((curW, blocks.result())); inPage = false }
       } else if (t.startsWith("block ") && inPage) {
         // block x y w h text...
-        val rest = t.substring(6)
-        val p = rest.split(" ", 5)
+        val p = t.substring(6).split(" ", 5)
         if (p.length == 5) {
           val (x, y, w, h) = (parseIntSafe(p(0)), parseIntSafe(p(1)), parseIntSafe(p(2)), parseIntSafe(p(3)))
           val txt = TextNormalizer.normalize(p(4))
-          if (txt.nonEmpty) blocks += PBlock(x, y, w, h, txt, lineStart, lineStart + utf8Len(line))
+          if (txt.nonEmpty) blocks += PBlock(x, y, w, h, txt, ls, lineEnd)
         }
       }
+      ls = lineEnd
     }
     if (inPage) pages += ((curW, blocks.result()))
     pages.result()
@@ -128,21 +135,6 @@ object PdfBranch {
 
   private def parseIntSafe(s: String): Int =
     try s.toInt catch { case _: NumberFormatException => 0 }
-
-  /** UTF-8 byte length of a string without materializing the bytes. */
-  private def utf8Len(s: String): Int = {
-    var n = 0
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      n += (if (c < 0x80) 1
-            else if (c < 0x800) 2
-            else if (Character.isHighSurrogate(c)) { i += 1; 4 } // surrogate pair
-            else 3)
-      i += 1
-    }
-    n
-  }
 
   /** Banded XY-cut ordering. Deterministic: ties broken by (y, x, payload order). */
   def orderPage(pageW: Int, blocks: Vector[PBlock]): Vector[PBlock] = {

@@ -120,9 +120,11 @@ object ChunkedExtract {
     merge(p.url, rows.map(extractChunk(_, cfg, state)))
   }
 
-  /** Distributed path: explode chunks → spread across tasks → extract →
-    * reassemble by a per-row uid (one shuffle of extracted text, never raw
-    * payloads except the chunk slices themselves on the explode side).
+  /** Distributed path: documents below the chunk threshold extract IN PLACE
+    * (no shuffle at all — shuffling every small payload through the chunk
+    * repartition roughly doubled job I/O for the 99% case); only mega
+    * documents explode → spread across tasks → extract → reassemble by a
+    * per-row uid (one shuffle of chunk slices out, extracted text back).
     * Keying on the uid rather than the url keeps two rows that share a url —
     * real crawl data has them — as two independent documents (ADVICE r1). */
   def run(pages: Dataset[PageRow], cfg: ExtractConfig = ExtractConfig(),
@@ -130,7 +132,13 @@ object ChunkedExtract {
           minChunkBytes: Int = 256 * 1024): Dataset[ExtractedDoc] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    RowIds.keyed(pages)
+    val small = pages.filter(p => p.html == null || p.html.length < chunkThreshold)
+      .mapPartitions { it =>
+        val state = new ExtractorState()
+        it.map(p => Extractor.extract(p.url, p.html, cfg, state))
+      }
+    val big = RowIds.keyed(
+        pages.filter(p => p.html != null && p.html.length >= chunkThreshold))
       .flatMap { case (uid, p) => chunkRows(p, cfg, chunkThreshold, minChunkBytes, uid) }
       .repartition(spark.sparkContext.defaultParallelism * 2) // spread mega-doc chunks
       .mapPartitions { it =>
@@ -139,5 +147,6 @@ object ChunkedExtract {
       }
       .groupByKey(_.rowUid)
       .mapGroups((_, it) => { val rs = it.toSeq; merge(rs.head.url, rs) })
+    small.union(big)
   }
 }

@@ -112,4 +112,22 @@ class ChunkedExtractSpec extends AnyFunSuite {
     for (minChunk <- Seq(512, 2048, 8192))
       assert(equivalent(row, minChunk).isEmpty, s"minChunk=$minChunk")
   }
+
+  test("mega doc omitting </head> still chunks and stays byte-identical") {
+    // the implicit-</head> close must exist in BOTH the DOM builder and the
+    // chunk planner's stack mirror: without it the planner pins head open,
+    // never finds a split, and the doc silently straggles one task
+    val body = (0 until 200).map(i => s"<p>paragraph number $i with enough content words here</p>").mkString
+    val noHeadClose = s"<html><head><title>t</title><body>$body</body></html>"
+    val plan = HtmlChunker.plan(noHeadClose.getBytes(StandardCharsets.UTF_8), 2048)
+    assert(plan.length > 1, "omitted </head> must not prevent chunking")
+    val row = PageRow("https://x/nohead", new java.sql.Timestamp(0L),
+      noHeadClose.getBytes(StandardCharsets.UTF_8), null, "en")
+    assert(equivalent(row, 2048).isEmpty)
+    // stray </head> AFTER the implicit close must not desync the two stacks
+    val strayClose = s"<html><head><title>t</title><body>${body.take(4000)}</head>${body.drop(4000)}</body></html>"
+    val row2 = PageRow("https://x/stray", new java.sql.Timestamp(0L),
+      strayClose.getBytes(StandardCharsets.UTF_8), null, "en")
+    for (mc <- Seq(512, 2048)) assert(equivalent(row2, mc).isEmpty, s"minChunk=$mc")
+  }
 }

@@ -69,4 +69,15 @@ class TagSoupHardeningSpec extends AnyFunSuite {
       .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) // 0x92 byte
     assert(Extractor.extract("u", bytes).text == text) // ’ not C1 control
   }
+
+  test("unclosed CDATA at EOF keeps its last bytes") {
+    // no "]]>" closer: the opener is stripped, ALL remaining bytes are content
+    val got = Extractor.extract("u",
+      "<body><p>start words enough here <![CDATA[tail kept".getBytes("UTF-8")).text
+    assert(got == "start words enough here tail kept", got)
+    // and "]]" without ">" is real content too
+    val got2 = Extractor.extract("u",
+      "<body><p>start words enough here <![CDATA[tail kept]]".getBytes("UTF-8")).text
+    assert(got2 == "start words enough here tail kept]]", got2)
+  }
 }
