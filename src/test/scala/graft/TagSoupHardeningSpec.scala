@@ -80,4 +80,27 @@ class TagSoupHardeningSpec extends AnyFunSuite {
       "<body><p>start words enough here <![CDATA[tail kept]]".getBytes("UTF-8")).text
     assert(got2 == "start words enough here tail kept]]", got2)
   }
+
+  test("fuzz: random byte soup never throws and extracts deterministically") {
+    val rng = new java.util.Random(1234)
+    val fragments = Array("<div>", "</div>", "<p ", "class=\"x", "<!--", "-->",
+      "<![CDATA[", "]]>", "<script>", "</script>", "<table><tr><td", "colspan=\"",
+      "&amp;", "&#x", "<meta charset=\"", "text words here ", "\u00ff\u0080",
+      "<", ">", "\"", "=", "<textarea>", "</head>", "<body", "%PDF-")
+    for (trial <- 0 until 300) {
+      val sb = new StringBuilder
+      val parts = 3 + rng.nextInt(40)
+      (0 until parts).foreach { _ =>
+        if (rng.nextInt(4) == 0) {
+          val junk = new Array[Byte](rng.nextInt(24))
+          rng.nextBytes(junk)
+          sb.append(new String(junk, java.nio.charset.StandardCharsets.ISO_8859_1))
+        } else sb.append(fragments(rng.nextInt(fragments.length)))
+      }
+      val payload = sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val a = Extractor.extract(s"u$trial", payload)
+      val b = Extractor.extract(s"u$trial", payload)
+      assert(a.text == b.text && a.spans == b.spans, s"nondeterministic at trial $trial")
+    }
+  }
 }
