@@ -82,14 +82,41 @@ object Bench {
       "classify" -> accCls.value, "assemble" -> accAsm.value))
   }
 
-  private def fmt(d: Double): String = f"$d%.4f"
+  // Locale.ROOT: the f-interpolator uses the default locale, and a
+  // comma-decimal or non-ASCII-digit locale would corrupt the JSON line
+  private def fmt(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+
+  /** JSON string escape for interpolated values (paths can contain quotes). */
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "30000").toLong
-    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "4").toInt
-    val corpusDir = s"/tmp/graft_bench_corpus_v4_$nDocs" // v4: hex-line PDF content
+    val trials = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "4").toInt)
+    // cache key = content fingerprint of the generator output, NOT a
+    // hand-bumped version string — any Corpus/RealPdfGen change invalidates
+    // the cached corpus automatically (a stale cache would benchmark old
+    // payloads against new code)
+    val corpusDir = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until 64).foreach { i =>
+        val g = graft.corpus.Corpus.page(42L, i)
+        md.update(g.row.html)
+        md.update(g.expectedText.getBytes("UTF-8"))
+      }
+      val fp = md.digest().take(6).map("%02x".format(_)).mkString
+      s"/tmp/graft_bench_corpus_${fp}_$nDocs"
+    }
     ensureCorpus(corpusDir, nDocs)
     val bytes = { // corpus payload volume (for MB/s)
       val s = session(8)
@@ -180,7 +207,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failures stay visible as -1.0 in the per-query map but must NOT shrink
+    // the headline total (summing the sentinel made breakage look faster)
+    val total = results.map(_._2).filter(_ >= 0).sum
     val extractJson =
       s"""{"docs":$nDocs,"bytes":$bytes,""" +
       levels.map(l => s""""docs_per_sec_$l":${fmt(rate(l))}""").mkString(",") + "," +
@@ -197,7 +226,7 @@ object Bench {
       s""""trials":$trials,"stage_sec_$cpus":$stageJson}"""
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","extract":$extractJson}"""
+      s""""sf":${jstr(sfDir)},"extract":$extractJson}"""
     println(line)
     // the driver tails sbt output where every line carries an [info]/[error]
     // prefix (BENCH_r01.json came back parsed:null); a file is prefix-proof

@@ -483,7 +483,9 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d03_lang_id" -> {
       val values = TextFunctions.langMarkers
-        .map { case (l, m) => s"('$l','$m')" }.mkString(", ")
+        .map { case (l, m) => // SQL-literal escape, like d13's pattern
+          s"('${l.replace("'", "''")}','${m.replace("'", "''")}')"
+        }.mkString(", ")
       s"""WITH markers(cand_lang, marker) AS (SELECT * FROM (VALUES $values) v),
          |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          |votes AS (

@@ -16,10 +16,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      val dest = s"$outDir/$name"
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(dest)
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must FAIL the compare, not silently pass against a
+        // previous run's stale parquet left in a reused out dir
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dest))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

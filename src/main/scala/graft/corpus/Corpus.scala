@@ -72,7 +72,9 @@ object Corpus {
   def page(seed: Long, index: Int): Golden = {
     val cat = index % 16
     val r = new Rng(mix(seed, if (cat == 13) 1414L else index.toLong))
-    val url = f"https://example.org/f${cat + 1}%02d/doc$index"
+    // Locale.ROOT: the f-interpolator localizes %d digits (determinism across JVMs)
+    val url = String.format(java.util.Locale.ROOT,
+      "https://example.org/f%02d/doc%d", Integer.valueOf(cat + 1), Integer.valueOf(index))
     val ts = new Timestamp(t0 + index.toLong * 3600000L)
 
     val g: Golden = cat match {
@@ -90,7 +92,7 @@ object Corpus {
       case 9  => f10Charset(r, url, ts, index)
       case 10 => f11Entities(r, url, ts)
       case 11 => if ((index / 16) % 2 == 0) f12PdfTwoCol(r, url, ts)
-                 else f12PdfRealTwoCol(r, url, ts, index)
+                 else f12PdfRealTwoCol(r, url, ts)
       case 12 => f13Degenerate(r, url, ts, index)
       case 13 => f01Article(r, url, ts).copy(category = "F14") // dup content, own url
       case 14 => f15Pre(r, url, ts)
@@ -406,7 +408,7 @@ object Corpus {
   // then the right column, each sorted by y. Emission order is shuffled per
   // page; pages alternate Flate-compressed and raw streams so both decode
   // paths stay golden-covered.
-  private def f12PdfRealTwoCol(r: Rng, url: String, ts: Timestamp, index: Int): Golden = {
+  private def f12PdfRealTwoCol(r: Rng, url: String, ts: Timestamp): Golden = {
     val nPages = 1 + r.nextInt(2)
     val pageData = (0 until nPages).map { pi =>
       val headline = (0 until 4).map(_ => r.pick(WORDS)).mkString(" ").capitalize + "."

@@ -116,7 +116,8 @@ object RealPdfGen {
     val xrefOff = out.size()
     val n = offsets.length + 1
     put(s"xref\n0 $n\n0000000000 65535 f \n")
-    for (o <- offsets) put(f"$o%010d 00000 n \n")
+    for (o <- offsets) // Locale.ROOT: %d digits localize under e.g. ar locales
+      put(String.format(java.util.Locale.ROOT, "%010d 00000 n \n", Integer.valueOf(o)))
     put(s"trailer\n<< /Size $n /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }
