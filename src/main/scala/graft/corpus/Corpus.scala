@@ -363,14 +363,22 @@ object Corpus {
       "&hearts; &zzz; stays, &notanentity; prefixes, &copy 1999 Tom &amp Jerry &#147;quoted&#148;"
     val decoded2 = "Go → cafó? Þorn αβ ∑ x² ♥ &zzz; stays, ¬anentity; prefixes, " +
       "© 1999 Tom & Jerry “quoted”"
+    // HTML5 long tail (complete WHATWG table): rare single-cp names,
+    // multi-codepoint references, zero-padded numerics, non-BMP script letters
+    val noisy3 = "Math &NotEqualTilde; and &nvlt; with ligature &fjlig; " +
+      "spaces[&ThickSpace;] arrow &Rarrtl; loop &CounterClockwiseContourIntegral; " +
+      "pad &#0000000914; script &Xscr;&xscr;"
+    val decoded3 = "Math \u2242\u0338 and <\u20D2 with ligature fj " +
+      "spaces[\u205F\u200A] arrow \u2916 loop \u2233 " +
+      "pad \u0392 script \uD835\uDCB3\uD835\uDCCD"
     val p2 = paragraph(r)
-    val body = s"<p>$p1</p><p>$noisy</p><p>$noisy2</p><p><b>$p2</b><sup>1</sup></p>"
+    val body = s"<p>$p1</p><p>$noisy</p><p>$noisy2</p><p>$noisy3</p><p><b>$p2</b><sup>1</sup></p>"
     // <sup>1</sup> is inline: fuses into the p2 block with no separator char,
     // but as a separate text node; expected text keeps it space-separated? No:
     // "<b>p2</b><sup>1</sup>" concatenates to p2 + "1". We author it that way.
-    val expected = Seq(p1, decoded, decoded2, p2 + "1").mkString("\n\n")
+    val expected = Seq(p1, decoded, decoded2, decoded3, p2 + "1").mkString("\n\n")
     Golden(html((url, ts), body), expected,
-      Vector("content", "content", "content", "content"), "F11")
+      Vector("content", "content", "content", "content", "content"), "F11")
   }
 
   // F12: PDF branch — two-column pages, multi-page, XY-cut order + page concat

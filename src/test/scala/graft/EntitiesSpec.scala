@@ -2,11 +2,34 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.extract.Entities
+import graft.extract.{Entities, Html5Table}
 
-/** Full named-reference table: HTML 4.01's 252 names + apos + legacy bare
-  * refs + numeric C1 remap, spec-exact behaviors. */
+/** Complete WHATWG named-reference table (2,125 names incl. multi-codepoint)
+  * + legacy bare refs + numeric C1 remap, spec-exact behaviors. */
 class EntitiesSpec extends AnyFunSuite {
+
+  test("the table is the complete WHATWG set: 2,125 names, 93 multi-codepoint, 106 bare") {
+    assert(Html5Table.withSemi.length == 2125)
+    assert(Html5Table.withSemi.map(_._1).distinct.length == 2125)
+    val multiCp = Html5Table.withSemi.count { case (_, v) => v.codePointCount(0, v.length) >= 2 }
+    assert(multiCp == 93)
+    assert(Html5Table.bare.length == 106)
+    val semiNames = Html5Table.withSemi.map(_._1).toSet
+    assert(Html5Table.bare.forall(semiNames.contains), "every bare name has a ;-form")
+    assert(Html5Table.bare.map(_.length).max == 6)
+  }
+
+  test("HTML5 long-tail and multi-codepoint references decode") {
+    assert(Entities.decode("&NotEqualTilde;") == "\u2242\u0338")
+    assert(Entities.decode("&fjlig;") == "fj")
+    assert(Entities.decode("&bnequiv;") == "\u2261\u20E5")
+    assert(Entities.decode("&acE;") == "\u223E\u0333")
+    assert(Entities.decode("&ThickSpace;") == "\u205F\u200A")
+    assert(Entities.decode("&Rarrtl;") == "\u2916")
+    assert(Entities.decode("&CounterClockwiseContourIntegral;") == "\u2233")
+    assert(Entities.decode("&nvlt;") == "<\u20D2") // multi-cp starting with ASCII '<'
+    assert(Entities.decode("&UnderBar;") == "_")
+  }
 
   test("the complete HTML 4.01 table decodes (spot checks across all groups)") {
     val cases = Seq(
@@ -34,7 +57,12 @@ class EntitiesSpec extends AnyFunSuite {
   test("numeric refs: decimal, hex, and the HTML5 C1 windows-1252 remap") {
     assert(Entities.decode("&#65;&#x42;&#x1F600;") == "AB😀")
     assert(Entities.decode("&#147;x&#148; &#133; &#150;") == "“x” … –")
-    assert(Entities.decode("&#0; &#x110000;") == "&#0; &#x110000;") // invalid pass through
+    // NUL / out-of-range (incl. zero-padded overflow) → U+FFFD, as browsers emit
+    assert(Entities.decode("&#0; &#x110000;") == "� �")
+    assert(Entities.decode("&#0000000914;") == "Β") // zero-padded, browsers decode
+    assert(Entities.decode("&#99999999999999999999;") == "�") // overflow clamps to FFFD
+    val over = "&#x" + ("0" * 33) + "41;" // >32 digits: not consumed, passthrough
+    assert(Entities.decode(over) == over)
     // surrogate range → U+FFFD (a lone surrogate would be an ill-formed String)
     assert(Entities.decode("&#xD800;&#xDFFF;&#55357;") == "���")
   }
@@ -60,8 +88,8 @@ class EntitiesSpec extends AnyFunSuite {
   test("case sensitivity is spec-exact") {
     assert(Entities.decode("&Auml;&auml;") == "Ää")
     assert(Entities.decode("&Sigma;&sigma;") == "Σσ")
-    assert(Entities.decode("&Rarr;") == "↠") // HTML5 second tier
-    assert(Entities.decode("&Rarrtl;") == "&Rarrtl;") // beyond the curated set: pass through
+    assert(Entities.decode("&Rarr;") == "↠")
+    assert(Entities.decode("&Xscr;&xscr;") == "𝒳𝓍") // script letters differ by case (non-BMP)
   }
 
   test("decode is non-destructive on plain text and stray ampersands") {
