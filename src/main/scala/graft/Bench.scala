@@ -82,21 +82,7 @@ object Bench {
       "classify" -> accCls.value, "assemble" -> accAsm.value))
   }
 
-  // Locale.ROOT: the f-interpolator uses the default locale, and a
-  // comma-decimal or non-ASCII-digit locale would corrupt the JSON line
-  private def fmt(d: Double): String =
-    String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
-
-  /** JSON string escape for interpolated values (paths can contain quotes). */
-  private def jstr(s: String): String = "\"" + s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  import JsonOut.{fmt, jstr}
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -109,7 +95,11 @@ object Bench {
     // payloads against new code)
     val corpusDir = {
       val md = java.security.MessageDigest.getInstance("MD5")
-      (0 until 64).foreach { i =>
+      // 128 pages = 8 full cycles of the 16 categories, so every (index/16)%k
+      // variant selector (charset variants 0-7, table/PDF A/B forms) feeds the
+      // fingerprint — 64 covered only cycles 0-3 and missed generator changes
+      // in the later variants (stale-cache hole)
+      (0 until 128).foreach { i =>
         val g = graft.corpus.Corpus.page(42L, i)
         md.update(g.row.html)
         md.update(g.expectedText.getBytes("UTF-8"))

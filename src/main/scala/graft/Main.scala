@@ -66,7 +66,7 @@ object Main {
       resume = a.contains("resume"),
       attempt = a.get("attempt").map(_.toInt).getOrElse(0))
     val docs = ExtractPipeline.output(spark, out).count()
-    println(s"""{"buckets_processed":$n,"total_docs":$docs,"out":"$out"}""")
+    println(s"""{"buckets_processed":$n,"total_docs":$docs,"out":${JsonOut.jstr(out)}}""")
     (n, docs)
   }
 

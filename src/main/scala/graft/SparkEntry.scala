@@ -313,6 +313,20 @@ object SparkEntry {
         .as[graft.functions.MetricsAggregator.Pair]
       graft.functions.MetricsAggregator.extractionQa(pairs).toDF()
     }),
+    // DetMetric analog (ppocr/metrics/det_metric.py:24-77): block-label
+    // precision/recall/hmean of extraction spans vs the golden label
+    // sequence, global-sum semantics. Rows-only check (corpus-synthesized);
+    // exact values are pinned in MetricsSpec against hand-computed counts.
+    "x14_det_metric" -> ((s, _) => {
+      import s.implicits._
+      val got = Extract.run(CorpusSource.pages(s, 280))
+        .map(d => (d.url, d.spans.map(_.label))).toDF("url", "pred")
+      val want = CorpusSource.goldenLabels(s, 280).toDF("url", "gt")
+      val pairs = got.join(want, "url")
+        .select(col("pred"), col("gt"))
+        .as[graft.functions.MetricsAggregator.LabelPair]
+      graft.functions.MetricsAggregator.detectionQa(pairs).toDF()
+    }),
 
     // ================= training-data ops over `documents` ==================
     "d01_token_count" -> ((s, dir) => TextFunctions.tokenStats(docs(s, dir))),
@@ -338,6 +352,22 @@ object SparkEntry {
         .orderBy("doc_id")),
     // production 64-bit simhash (xxhash64 — no DuckDB analog; spec-tested)
     "d10_simhash_pairs" -> ((s, dir) => DedupFunctions.simhashPairs(docs(s, dir), 12)),
+    // PRODUCTION band width end-to-end: 32-bit bands (the 10^9-doc knob —
+    // 4×10^18 bucket space, see DedupFunctions.simhashPairs scaladoc). Raw
+    // sf-corpus texts have no near-dups at this selectivity, so the query
+    // plants deterministic twins (exact + one-suffix-token mutants of docs
+    // 0..49) — exact twins collide in EVERY band by construction, so rows>0
+    // is guaranteed; mutant recall at this width is spec-tested
+    "d10b_simhash_pairs32" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val exactTwins = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val mutantTwins = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" twin")).as("text"))
+      DedupFunctions.simhashPairs(d.union(exactTwins).union(mutantTwins),
+        12, bandBits = 32)
+    }),
 
     // ================= streaming surface over `events` =====================
     // windowed agg computed by a REAL incremental stream (file micro-batches,
@@ -482,15 +512,28 @@ object SparkEntry {
         |             / greatest(len(string_split(text, ' ')), 1), 4) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d03_lang_id" -> {
+      val esc = (s: String) => s.replace("'", "''") // SQL-literal escape, like d13's pattern
       val values = TextFunctions.langMarkers
-        .map { case (l, m) => // SQL-literal escape, like d13's pattern
-          s"('${l.replace("'", "''")}','${m.replace("'", "''")}')"
-        }.mkString(", ")
+        .map { case (l, m) => s"('${esc(l)}','${esc(m)}')" }.mkString(", ")
+      val shingles = TextFunctions.shingleMarkers
+        .map { case (l, m) => s"('${esc(l)}','${esc(m)}')" }.mkString(", ")
       s"""WITH markers(cand_lang, marker) AS (SELECT * FROM (VALUES $values) v),
+         |shingles(cand_lang, marker) AS (SELECT * FROM (VALUES $shingles) v),
          |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-         |votes AS (
+         |votes_tok AS (
          |  SELECT doc_id, cand_lang, count(*)::BIGINT AS votes
          |  FROM toks JOIN markers ON tok = marker GROUP BY 1, 2),
+         |votes_sub AS (
+         |  -- no-space scripts: substring occurrence count; HAVING > 0 keeps
+         |  -- the zero-vote semantics identical to the inner-join token path
+         |  SELECT d.doc_id, s.cand_lang,
+         |         sum((length(d.text) - length(replace(d.text, s.marker, '')))
+         |             // length(s.marker))::BIGINT AS votes
+         |  FROM documents d CROSS JOIN shingles s
+         |  GROUP BY 1, 2
+         |  HAVING sum((length(d.text) - length(replace(d.text, s.marker, '')))
+         |             // length(s.marker)) > 0),
+         |votes AS (SELECT * FROM votes_tok UNION ALL SELECT * FROM votes_sub),
          |best AS (
          |  SELECT doc_id, cand_lang, votes FROM (
          |    SELECT *, row_number() OVER (PARTITION BY doc_id

@@ -134,7 +134,17 @@ object Extractor {
     * fragments with the inherited charset). */
   def extractHtml(url: String, input: Array[Byte], charset: Charset, bom: Int,
                   truncated: Boolean, cfg: ExtractConfig,
-                  state: ExtractorState): ExtractedDoc = {
+                  state: ExtractorState): ExtractedDoc =
+    extractHtmlGrouped(url, input, charset, bom, truncated, cfg, state)._1
+
+  /** [[extractHtml]] plus the kept-group partition (spans per assembly group,
+    * in order) — the chunked path ships these sizes to its merge so the
+    * global block cap truncates at the SAME group boundary the single-pass
+    * kernel uses (ChunkedExtract's lockstep contract). */
+  private[graft] def extractHtmlGrouped(
+      url: String, input: Array[Byte], charset: Charset, bom: Int,
+      truncated: Boolean, cfg: ExtractConfig,
+      state: ExtractorState): (ExtractedDoc, Vector[Int]) = {
     var t0 = System.nanoTime()
     HtmlTokenizer.tokenize(input, state.toks)
     var t1 = System.nanoTime(); state.tokenizeNanos += t1 - t0
@@ -143,15 +153,61 @@ object Extractor {
     BlockSegmenter.segment(state.dom, state.blocks)
     t0 = System.nanoTime(); state.domNanos += t0 - t1
 
-    val spans = classify(input, charset, bom, cfg, state)
+    val keptAll = classify(input, charset, bom, cfg, state)
     t1 = System.nanoTime(); state.classifyNanos += t1 - t0
 
-    val text = assemble(spans, state.dom)
+    // maxBlocksPerDoc: group-atomic cap at assembly — whole groups (a table,
+    // a list, a paragraph) are kept while the span budget lasts; no group is
+    // half-emitted. Work/memory stay bounded by maxHtmlBytes regardless (the
+    // classify pass is O(input bytes)); this cap bounds OUTPUT volume.
+    val sizes = groupSizes(keptAll)
+    val nGroups = capGroupCount(sizes, cfg.maxBlocksPerDoc)
+    val keptSizes = sizes.take(nGroups)
+    val kept =
+      if (nGroups == sizes.length) keptAll else keptAll.take(keptSizes.sum)
+
+    val text = assemble(kept, state.dom)
     t0 = System.nanoTime(); state.assembleNanos += t0 - t1
 
-    ExtractedDoc(url, text, spans.length, spans.map(_.span),
+    (ExtractedDoc(url, text, kept.length, kept.map(_.span),
       charset.name().toLowerCase(java.util.Locale.ROOT),
-      truncated)
+      truncated), keptSizes)
+  }
+
+  /** Group partition of the kept sequence — the exact runs [[assemble]]
+    * walks (table run / list run / singleton paragraph). */
+  private def groupSizes(kept: Vector[Kept]): Vector[Int] = {
+    val out = Vector.newBuilder[Int]
+    var i = 0
+    while (i < kept.length) {
+      val k = kept(i)
+      var j = i + 1
+      if (k.tableAnc >= 0) {
+        while (j < kept.length && kept(j).tableAnc == k.tableAnc) j += 1
+      } else if (k.listAnc >= 0) {
+        while (j < kept.length && kept(j).listAnc == k.listAnc) j += 1
+      }
+      out += (j - i)
+      i = j
+    }
+    out.result()
+  }
+
+  /** How many leading groups fit the span budget. Group 0 is always kept —
+    * otherwise a single over-budget table would erase the whole document —
+    * so output is bounded by max(cap, largest-single-group) spans, both
+    * byte-bounded. Shared verbatim by ChunkedExtract.merge: the cap decision
+    * is a pure function of the group-size sequence, which the chunker
+    * preserves (groups never straddle fragments), so chunked == single-pass
+    * holds THROUGH the cap. */
+  private[graft] def capGroupCount(sizes: IndexedSeq[Int], cap: Int): Int = {
+    var total = 0
+    var g = 0
+    while (g < sizes.length && (g == 0 || total + sizes(g) <= cap)) {
+      total += sizes(g)
+      g += 1
+    }
+    g
   }
 
   /** A kept block with the DOM facts assembly needs. */
@@ -188,9 +244,9 @@ object Extractor {
     val out = Vector.newBuilder[Kept]
     var kept = 0
     var b = 0
-    val nb = math.min(blocks.nBlocks, cfg.maxBlocksPerDoc)
-    val endAfter = new Array[Int](1)
-    while (b < nb && kept < cfg.maxBlocksPerDoc) {
+    val nb = blocks.nBlocks // O(input bytes) total; the block cap is applied
+    val endAfter = new Array[Int](1) // group-atomically at assembly instead
+    while (b < nb) {
       val anchor = blocks.anchor(b)
       // fused decode + entity expansion + whitespace collapse + counting in a
       // single pass per segment (no intermediate strings per block — the

@@ -75,4 +75,52 @@ object MetricsAggregator {
   /** Corpus-level QA: extraction output vs golden expectation. */
   def extractionQa(pairs: Dataset[Pair]): Dataset[QaMetric] =
     pairs.select(qa.toColumn)
+
+  // ------------------------------------------------------------------
+  // DetMetric analog: block-label detection precision/recall/hmean
+  // ------------------------------------------------------------------
+
+  final case class LabelPair(pred: Seq[String], gt: Seq[String])
+  final case class DetBuf(matched: Long, det: Long, gt: Long)
+  final case class DetMetric(precision: Double, recall: Double, hmean: Double,
+                             matched: Long, det: Long, gt: Long)
+
+  /** Detection-quality metric over extraction spans — the graft of the
+    * reference's DetMetric (ppocr/metrics/det_metric.py:24-77 +
+    * eval_det_iou.py combine_results): per document, predicted block labels
+    * are matched against the golden label sequence, matched/det/gt counts are
+    * summed GLOBALLY across the corpus, and precision = matched/det,
+    * recall = matched/gt, hmean = 2PR/(P+R) — exactly combine_results'
+    * global-sum semantics, not a per-doc mean.
+    *
+    * The match rule recasts IoU≥0.5 box pairing for the discrete domain:
+    * blocks are emitted in document order on both sides, so pred[i] pairs
+    * with gt[i] (index alignment IS the geometry) and a pair matches when
+    * the labels are equal. Partial+final aggregation with a 3-long buffer —
+    * map-side combine, one pass, same shape as [[qa]]. */
+  val det: Aggregator[LabelPair, DetBuf, DetMetric] =
+    new Aggregator[LabelPair, DetBuf, DetMetric] {
+      override def zero: DetBuf = DetBuf(0L, 0L, 0L)
+      override def reduce(b: DetBuf, p: LabelPair): DetBuf = {
+        val n = math.min(p.pred.length, p.gt.length)
+        var m = 0L
+        var i = 0
+        while (i < n) { if (p.pred(i) == p.gt(i)) m += 1; i += 1 }
+        DetBuf(b.matched + m, b.det + p.pred.length, b.gt + p.gt.length)
+      }
+      override def merge(a: DetBuf, b: DetBuf): DetBuf =
+        DetBuf(a.matched + b.matched, a.det + b.det, a.gt + b.gt)
+      override def finish(b: DetBuf): DetMetric = {
+        val p = if (b.det == 0) 0.0 else b.matched.toDouble / b.det
+        val r = if (b.gt == 0) 0.0 else b.matched.toDouble / b.gt
+        val h = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
+        DetMetric(p, r, h, b.matched, b.det, b.gt)
+      }
+      override def bufferEncoder: Encoder[DetBuf] = Encoders.product[DetBuf]
+      override def outputEncoder: Encoder[DetMetric] = Encoders.product[DetMetric]
+    }
+
+  /** Corpus-level detection QA: span labels vs golden block labels. */
+  def detectionQa(pairs: Dataset[LabelPair]): Dataset[DetMetric] =
+    pairs.select(det.toColumn)
 }

@@ -133,15 +133,25 @@ object SimilarityFunctions {
   def annBucketed(emb: DataFrame, nQueries: Int, k: Int, nPlanes: Int, dim: Int,
                   nTables: Int = 4): DataFrame = {
     val bucketed = srpBuckets(emb, nPlanes, nTables, dim)
-    val queries = bucketed.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
-        col("bucket").as("qbucket"))
+      .select(col("vec_id"), col("bucket"))
+    val queryBuckets = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("bucket").as("qbucket"))
+    // Candidate union across tables as ID PAIRS only: the distinct's exchange
+    // carries two longs per row, never the embedding arrays (at 10^9 vectors ×
+    // nTables the array-carrying variant is a multi-TB shuffle for what is an
+    // id dedup — same shape as cosineDupPairs above).
+    val cands = bucketed.join(broadcast(queryBuckets),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val t = emb.select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
-    bucketed.join(broadcast(queries),
-        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("q"), col("embedding"))
-      .distinct() // union of candidate sets across tables
+    cands
+      .join(t, Seq("vec_id")) // embeddings back by id — narrow payload join
+      .join(broadcast(queries), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         (round(dot(col("q"), col("embedding")), 4) + lit(0.0)).as("score"))
       .withColumn("rank", row_number().over(w))

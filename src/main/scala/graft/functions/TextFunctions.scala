@@ -73,9 +73,9 @@ object TextFunctions {
     * words; the heuristic itself is the deliverable, per-token equality —
     * not substring — so it is exactly expressible in SQL too). Markers are
     * chosen to be unambiguous across the covered set; no-space scripts
-    * (ja/ko) need shingle markers rather than token equality and stay with
-    * the charset-level signal. The DuckDB oracle builds its VALUES table from
-    * this same Seq, so the two sides can never drift. */
+    * (ja/ko) vote via [[shingleMarkers]] substring counts instead. The DuckDB
+    * oracle builds its VALUES tables from these same Seqs, so the two sides
+    * can never drift. */
   val langMarkers: Seq[(String, String)] = Seq(
     "en" -> "the", "en" -> "and", "en" -> "of", "en" -> "is", "en" -> "a",
     "de" -> "der", "de" -> "die", "de" -> "und", "de" -> "ist", "de" -> "das",
@@ -87,6 +87,16 @@ object TextFunctions {
     "it" -> "di", "it" -> "che", "it" -> "della", "it" -> "sono", "it" -> "anche",
     "nl" -> "het", "nl" -> "een", "nl" -> "niet", "nl" -> "voor", "nl" -> "zijn",
     "ar" -> "في", "ar" -> "من", "ar" -> "على", "ar" -> "أن", "ar" -> "هذا")
+
+  /** Shingle markers for no-space scripts (ja/ko): these languages don't
+    * tokenize on whitespace, so the vote counts marker OCCURRENCES as
+    * substrings of the raw text (still row-local, still zero-shuffle, and
+    * SQL-expressible as (len(text) − len(replace(text, m, ''))) / len(m)).
+    * Hiragana particles / hangul endings are script-exclusive, so they can't
+    * fire on any other covered language. */
+  val shingleMarkers: Seq[(String, String)] = Seq(
+    "ja" -> "の", "ja" -> "は", "ja" -> "を", "ja" -> "が", "ja" -> "です",
+    "ko" -> "의", "ko" -> "는", "ko" -> "을", "ko" -> "하다", "ko" -> "습니다")
 
   /** N-gram-heuristic language ID as a ZERO-SHUFFLE map-side vote: per
     * language, votes = occurrences of that language's marker tokens (a
@@ -104,12 +114,20 @@ object TextFunctions {
   def langId(docs: DataFrame): DataFrame = {
     val ws = tokens(col("text"))
     val byLang = langMarkers.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val langsAsc = byLang.keys.toSeq.sorted
+    val byShingle = shingleMarkers.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val langsAsc = (byLang.keys ++ byShingle.keys).toSeq.sorted
     val cands = array(langsAsc.map { l =>
-      val markers = array(byLang(l).map(lit): _*)
-      struct(
-        size(filter(ws, t => array_contains(markers, t))).cast("long").as("v"),
-        lit(l).as("cand_lang"))
+      val v =
+        if (byShingle.contains(l)) // no-space script: substring occurrence count
+          byShingle(l).map { m =>
+            ((length(col("text")) - length(replace(col("text"), lit(m), lit(""))))
+              / lit(m.length)).cast("long")
+          }.reduce(_ + _)
+        else {
+          val markers = array(byLang(l).map(lit): _*)
+          size(filter(ws, t => array_contains(markers, t))).cast("long")
+        }
+      struct(v.as("v"), lit(l).as("cand_lang"))
     }: _*)
     val best = aggregate(cands,
       struct(lit(0L).as("v"), lit("und").as("cand_lang")),

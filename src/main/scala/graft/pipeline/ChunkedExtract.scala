@@ -19,13 +19,12 @@ import graft.pdf.PdfBranch
   * cumulatively, and span byte offsets rebase by (chunkStart − prefixLen) —
   * the slice-offset rebase of SURVEY.md §2.3.
   *
-  * Known, deliberate boundary: `maxBlocksPerDoc` applies PER FRAGMENT here
-  * (each task bounds its own work — the distributed meaning of the cap), so a
-  * document whose kept-block count exceeds the cap diverges from the
-  * single-pass result, which caps globally. Byte-identity holds for every
-  * document within the cap (the golden/property-tested regime; the default
-  * cap of 10k blocks ≈ docs far beyond typical web pages). Both behaviors are
-  * explicit work caps, not silent truncation.
+  * `maxBlocksPerDoc` is enforced GLOBALLY at merge (r2 ADVICE): fragments
+  * extract with their own cap (a per-task output bound), ship their kept
+  * group-size partition, and merge re-applies `Extractor.capGroupCount` to
+  * the concatenated group sequence — the same pure function the single-pass
+  * kernel runs on the same sequence (groups never straddle fragments), so
+  * byte-identity holds through and beyond the cap.
   */
 object ChunkedExtract {
 
@@ -50,7 +49,10 @@ object ChunkedExtract {
       spans: Seq[Span],
       charset: String,
       truncated: Boolean,
-      status: String)
+      status: String,
+      /** spans per assembly group, in order (empty for passthrough rows) —
+        * lets merge re-apply the block cap group-atomically. */
+      groupSizes: Seq[Int])
 
   /** Split one page into chunk rows (pass-through when chunking does not
     * apply). Charset is sniffed once on the (truncated) whole payload and
@@ -80,23 +82,54 @@ object ChunkedExtract {
 
   /** Extract one chunk row (fragment or passthrough). */
   def extractChunk(r: ChunkRow, cfg: ExtractConfig, state: ExtractorState): ChunkResult = {
-    val doc =
-      if (r.chunkIdx < 0) Extractor.extract(r.url, r.payload, cfg, state)
-      else Extractor.extractHtml(r.url, r.payload, Charsets.resolve(r.charsetName),
-        r.bom, r.truncated, cfg, state)
-    ChunkResult(r.rowUid, r.url, r.chunkIdx, r.chunkStart, r.prefixLen, doc.text,
-      doc.spans, doc.charset, doc.truncated, doc.status)
+    if (r.chunkIdx < 0) {
+      val doc = Extractor.extract(r.url, r.payload, cfg, state)
+      ChunkResult(r.rowUid, r.url, r.chunkIdx, r.chunkStart, r.prefixLen, doc.text,
+        doc.spans, doc.charset, doc.truncated, doc.status, Nil)
+    } else {
+      val (doc, sizes) = Extractor.extractHtmlGrouped(r.url, r.payload,
+        Charsets.resolve(r.charsetName), r.bom, r.truncated, cfg, state)
+      ChunkResult(r.rowUid, r.url, r.chunkIdx, r.chunkStart, r.prefixLen, doc.text,
+        doc.spans, doc.charset, doc.truncated, doc.status, sizes)
+    }
   }
 
-  /** Merge a document's chunk results (sorted by chunkIdx) seam-exactly. */
-  def merge(url: String, results: Seq[ChunkResult]): ExtractedDoc = {
+  /** Merge a document's chunk results (sorted by chunkIdx) seam-exactly,
+    * re-applying the GLOBAL block cap group-atomically (the same
+    * `capGroupCount` walk the single-pass kernel runs — lockstep through
+    * the cap). */
+  def merge(url: String, results: Seq[ChunkResult],
+            cfg: ExtractConfig = ExtractConfig()): ExtractedDoc = {
     val sorted = results.sortBy(_.chunkIdx)
     if (sorted.length == 1 && sorted.head.chunkIdx < 0) {
       val r = sorted.head
       return ExtractedDoc(url, r.text, r.spans.length, r.spans, r.charset, r.truncated,
         r.status)
     }
-    val text = sorted.map(_.text).filter(_.nonEmpty).mkString("\n\n")
+    val allSizes: IndexedSeq[Int] = sorted.flatMap(_.groupSizes).toIndexedSeq
+    val nGroups = Extractor.capGroupCount(allSizes, cfg.maxBlocksPerDoc)
+    val capped = nGroups < allSizes.length
+    val nSpans = if (capped) allSizes.take(nGroups).sum else allSizes.sum
+
+    val text =
+      if (!capped) sorted.map(_.text).filter(_.nonEmpty).mkString("\n\n")
+      else {
+        // keep whole chunks while their groups fit, then a group-prefix of
+        // the straddling chunk. Group texts are recoverable from the chunk
+        // text because "\n\n" appears ONLY between groups (normalization
+        // collapses newline runs, so no group text contains a blank line).
+        val parts = Vector.newBuilder[String]
+        var g = nGroups
+        sorted.foreach { r =>
+          val k = r.groupSizes.length
+          if (g > 0 && k > 0) {
+            if (k <= g) { if (r.text.nonEmpty) parts += r.text; g -= k }
+            else { parts += r.text.split("\n\n", -1).take(g).mkString("\n\n"); g = 0 }
+          }
+        }
+        parts.result().mkString("\n\n")
+      }
+
     var idx = 0
     val spans = sorted.flatMap { r =>
       r.spans.map { s =>
@@ -107,7 +140,7 @@ object ChunkedExtract {
         idx += 1
         rebased
       }
-    }
+    }.take(nSpans)
     ExtractedDoc(url, text, spans.length, spans,
       sorted.head.charset, sorted.head.truncated)
   }
@@ -117,7 +150,7 @@ object ChunkedExtract {
                    chunkThreshold: Int = 1 << 20, minChunkBytes: Int = 256 * 1024,
                    state: ExtractorState = new ExtractorState()): ExtractedDoc = {
     val rows = chunkRows(p, cfg, chunkThreshold, minChunkBytes)
-    merge(p.url, rows.map(extractChunk(_, cfg, state)))
+    merge(p.url, rows.map(extractChunk(_, cfg, state)), cfg)
   }
 
   /** Distributed path: documents below the chunk threshold extract IN PLACE
@@ -146,7 +179,7 @@ object ChunkedExtract {
         it.map(extractChunk(_, cfg, state))
       }
       .groupByKey(_.rowUid)
-      .mapGroups((_, it) => { val rs = it.toSeq; merge(rs.head.url, rs) })
+      .mapGroups((_, it) => { val rs = it.toSeq; merge(rs.head.url, rs, cfg) })
     small.union(big)
   }
 }

@@ -26,6 +26,14 @@ object CorpusSource {
       (g.row.url, g.expectedText)
     })
   }
+
+  def goldenLabels(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[(String, Seq[String])] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions(_.map { i =>
+      val g = Corpus.page(seed, i.toInt)
+      (g.row.url, g.expectedLabels: Seq[String])
+    })
+  }
 }
 
 /** The extraction stage: one narrow mapPartitions over pages — no shuffle

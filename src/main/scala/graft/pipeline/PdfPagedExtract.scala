@@ -36,24 +36,37 @@ import graft.pdf.PdfBranch
 object PdfPagedExtract {
 
   final case class PdfPage(rowUid: Long, url: String, pageIdx: Int, pageW: Int,
-                           blocksSrc: String)
-  final case class PageText(rowUid: Long, url: String, pageIdx: Int, text: String)
+                           blocksSrc: String, status: String, truncated: Boolean)
+  final case class PageText(rowUid: Long, url: String, pageIdx: Int, text: String,
+                            status: String, truncated: Boolean)
 
   /** Split a payload into per-page block-source fragments via the shared
-    * parser (mini format: line scan; real PDF: object scan + inflate). */
+    * parser (mini format: line scan; real PDF: object scan + inflate).
+    *
+    * A payload whose parse yields NO pages (pdf_unparsed, or an empty but
+    * well-formed file) emits a single sentinel page (pageIdx = -1, no blocks)
+    * so the document cannot vanish from the reassembled output — the
+    * single-pass `PdfBranch.extract` emits an empty-text row with the parse
+    * status, and "decode loss is never silent" holds on this surface too. */
   def splitPages(rowUid: Long, url: String, payload: Array[Byte],
-                 cfg: graft.extract.ExtractConfig): Seq[PdfPage] = {
+                 cfg: graft.extract.ExtractConfig,
+                 byteTruncated: Boolean = false): Seq[PdfPage] = {
     if (!PdfBranch.isPdf(payload)) return Nil
     val parsed = PdfBranch.parsePayload(payload, cfg)
+    val truncated = byteTruncated || parsed.pagesTruncated
+    if (parsed.pages.isEmpty)
+      return Seq(PdfPage(rowUid, url, -1, 0, "", parsed.status, truncated))
     parsed.pages.zipWithIndex.map { case ((w, blocks), idx) =>
       val src = blocks.map(b => s"block ${b.x} ${b.y} ${b.w} ${b.h} ${b.text}")
         .mkString("\n")
-      PdfPage(rowUid, url, idx, w, src)
+      PdfPage(rowUid, url, idx, w, src, parsed.status, truncated)
     }
   }
 
   /** Lay out one page (the per-tile work — independent, parallelizable). */
   def layoutPage(p: PdfPage): PageText = {
+    if (p.pageIdx < 0) // sentinel: no pages parsed, carry status only
+      return PageText(p.rowUid, p.url, p.pageIdx, "", p.status, p.truncated)
     val blocks = p.blocksSrc.linesIterator.flatMap { line =>
       if (line.startsWith("block ")) {
         val parts = line.substring(6).split(" ", 5)
@@ -66,7 +79,8 @@ object PdfPagedExtract {
       } else None
     }.toVector
     val ordered = PdfBranch.orderPage(p.pageW, blocks)
-    PageText(p.rowUid, p.url, p.pageIdx, ordered.map(_.text).mkString("\n\n"))
+    PageText(p.rowUid, p.url, p.pageIdx, ordered.map(_.text).mkString("\n\n"),
+      p.status, p.truncated)
   }
 
   /** Distributed path: explode pages → per-page layout → reassemble by row
@@ -79,18 +93,20 @@ object PdfPagedExtract {
     import pages.sparkSession.implicits._
     RowIds.keyed(pages)
       .flatMap { case (uid, p) =>
+        val byteTrunc = p.html != null && p.html.length > cfg.maxHtmlBytes
         val payload =
-          if (p.html != null && p.html.length > cfg.maxHtmlBytes)
-            java.util.Arrays.copyOf(p.html, cfg.maxHtmlBytes)
+          if (byteTrunc) java.util.Arrays.copyOf(p.html, cfg.maxHtmlBytes)
           else p.html
-        splitPages(uid, p.url, payload, cfg)
+        splitPages(uid, p.url, payload, cfg, byteTruncated = byteTrunc)
       }
       .map(layoutPage)
       .groupByKey(_.rowUid)
       .mapGroups { (_, it) =>
         val ordered = it.toArray.sortBy(_.pageIdx)
-        (ordered.head.url, ordered.map(_.text).filter(_.nonEmpty).mkString("\n\n"))
+        (ordered.head.url,
+          ordered.map(_.text).filter(_.nonEmpty).mkString("\n\n"),
+          ordered.head.status, ordered.exists(_.truncated))
       }
-      .toDF("url", "text")
+      .toDF("url", "text", "status", "truncated")
   }
 }

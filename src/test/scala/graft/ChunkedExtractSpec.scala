@@ -62,6 +62,47 @@ class ChunkedExtractSpec extends AnyFunSuite {
     })
   }
 
+  test("chunked == single-pass BEYOND the block cap (global group-atomic cap)") {
+    // 300 paragraphs + a table straddling nothing; cap at 57 spans → the cap
+    // boundary falls mid-corpus and (for some chunk sizes) mid-chunk. r2's
+    // per-fragment cap diverged here; the merge now re-applies the kernel's
+    // capGroupCount on the concatenated group sequence.
+    val body = (0 until 300).map { i =>
+      s"<p>paragraph number $i with enough characters to be kept as content block</p>"
+    }.mkString + "<table><tr><td>cell one content block here</td>" +
+      "<td>cell two content block here</td></tr></table>"
+    val html = s"<html><head><title>t</title></head><body>$body</body></html>"
+      .getBytes(StandardCharsets.UTF_8)
+    val row = PageRow("u://cap", new java.sql.Timestamp(0L), html, null, "en")
+    for (cap <- Seq(1, 57, 200, 301, 10000); minChunk <- Seq(512, 4096)) {
+      val cfg = ExtractConfig(maxBlocksPerDoc = cap)
+      val single = Extractor.extract(row.url, row.html, cfg)
+      val chunked = ChunkedExtract.extractLocal(row, cfg,
+        chunkThreshold = 0, minChunkBytes = minChunk)
+      assert(single.text == chunked.text, s"cap=$cap minChunk=$minChunk text diff")
+      assert(single.spans == chunked.spans, s"cap=$cap minChunk=$minChunk span diff")
+      assert(single.nSpans <= math.max(cap, 2), s"cap=$cap not enforced: ${single.nSpans}")
+    }
+    // sanity: an uncapped run really has >200 spans (the cap bites above)
+    assert(Extractor.extract(row.url, row.html, ExtractConfig()).nSpans > 200)
+  }
+
+  test("block cap keeps group 0 even when it alone exceeds the budget") {
+    val cells = (0 until 40).map(i => s"<td>cell content number $i block</td>").mkString
+    val html = s"<html><body><table><tr>$cells</tr></table><p>after table paragraph content</p></body></html>"
+      .getBytes(StandardCharsets.UTF_8)
+    val cfg = ExtractConfig(maxBlocksPerDoc = 5)
+    val doc = Extractor.extract("u://bigtable", html, cfg)
+    // the whole 40-cell table survives (group-atomic, group 0 always kept);
+    // the paragraph after it is dropped by the exhausted budget
+    assert(doc.nSpans == 40, doc.nSpans)
+    assert(!doc.text.contains("after table"))
+    val chunked = ChunkedExtract.extractLocal(
+      PageRow("u://bigtable", new java.sql.Timestamp(0L), html, null, "en"), cfg,
+      chunkThreshold = 0, minChunkBytes = 64)
+    assert(chunked.text == doc.text && chunked.spans == doc.spans)
+  }
+
   test("a mega document actually splits into multiple chunks") {
     val g = Corpus.pages(42L, 160).find(_.category == "F08").get // many sections
     val chunks = HtmlChunker.plan(g.row.html, minChunkBytes = 4096)

@@ -138,6 +138,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     pairs.foreach { case (k, c) => assert(brute.get(k).contains(c), s"mismatch at $k") }
   }
 
+  test("langId: no-space scripts (ja/ko) vote via shingle substring counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "これは日本語の文章です。天気がいいですね。", "ja"),
+      (2L, "이 문서는 한국어입니다. 우리는 데이터를 처리하다 합니다. 감사합니다.", "ko"),
+      (3L, "the cat and the dog of the house", "en"),
+      (4L, "no markers here whatsoever", "und")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextFunctions.langId(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L)._1 == "ja" && out(1L)._2 >= 2) // の + が + です×2
+    assert(out(2L)._1 == "ko" && out(2L)._2 >= 2) // 의? 는 + 하다 + 습니다
+    assert(out(3L)._1 == "en")
+    assert(out(4L)._1 == "und" && out(4L)._2 == 0L)
+  }
+
   test("exact dedup groups identical texts under min doc_id") {
     val g = DedupFunctions.exactGroups(docsWithPlants)
       .filter(col("group_size") > 1).collect()

@@ -44,4 +44,31 @@ class MetricsSpec extends AnyFunSuite {
     assert(row.getDouble(1) == 0.0)
     assert(row.getLong(2) == 280L)
   }
+
+  test("det aggregator: global-sum precision/recall/hmean from hand-computed counts") {
+    import spark.implicits._
+    val pairs = Seq(
+      // 2 of 3 predicted match; gt has 4 blocks (one missed entirely)
+      MetricsAggregator.LabelPair(Seq("title", "content", "cell"),
+        Seq("title", "content", "content", "content")),
+      // perfect doc
+      MetricsAggregator.LabelPair(Seq("content"), Seq("content")),
+      // empty prediction, non-empty gt (decode loss): counts only toward gt
+      MetricsAggregator.LabelPair(Seq(), Seq("content", "content"))
+    ).toDS()
+    val m = MetricsAggregator.detectionQa(pairs).head()
+    assert(m.matched == 3L && m.det == 4L && m.gt == 7L)
+    assert(math.abs(m.precision - 3.0 / 4.0) < 1e-12)
+    assert(math.abs(m.recall - 3.0 / 7.0) < 1e-12)
+    val p = 3.0 / 4.0; val r = 3.0 / 7.0
+    assert(math.abs(m.hmean - 2 * p * r / (p + r)) < 1e-12)
+  }
+
+  test("corpus detection QA: span labels match golden exactly (x14, hmean 1.0)") {
+    val row = SparkEntry.queries("x14_det_metric")(spark, "").head()
+    assert(row.getDouble(0) == 1.0, s"precision=${row.getDouble(0)}")
+    assert(row.getDouble(1) == 1.0, s"recall=${row.getDouble(1)}")
+    assert(row.getDouble(2) == 1.0)
+    assert(row.getLong(4) == row.getLong(5)) // det == gt block counts
+  }
 }

@@ -37,6 +37,36 @@ class PdfPagedSpec extends AnyFunSuite {
     assert(exploded.size == goldens.size)
   }
 
+  test("an unparsable PDF payload yields a sentinel row, not silence") {
+    import spark.implicits._
+    // %PDF magic but no parsable structure → pdf_unparsed; the paged path
+    // must report the same loss the single-pass path records (ADVICE r2)
+    val junk = "%PDF-1.7\nthis is not a real pdf body".getBytes("UTF-8")
+    val ds = spark.createDataset(Seq(
+      graft.model.PageRow("u://broken", new java.sql.Timestamp(0L), junk, null, "en")))
+    val rows = PdfPagedExtract.run(ds).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(0) == "u://broken")
+    assert(rows(0).getString(1) == "")
+    assert(rows(0).getString(2) == "pdf_unparsed")
+    val single = PdfBranch.extract("u://broken", junk, ExtractConfig())
+    assert(single.text == rows(0).getString(1))
+    assert(single.status == rows(0).getString(2))
+  }
+
+  test("run() carries status/truncated: paged == single-pass on every PDF fixture") {
+    val n = 160
+    val byUrl = PdfPagedExtract.run(CorpusSource.pages(spark, n))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2), r.getBoolean(3)))).toMap
+    Corpus.pages(42L, n).filter(g => PdfBranch.isPdf(g.row.html)).foreach { g =>
+      val single = PdfBranch.extract(g.row.url, g.row.html, ExtractConfig())
+      val (text, status, trunc) = byUrl(g.row.url)
+      assert(text == single.text)
+      assert(status == single.status, g.row.url)
+      assert(trunc == single.truncated, g.row.url)
+    }
+  }
+
   test("a many-page document splits into that many independent page rows") {
     val payload = ("%PDF-GRAFT 1.0\n" + (0 until 50).map { i =>
       s"page 800 1200\nblock 50 100 700 80 page $i text here\nendpage"

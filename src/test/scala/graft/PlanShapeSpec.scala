@@ -92,6 +92,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!readSchema.contains("lang"), readSchema) // only doc_id + text read
   }
 
+  test("e04: candidate dedup shuffles id pairs only — no array column in any aggregate key") {
+    val plan = planOf("e04_ann_bucketed")
+    // the distinct() over the cross-table candidate union must group on
+    // (query_id, vec_id) longs; the r2 shape carried both embedding arrays in
+    // the distinct key — a multi-TB exchange at 10^9 vectors
+    val keyLines = plan.linesIterator.filter(_.contains("keys=")).toSeq
+    assert(keyLines.nonEmpty, plan)
+    assert(keyLines.forall(l => !l.contains("embedding") && !l.contains("q#")), keyLines.mkString("\n"))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("e05: blocked cosine pairs are equi-joins; brute subset bound pushed") {
     val bruteP = planOf("e05_cosine_dups")
     assert(bruteP.contains("LessThan(vec_id,200)"), bruteP)
