@@ -84,8 +84,14 @@ object Corpus {
       case 3  => if ((index / 16) % 2 == 0) f04Table(r, url, ts)
                  else f04TableSpans(r, url, ts)
       case 4  => f05Fragmented(r, url, ts)
-      case 5  => if ((index / 16) % 2 == 0) f06PdfShuffled(r, url, ts)
-                 else f06PdfReal(r, url, ts)
+      case 5  => (index / 16) % 4 match {
+        case 0 => f06PdfShuffled(r, url, ts)
+        case 1 => f06PdfReal(r, url, ts, RealPdfGen.build)
+        // PDF 1.5 /ObjStm layout and the /ToUnicode custom-encoding font —
+        // same golden text, modern writer shapes
+        case 2 => f06PdfReal(r, url, ts, RealPdfGen.buildObjStm)
+        case _ => f06PdfReal(r, url, ts, RealPdfGen.buildToUnicode)
+      }
       case 6  => f07LowConf(r, url, ts)
       case 7  => f08Mega(r, url, ts)
       case 8  => f09TagSoup(r, url, ts)
@@ -228,7 +234,8 @@ object Corpus {
   // top-down with a y cursor but EMITTED in shuffled order in the content
   // stream; expected order is recovered geometrically (sorted_boxes
   // semantics, like the mini variant, but through the real-PDF parser).
-  private def f06PdfReal(r: Rng, url: String, ts: Timestamp): Golden = {
+  private def f06PdfReal(r: Rng, url: String, ts: Timestamp,
+                         build: Seq[RealPdfGen.PageSpec] => Array[Byte]): Golden = {
     val n = 4 + r.nextInt(3)
     val ps = (0 until n).map(_ => (0 until 2).map(_ => sentence(r)).mkString(" "))
     var y = 100
@@ -239,8 +246,7 @@ object Corpus {
       b
     }
     val shuffled = deterministicShuffle(placed.toVector, r)
-    val payload = RealPdfGen.build(
-      Seq(RealPdfGen.PageSpec(800, 1200, shuffled, compress = true)))
+    val payload = build(Seq(RealPdfGen.PageSpec(800, 1200, shuffled, compress = true)))
     Golden(PageRow(url, ts, payload, null, "en"),
       ps.mkString("\n\n"), ps.map(_ => "content").toVector, "F06")
   }

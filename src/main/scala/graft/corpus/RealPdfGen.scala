@@ -84,6 +84,178 @@ object RealPdfGen {
     out.toByteArray
   }
 
+  /** PDF 1.5 layout: catalog, pages-tree, and page dicts live inside a
+    * compressed `/Type /ObjStm` object stream (ISO 32000 §7.5.7), content
+    * streams stay top-level, and the cross-reference is an xref STREAM
+    * (`/Type /XRef`, `/W [1 2 2]`) — the modern writer shape whose page
+    * dicts a plain `N G obj` scan cannot see. Object layout: 3+2i = page i,
+    * 4+2i = content i (top level), S = the ObjStm (holding 1, 2, pages),
+    * S+1 = the xref stream. */
+  def buildObjStm(pages: Seq[PageSpec]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(4096)
+    def put(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val n = pages.length
+    val stmNum = 3 + 2 * n
+    val xrefNum = stmNum + 1
+
+    // bodies of the compressed objects (1 = catalog, 2 = pages, 3+2i = pages)
+    val kids = pages.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    val contained: Seq[(Int, String)] =
+      (1, "<< /Type /Catalog /Pages 2 0 R >>") +:
+      (2, s"<< /Type /Pages /Kids [$kids] /Count $n >>") +:
+      pages.zipWithIndex.map { case (p, i) =>
+        (3 + 2 * i,
+          s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 ${p.w} ${p.h}] " +
+          s"/Contents ${4 + 2 * i} 0 R /Resources << /Font << /F1 << /Type /Font " +
+          "/Subtype /Type1 /BaseFont /Helvetica >> >> >> >>")
+      }
+    val bodies = contained.map(_._2 + "\n")
+    val offs = bodies.scanLeft(0)(_ + _.length).init
+    val header = contained.zip(offs).map { case ((num, _), o) => s"$num $o" }
+      .mkString(" ") + "\n"
+    val stmPlain = (header + bodies.mkString).getBytes(StandardCharsets.ISO_8859_1)
+    val stmData = deflate(stmPlain)
+
+    val offsets = scala.collection.mutable.HashMap.empty[Int, Int] // objnum → byte offset
+    put("%PDF-1.5\n")
+    for ((p, i) <- pages.zipWithIndex) {
+      val contNum = 4 + 2 * i
+      offsets(contNum) = out.size()
+      val raw = contentFor(p)
+      val (data, filter) =
+        if (p.compress) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
+      put(s"$contNum 0 obj\n<< /Length ${data.length}$filter >>\nstream\n")
+      out.write(data)
+      put("\nendstream\nendobj\n")
+    }
+    offsets(stmNum) = out.size()
+    put(s"$stmNum 0 obj\n<< /Type /ObjStm /N ${contained.length} " +
+      s"/First ${header.length} /Length ${stmData.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(stmData)
+    put("\nendstream\nendobj\n")
+
+    // xref stream: W [1 2 2]; type 0 = free, 1 = at offset, 2 = in ObjStm
+    val xrefOff = out.size()
+    offsets(xrefNum) = xrefOff
+    val maxNum = xrefNum
+    val entries = new ByteArrayOutputStream()
+    def entry(t: Int, f2: Int, f3: Int): Unit = {
+      entries.write(t)
+      entries.write((f2 >> 8) & 0xff); entries.write(f2 & 0xff)
+      entries.write((f3 >> 8) & 0xff); entries.write(f3 & 0xff)
+    }
+    val inStmIdx = contained.map(_._1).zipWithIndex.toMap
+    for (num <- 0 to maxNum) {
+      if (num == 0) entry(0, 0xffff, 0)
+      else inStmIdx.get(num) match {
+        case Some(idx) => entry(2, stmNum, idx)
+        case None => entry(1, offsets.getOrElse(num, 0), 0)
+      }
+    }
+    val xd = entries.toByteArray
+    put(s"$xrefNum 0 obj\n<< /Type /XRef /Size ${maxNum + 1} /W [1 2 2] " +
+      s"/Root 1 0 R /Length ${xd.length} >>\nstream\n")
+    out.write(xd)
+    put("\nendstream\nendobj\n")
+    put(s"startxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  // ---- custom-encoded font + /ToUnicode CMap ------------------------------
+
+  /** Code mapping for the ToUnicode variant: printable ASCII c (0x20..0x7E)
+    * is stored as code c+0x80; the digraph "fi" is stored as the single code
+    * 0x1F mapped to TWO codepoints (the subset-font ligature case). Without
+    * the CMap these bytes decode Latin-ish to garbage — exactly the failure
+    * the CMap path fixes. */
+  private def encodeCustom(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s.charAt(i) == 'f' && s.charAt(i + 1) == 'i') {
+        sb.append(0x1f.toChar); i += 2
+      } else {
+        val c = s.charAt(i)
+        sb.append(if (c >= 0x20 && c <= 0x7e) (c + 0x80).toChar else c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  private val toUnicodeCMap: String =
+    """/CIDInit /ProcSet findresource begin
+      |12 dict begin
+      |begincmap
+      |/CMapName /GRAFT-Custom-UCS2 def
+      |/CMapType 2 def
+      |1 begincodespacerange
+      |<00> <FF>
+      |endcodespacerange
+      |1 beginbfrange
+      |<A0> <FE> <0020>
+      |endbfrange
+      |1 beginbfchar
+      |<1F> <00660069>
+      |endbfchar
+      |endcmap
+      |CMapName currentdict /CMap defineresource pop
+      |end
+      |end
+      |""".stripMargin
+
+  /** Classic layout but the font is a subset-embedded custom encoding with a
+    * /ToUnicode CMap: shows carry remapped bytes, the CMap restores the real
+    * text (ISO 32000 §9.10.3). Object layout: 1 = catalog, 2 = pages,
+    * 3+2i = page i, 4+2i = content i, F = font, F+1 = CMap stream. */
+  def buildToUnicode(pages: Seq[PageSpec]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(4096)
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def put(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    def beginObj(num: Int): Unit = { offsets += out.size(); put(s"$num 0 obj\n") }
+    val n = pages.length
+    val fontNum = 3 + 2 * n
+    val cmapNum = fontNum + 1
+
+    put("%PDF-1.4\n")
+    beginObj(1)
+    put("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    val kids = pages.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    beginObj(2)
+    put(s"<< /Type /Pages /Kids [$kids] /Count $n >>\nendobj\n")
+    for ((p, i) <- pages.zipWithIndex) {
+      val pageNum = 3 + 2 * i
+      val contNum = 4 + 2 * i
+      beginObj(pageNum)
+      put(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 ${p.w} ${p.h}] " +
+        s"/Contents $contNum 0 R /Resources << /Font << /F1 $fontNum 0 R >> >> >>\nendobj\n")
+      val encoded = p.copy(blocks = p.blocks.map(b =>
+        b.copy(lines = b.lines.map(encodeCustom))))
+      val raw = contentFor(encoded)
+      val (data, filter) =
+        if (p.compress) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
+      beginObj(contNum)
+      put(s"<< /Length ${data.length}$filter >>\nstream\n")
+      out.write(data)
+      put("\nendstream\nendobj\n")
+    }
+    beginObj(fontNum)
+    put(s"<< /Type /Font /Subtype /TrueType /BaseFont /GRAFT+Custom " +
+      s"/ToUnicode $cmapNum 0 R >>\nendobj\n")
+    val cm = deflate(toUnicodeCMap.getBytes(StandardCharsets.ISO_8859_1))
+    beginObj(cmapNum)
+    put(s"<< /Length ${cm.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(cm)
+    put("\nendstream\nendobj\n")
+    val xrefOff = out.size()
+    val total = offsets.length + 1
+    put(s"xref\n0 $total\n0000000000 65535 f \n")
+    for (o <- offsets)
+      put(String.format(java.util.Locale.ROOT, "%010d 00000 n \n", Integer.valueOf(o)))
+    put(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** Build the PDF bytes. Object layout: 1 = catalog, 2 = pages,
     * 3+2i = page i, 4+2i = its content stream. */
   def build(pages: Seq[PageSpec]): Array[Byte] = {

@@ -10,12 +10,19 @@ import graft.pdf.PdfBranch.PBlock
   * spec (ISO 32000), no native libs:
   *
   *  - linear object scan (`N G obj … endobj`) instead of xref parsing, which
-  *    also survives mildly damaged files;
+  *    also survives mildly damaged files; xref TABLES and xref STREAMS are
+  *    both unnecessary under this design (objects are found, not looked up);
+  *  - PDF 1.5+ `/ObjStm` object streams expanded (§7.5.7), so page dicts
+  *    compressed into object streams — the modern writer default — parse;
   *  - page tree walk: `/Type /Catalog` → `/Pages` → `/Kids` recursion, page
   *    order = tree order (fallback: `/Type /Page` objects in object order);
   *  - content streams: raw or `/FlateDecode` (java.util.zip.Inflater); other
   *    filters (DCT, LZW, …) are counted as decode failures, never silently
   *    dropped — the caller records `pdf_unparsed` in lineage;
+  *  - per-font `/ToUnicode` CMaps (§9.10.3): bfchar/bfrange (increment and
+  *    array forms, multi-codepoint destinations), 1- and 2-byte codespaces;
+  *    show strings route through the font selected by `Tf`, unmapped codes
+  *    keep the Latin-ish fallback;
   *  - text operators inside BT/ET: Tj, TJ, ', ", with Td, TD, Tm, TL and
   *    T-star positioning; literal strings with octal/escape handling, hex strings
   *    (UTF-16BE when BOM'd, else Latin-ish byte chars);
@@ -98,7 +105,7 @@ object RealPdf {
     * a flat regex pass over the whole payload would pick those up. Stream
     * data is located via a direct /Length when present, else by searching for
     * "endstream". First definition of an object number wins. */
-  private def scanObjects(payload: Array[Byte], s: String): Map[Int, PdfObj] = {
+  private def scanObjects(payload: Array[Byte], s: String): (Map[Int, PdfObj], Int) = {
     val out = scala.collection.mutable.LinkedHashMap.empty[Int, PdfObj]
     val n = s.length
     val m = objStartPat.matcher(s)
@@ -144,7 +151,54 @@ object RealPdf {
       if (!out.contains(num)) out += num -> PdfObj(num, dict, streamRaw, m.start)
       pos = math.max(next, m.end)
     }
-    out.toMap
+    val objStmFailures = expandObjectStreams(out)
+    (out.toMap, objStmFailures)
+  }
+
+  /** PDF 1.5+ object streams (ISO 32000 §7.5.7): a `/Type /ObjStm` stream
+    * holds N compressed non-stream objects, prefixed by N (objnum, offset)
+    * integer pairs; offsets are relative to /First. Page dicts routinely live
+    * here, so without this pass a PDF 1.5 file parses as "no pages". The
+    * linear object scan makes xref streams unnecessary — ObjStm containers
+    * are FOUND by the scan itself and only their contents need expanding.
+    * Direct definitions win over ObjStm-contained ones (first-wins, matching
+    * the scan's own rule). */
+  private def expandObjectStreams(
+      out: scala.collection.mutable.LinkedHashMap[Int, PdfObj]): Int = {
+    var failures = 0
+    val stms = out.values.filter(o => hasName(o.dict, "Type", "ObjStm")).toVector
+    for (stm <- stms) {
+      val dec = decodeStream(stm)
+      if (dec.failed) failures += 1 // a lost container loses its objects — flag it
+      if (!dec.failed && dec.data.nonEmpty) {
+        val s = byteView(dec.data)
+        val nObjs = directInt(stm.dict, "N").getOrElse(0)
+        val first = directInt(stm.dict, "First").getOrElse(0)
+        // header: N pairs of integers "objnum offset"
+        val pm = pat(raw"\d+").matcher(s.substring(0, math.min(first, s.length)))
+        val header = Vector.newBuilder[Int]
+        while (pm.find()) header += pm.group.toInt
+        val pairs = header.result().grouped(2).collect {
+          case Vector(a, b) => (a, b)
+        }.take(nObjs).toVector
+        for (((num, off), idx) <- pairs.zipWithIndex if !out.contains(num)) {
+          val start = first + off
+          val end =
+            if (idx + 1 < pairs.length) math.min(first + pairs(idx + 1)._2, s.length)
+            else s.length
+          if (start >= 0 && start < end) {
+            val body = s.substring(start, end)
+            // contained objects are dicts/arrays/primitives — never streams
+            val t = body.indexOf("<<")
+            val dict =
+              if (t >= 0) { val de = dictEnd(body, t); if (de > 0) body.substring(t, de) else "" }
+              else ""
+            out += num -> PdfObj(num, dict, null, stm.offset)
+          }
+        }
+      }
+    }
+    failures
   }
 
   // ------------------------------------------------------------ dict access
@@ -262,6 +316,118 @@ object RealPdf {
     } finally inf.end()
   }
 
+  // ------------------------------------------------------------ /ToUnicode
+
+  /** A font's code→Unicode map from its /ToUnicode CMap (ISO 32000 §9.10.3):
+    * `codeBytes` = code width in bytes (from the codespace range, else
+    * inferred from the widest bfchar/bfrange key), `map` = code → replacement
+    * (possibly multi-char — ligature splits like fi → "fi" are routine in
+    * subset-embedded fonts). */
+  private[graft] final case class ToUnicode(codeBytes: Int, map: Map[Int, String])
+
+  // (?s): CMap sections span lines
+  private val bfCharPat = pat("(?s)beginbfchar(.*?)endbfchar")
+  private val bfRangePat = pat("(?s)beginbfrange(.*?)endbfrange")
+  private val codeSpacePat = pat(raw"begincodespacerange\s*<([0-9A-Fa-f]+)>")
+
+  private def hexToInt(h: String): Int = java.lang.Long.parseLong(h, 16).toInt
+
+  /** UTF-16BE hex body → String (the bfchar/bfrange destination form). */
+  private def hexToUtf16(h: String): String = {
+    val padded = if (h.length % 4 == 0) h else h + "0" * (4 - h.length % 4)
+    val bytes = new Array[Byte](padded.length / 2)
+    var i = 0
+    while (i < bytes.length) {
+      bytes(i) = ((Character.digit(padded.charAt(2 * i), 16) << 4) |
+        Character.digit(padded.charAt(2 * i + 1), 16)).toByte
+      i += 1
+    }
+    new String(bytes, StandardCharsets.UTF_16BE)
+  }
+
+  /** Parse one /ToUnicode CMap stream (text form): codespace width,
+    * bfchar pairs, bfrange runs (increment and array destination forms).
+    * Range materialization is capped at 64k codes (the single-codespace
+    * maximum) so a corrupt range cannot balloon memory. */
+  private[graft] def parseToUnicode(data: Array[Byte]): Option[ToUnicode] = {
+    if (data == null || data.isEmpty) return None
+    val s = byteView(data)
+    val m = scala.collection.mutable.HashMap.empty[Int, String]
+    var keyHexLen = 0
+
+    val cm = bfCharPat.matcher(s)
+    while (cm.find()) {
+      val body = cm.group(1)
+      val tm = pat(raw"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>").matcher(body)
+      while (tm.find()) {
+        keyHexLen = math.max(keyHexLen, tm.group(1).length)
+        m += hexToInt(tm.group(1)) -> hexToUtf16(tm.group(2))
+      }
+    }
+    val rm = bfRangePat.matcher(s)
+    while (rm.find()) {
+      val body = rm.group(1)
+      // <lo> <hi> then either <dstStart> or [<dst1> <dst2> …]
+      val tm = pat(raw"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(<[0-9A-Fa-f]+>|\[(?:\s*<[0-9A-Fa-f]+>)+\s*\])")
+        .matcher(body)
+      while (tm.find()) {
+        keyHexLen = math.max(keyHexLen, tm.group(1).length)
+        val lo = hexToInt(tm.group(1))
+        val hi = math.min(hexToInt(tm.group(2)), lo + 0xFFFF)
+        val dst = tm.group(3)
+        if (dst.startsWith("[")) {
+          val dm = pat(raw"<([0-9A-Fa-f]+)>").matcher(dst)
+          var code = lo
+          while (dm.find() && code <= hi) {
+            m += code -> hexToUtf16(dm.group(1))
+            code += 1
+          }
+        } else {
+          val d0 = dst.substring(1, dst.length - 1)
+          // increment form: the LAST UTF-16 unit increments per code (§9.10.3)
+          val base = hexToUtf16(d0)
+          var code = lo
+          while (code <= hi) {
+            val delta = code - lo
+            val repl =
+              if (base.isEmpty) ""
+              else base.substring(0, base.length - 1) +
+                (base.charAt(base.length - 1) + delta).toChar
+            m += code -> repl
+            code += 1
+          }
+        }
+      }
+    }
+    if (m.isEmpty) return None
+    val csm = codeSpacePat.matcher(s)
+    val codeBytes =
+      if (csm.find()) math.max(1, csm.group(1).length / 2)
+      else math.max(1, (keyHexLen + 1) / 2)
+    Some(ToUnicode(codeBytes, m.toMap))
+  }
+
+  /** Map a byte-char show string (Latin-1 view: char code == byte) through a
+    * font's ToUnicode CMap; unmapped codes keep the Latin-ish fallback char.
+    */
+  private def applyToUnicode(raw: String, tu: ToUnicode): String = {
+    val sb = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    val n = raw.length
+    while (i < n) {
+      val code =
+        if (tu.codeBytes == 2 && i + 1 < n) (raw.charAt(i) << 8) | raw.charAt(i + 1)
+        else raw.charAt(i).toInt
+      val step = if (tu.codeBytes == 2 && i + 1 < n) 2 else 1
+      tu.map.get(code) match {
+        case Some(repl) => sb.append(repl)
+        case None => if (step == 2) sb.append(raw, i, i + 2) else sb.append(raw.charAt(i))
+      }
+      i += step
+    }
+    sb.toString
+  }
+
   // ------------------------------------------------- content stream → text
 
   private[pdf] final case class Chunk(x: Double, y: Double, size: Double, text: String)
@@ -307,9 +473,11 @@ object RealPdf {
   }
 
   /** Parse a hex string starting at `i0` (s(i0) == '<', not "<<"): returns
-    * (decoded text or null if malformed, index past the closing '>').
-    * UTF-16BE when BOM'd, else Latin-ish byte chars. */
-  private def parseHex(s: String, i0: Int): (String, Int) = {
+    * (decoded text or null if malformed, index past the closing '>', and
+    * whether the bytes were BOM'd UTF-16BE — already Unicode, so the
+    * /ToUnicode map must NOT apply). Non-BOM bytes decode as Latin-ish byte
+    * chars (char code == byte), the representation applyToUnicode expects. */
+  private def parseHex(s: String, i0: Int): (String, Int, Boolean) = {
     val n = s.length
     val e = s.indexOf('>', i0 + 1)
     val body = if (e < 0) s.substring(i0 + 1) else s.substring(i0 + 1, e)
@@ -321,20 +489,22 @@ object RealPdf {
     while (k < bytes.length) {
       val hi = Character.digit(padded.charAt(2 * k), 16)
       val lo = Character.digit(padded.charAt(2 * k + 1), 16)
-      if (hi < 0 || lo < 0) return (null, next)
+      if (hi < 0 || lo < 0) return (null, next, false)
       bytes(k) = ((hi << 4) | lo).toByte
       k += 1
     }
-    val str =
-      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff)
-        new String(bytes, 2, bytes.length - 2, StandardCharsets.UTF_16BE)
-      else new String(bytes, StandardCharsets.ISO_8859_1)
-    (str, next)
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff)
+      (new String(bytes, 2, bytes.length - 2, StandardCharsets.UTF_16BE), next, true)
+    else (new String(bytes, StandardCharsets.ISO_8859_1), next, false)
   }
 
   /** Tokenize a content stream and emit one Chunk per text-showing operator,
-    * positioned by the (subset) text state machine. */
-  private[pdf] def extractChunks(data: Array[Byte]): Vector[Chunk] = {
+    * positioned by the (subset) text state machine. `fonts` carries each
+    * resource font's /ToUnicode map; `Tf` switches the active map and show
+    * strings route through it (unmapped codes keep the Latin-ish fallback —
+    * a font without a CMap behaves exactly as before). */
+  private[pdf] def extractChunks(data: Array[Byte],
+                                 fonts: Map[String, ToUnicode] = Map.empty): Vector[Chunk] = {
     val s = byteView(data)
     val n = s.length
     val out = Vector.newBuilder[Chunk]
@@ -345,8 +515,15 @@ object RealPdf {
     var leading = 0.0
     var lineX = 0.0; var lineY = 0.0 // text line matrix origin (tx, ty)
     var inText = false
+    var lastName: String = "" // most recent /name operand (the Tf font operand)
+    var curTu: ToUnicode = null
 
     def clear(): Unit = { nums.clear(); strs.clear() }
+    // mapping happens at operand-PUSH time: operands cannot outlive their
+    // operator (every op clears the stack), so the font at push == the font
+    // at show; and TJ kern spaces are inserted into already-mapped text,
+    // which keeps 2-byte code alignment intact
+    def mapStr(t: String): String = if (curTu == null) t else applyToUnicode(t, curTu)
     def show(text: String): Unit =
       if (inText && text.nonEmpty) out += Chunk(lineX, lineY, fontSize, text)
 
@@ -358,11 +535,11 @@ object RealPdf {
       } else if (c == '(') { // literal string
         val (text, ni) = parseLiteral(s, i)
         i = ni
-        strs += text
+        strs += mapStr(text)
       } else if (c == '<' && i + 1 < n && s.charAt(i + 1) != '<') { // hex string
-        val (str, ni) = parseHex(s, i)
+        val (str, ni, wasUnicode) = parseHex(s, i)
         i = ni
-        if (str != null) strs += str
+        if (str != null) strs += (if (wasUnicode) str else mapStr(str))
       } else if (c == '<' && i + 1 < n && s.charAt(i + 1) == '<') { // inline dict (e.g. BDC)
         val de = dictEnd(s, i); i = if (de < 0) n else de
       } else if (c == '[') { // array of strings/kerns → TJ operand (kern < -100 ⇒ space)
@@ -378,16 +555,16 @@ object RealPdf {
             i = ni
             if (pendingKernSpace && sb.length() > 0) sb.append(' ')
             pendingKernSpace = false
-            sb.append(text)
+            sb.append(mapStr(text))
           } else if (ac == '<') {
             // hex strings inside TJ arrays — the standard form most PDF
             // writers emit ([<0041> -250 <0042>] TJ)
-            val (text, ni) = parseHex(s, i)
+            val (text, ni, wasUnicode) = parseHex(s, i)
             i = ni
             if (text != null) {
               if (pendingKernSpace && sb.length() > 0) sb.append(' ')
               pendingKernSpace = false
-              sb.append(text)
+              sb.append(if (wasUnicode) text else mapStr(text))
             }
           } else if (ac == '-' || ac == '+' || ac == '.' || (ac >= '0' && ac <= '9')) {
             val ns = i
@@ -399,9 +576,11 @@ object RealPdf {
         }
         if (i < n) i += 1 // ']'
         strs += sb.toString
-      } else if (c == '/') { // name — skip
+      } else if (c == '/') { // name — remember it (Tf's font operand)
+        val ns = i + 1
         i += 1
         while (i < n && !isDelim(s.charAt(i))) i += 1
+        lastName = s.substring(ns, i)
       } else if (c == '-' || c == '+' || c == '.' || (c >= '0' && c <= '9')) {
         val ns = i
         i += 1
@@ -416,7 +595,9 @@ object RealPdf {
         op match {
           case "BT" => inText = true; lineX = 0; lineY = 0; leading = 0
           case "ET" => inText = false
-          case "Tf" => if (nums.nonEmpty) fontSize = nums.last
+          case "Tf" =>
+            if (nums.nonEmpty) fontSize = nums.last
+            curTu = fonts.getOrElse(lastName, null)
           case "TL" => if (nums.nonEmpty) leading = nums.last
           case "Td" => if (nums.length >= 2) { lineX += nums(nums.length - 2); lineY += nums.last }
           case "TD" => if (nums.length >= 2) {
@@ -512,6 +693,49 @@ object RealPdf {
     blocks.result()
   }
 
+  // -------------------------------------------------------- font resources
+
+  /** A dict-valued entry: inline `<< … >>` or an indirect reference. */
+  private def subDict(dict: String, key: String, objs: Map[Int, PdfObj]): Option[String] = {
+    val m = pat(raw"/" + key + raw"\s*<<").matcher(dict)
+    if (m.find()) {
+      val start = m.end - 2
+      val de = dictEnd(dict, start)
+      if (de > 0) return Some(dict.substring(start, de))
+    }
+    ref(dict, key).flatMap(objs.get).map(_.dict).filter(_.nonEmpty)
+  }
+
+  /** Per-page font-name → /ToUnicode map: /Resources (with /Parent
+    * inheritance) → /Font → each `/Fn N 0 R` entry → the font's /ToUnicode
+    * CMap stream. Fonts without a CMap simply don't appear (their shows keep
+    * the Latin-ish fallback). */
+  private def pageFonts(page: PdfObj, objs: Map[Int, PdfObj]): Map[String, ToUnicode] = {
+    var res: Option[String] = None
+    var cur: Option[PdfObj] = Some(page)
+    var hops = 0
+    while (res.isEmpty && cur.isDefined && hops < 32) {
+      res = subDict(cur.get.dict, "Resources", objs)
+      if (res.isEmpty) { cur = ref(cur.get.dict, "Parent").flatMap(objs.get); hops += 1 }
+    }
+    res.flatMap(subDict(_, "Font", objs)) match {
+      case None => Map.empty
+      case Some(fd) =>
+        val m = pat(raw"/([A-Za-z0-9]+)\s+(\d+)\s+\d+\s+R").matcher(fd)
+        val out = Map.newBuilder[String, ToUnicode]
+        while (m.find()) {
+          val name = m.group(1)
+          objs.get(m.group(2).toInt).foreach { fo =>
+            ref(fo.dict, "ToUnicode").flatMap(objs.get).foreach { tuObj =>
+              val dec = decodeStream(tuObj)
+              if (!dec.failed) parseToUnicode(dec.data).foreach(tu => out += name -> tu)
+            }
+          }
+        }
+        out.result()
+    }
+  }
+
   // ------------------------------------------------------------------ parse
 
   /** Parse a real PDF into ordered pages of paragraph blocks. Returns None
@@ -519,14 +743,15 @@ object RealPdf {
   def parse(payload: Array[Byte], maxPages: Int): Option[Parsed] = {
     try {
       val s = byteView(payload)
-      val objs = scanObjects(payload, s)
+      val (objs, objStmFailures) = scanObjects(payload, s)
       val pagesAll = pageObjects(objs)
       if (pagesAll.isEmpty) return None
       val pagesTruncated = pagesAll.length > maxPages
       val pages = if (pagesTruncated) pagesAll.take(maxPages) else pagesAll
-      var decodeFailures = 0
+      var decodeFailures = objStmFailures
       val out = pages.map { p =>
         val (w, h) = pageBox(p, objs)
+        val fonts = pageFonts(p, objs)
         val contentRefs = refArray(p.dict, "Contents")
         val datas = contentRefs.flatMap { r =>
           objs.get(r).map { o =>
@@ -539,7 +764,7 @@ object RealPdf {
         // the sequential scan (a substring re-search could match "4 0 obj"
         // inside "14 0 obj" or inside compressed stream bytes)
         val off = contentRefs.headOption.flatMap(objs.get).map(_.offset).getOrElse(0)
-        val chunks = datas.flatMap(extractChunks).toVector
+        val chunks = datas.flatMap(extractChunks(_, fonts)).toVector
         Page(math.round(w).toInt, math.round(h).toInt,
           chunksToBlocks(chunks, h, off, math.min(payload.length, off + 1)))
       }

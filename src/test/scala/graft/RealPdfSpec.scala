@@ -67,6 +67,77 @@ class RealPdfSpec extends AnyFunSuite {
     assert(doc.text == "(paren)) \\slash ABC\n\nKerned wordsfused\n\nHello")
   }
 
+  test("PDF 1.5 /ObjStm layout: page dicts inside a compressed object stream") {
+    val pages = Seq(
+      RealPdfGen.PageSpec(800, 1200, Seq(
+        RealPdfGen.Placed(50, 100, 12, Seq("Object stream page one.", "Wrapped line.")),
+        RealPdfGen.Placed(50, 300, 12, Seq("Second block."))), compress = true),
+      RealPdfGen.PageSpec(800, 1200, Seq(
+        RealPdfGen.Placed(50, 100, 12, Seq("Object stream page two."))), compress = false))
+    val classic = Extractor.extract("u", RealPdfGen.build(pages))
+    val objstm = Extractor.extract("u", RealPdfGen.buildObjStm(pages))
+    assert(objstm.status == "ok", objstm.status)
+    assert(objstm.text ==
+      "Object stream page one. Wrapped line.\n\nSecond block.\n\nObject stream page two.")
+    // the 1.5 layout must extract the same text the classic layout does
+    assert(objstm.text == classic.text)
+    assert(objstm.spans.map(_.label) == classic.spans.map(_.label))
+  }
+
+  test("an ObjStm whose stream is corrupt is flagged, not silent") {
+    val pages = Seq(RealPdfGen.PageSpec(800, 1200, Seq(
+      RealPdfGen.Placed(50, 100, 12, Seq("Hidden page."))), compress = false))
+    val pdf = RealPdfGen.buildObjStm(pages)
+    // corrupt the ObjStm deflate body: find its "stream\n" after /ObjStm
+    val s = new String(pdf, StandardCharsets.ISO_8859_1)
+    val objStmDict = s.indexOf("/ObjStm")
+    val streamAt = s.indexOf("stream\n", objStmDict) + 7
+    val broken = pdf.clone()
+    var i = streamAt + 2
+    while (i < streamAt + 12 && i < broken.length) { broken(i) = 0x00; i += 1 }
+    val doc = Extractor.extract("u", broken)
+    // page dicts lived only in the ObjStm: nothing decodable remains
+    assert(doc.status == "pdf_unparsed")
+    assert(doc.text == "")
+  }
+
+  test("/ToUnicode CMap: custom-encoded font bytes decode to the intended text") {
+    val pages = Seq(RealPdfGen.PageSpec(800, 1200, Seq(
+      RealPdfGen.Placed(50, 100, 12, Seq("The first finding of figs.", "Plain second line here.")),
+      RealPdfGen.Placed(50, 300, 12, Seq("Final paragraph with fixed effects."))), compress = true))
+    val doc = Extractor.extract("u", RealPdfGen.buildToUnicode(pages))
+    assert(doc.status == "ok")
+    // "fi" digraphs ride the multi-codepoint bfchar (code 0x1F → "fi");
+    // everything else the +0x80 bfrange — without the CMap this is garbage
+    assert(doc.text ==
+      "The first finding of figs. Plain second line here.\n\nFinal paragraph with fixed effects.")
+    // uncompressed content variant decodes identically
+    val raw = Extractor.extract("u", RealPdfGen.buildToUnicode(
+      pages.map(_.copy(compress = false))))
+    assert(raw.text == doc.text)
+  }
+
+  test("parseToUnicode: bfchar, bfrange increment + array forms, codespace width") {
+    val cmap = ("""1 begincodespacerange
+      |<0000> <FFFF>
+      |endcodespacerange
+      |2 beginbfchar
+      |<0041> <0058>
+      |<0042> <00660069>
+      |endbfchar
+      |2 beginbfrange
+      |<0060> <0062> <0041>
+      |<0070> <0071> [<0050> <0051>]
+      |endbfrange
+      |""".stripMargin).getBytes(StandardCharsets.ISO_8859_1)
+    val tu = graft.pdf.RealPdf.parseToUnicode(cmap).get
+    assert(tu.codeBytes == 2)
+    assert(tu.map(0x41) == "X")
+    assert(tu.map(0x42) == "fi")
+    assert(tu.map(0x60) == "A" && tu.map(0x61) == "B" && tu.map(0x62) == "C")
+    assert(tu.map(0x70) == "P" && tu.map(0x71) == "Q")
+  }
+
   test("unparseable real PDF is recorded, never a silent empty") {
     val junk = ("%PDF-1.7\nthis is not really a pdf body at all\n%%EOF\n")
       .getBytes(StandardCharsets.ISO_8859_1)
