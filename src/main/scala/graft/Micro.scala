@@ -19,24 +19,38 @@ object Micro {
     val pages = (0 until n).map(i => Corpus.page(42L, i))
     val genSec = (System.nanoTime() - t0) / 1e9
     val bytes = pages.map(_.row.html.length.toLong).sum
-    // extraction, with per-category attribution
-    val state = new ExtractorState()
+    // extraction: PASSES best-of passes over the same corpus in one JVM —
+    // single-pass numbers on this host are steal-contaminated (±40%); the
+    // best pass is the honest capacity signal (same rule as Bench)
+    val passes = sys.env.getOrElse("MICRO_PASSES", "5").toInt
     val catNanos = new java.util.TreeMap[String, Long]()
     val catBytes = new java.util.TreeMap[String, Long]()
-    t0 = System.nanoTime()
-    pages.foreach { g =>
-      val s = System.nanoTime()
-      Extractor.extract(g.row.url, g.row.html, ExtractConfig(), state)
-      val d = System.nanoTime() - s
-      catNanos.merge(g.category, d, (a: Long, b: Long) => a + b)
-      catBytes.merge(g.category, g.row.html.length.toLong, (a: Long, b: Long) => a + b)
+    var best = Long.MaxValue
+    var bestStages = (0L, 0L, 0L, 0L)
+    for (_ <- 0 until passes) {
+      val state = new ExtractorState()
+      catNanos.clear(); catBytes.clear()
+      t0 = System.nanoTime()
+      pages.foreach { g =>
+        val s = System.nanoTime()
+        Extractor.extract(g.row.url, g.row.html, ExtractConfig(), state)
+        val d = System.nanoTime() - s
+        catNanos.merge(g.category, d, (a: Long, b: Long) => a + b)
+        catBytes.merge(g.category, g.row.html.length.toLong, (a: Long, b: Long) => a + b)
+      }
+      val dt = System.nanoTime() - t0
+      if (dt < best) {
+        best = dt
+        bestStages = (state.tokenizeNanos, state.domNanos, state.classifyNanos,
+          state.assembleNanos)
+      }
     }
-    val exSec = (System.nanoTime() - t0) / 1e9
+    val exSec = best / 1e9
     println(f"docs=$n bytes=${bytes / 1e6}%.1fMB gen=${genSec}%.2fs extract=${exSec}%.2fs " +
       f"gen=${bytes / genSec / 1e6}%.1fMB/s extract=${bytes / exSec / 1e6}%.1fMB/s " +
-      f"perDoc=${exSec * 1e6 / n}%.0fus")
-    println(f"stages: tok=${state.tokenizeNanos / 1e9}%.2f dom=${state.domNanos / 1e9}%.2f " +
-      f"cls=${state.classifyNanos / 1e9}%.2f asm=${state.assembleNanos / 1e9}%.2f")
+      f"perDoc=${exSec * 1e6 / n}%.0fus (best of $passes)")
+    println(f"stages: tok=${bestStages._1 / 1e9}%.2f dom=${bestStages._2 / 1e9}%.2f " +
+      f"cls=${bestStages._3 / 1e9}%.2f asm=${bestStages._4 / 1e9}%.2f")
     catNanos.forEach { (k, v) =>
       println(f"  $k: ${v / 1e9}%.2fs  ${catBytes.get(k) / (v / 1e9) / 1e6}%.1fMB/s")
     }

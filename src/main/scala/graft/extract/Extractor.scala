@@ -71,11 +71,74 @@ final class ExtractorState {
   val toks = new TokenArena()
   val dom = new DomArena()
   val blocks = new BlockArena()
+  val seg = new SegWriter() // reused per block (arena discipline)
   // per-stage nanos, accumulated across docs (≡ time_dict, predict_system.py:77)
   var tokenizeNanos = 0L
   var domNanos = 0L
   var classifyNanos = 0L
   var assembleNanos = 0L
+}
+
+/** Per-block text accumulator for the classify pass: fused decode + entity
+  * expansion + whitespace collapse + link/char counting. A CLASS with plain
+  * fields rather than a local def capturing mutable locals — the captured
+  * form boxes every counter into a runtime Ref and routes every character
+  * through the indirection (measured ~35% of classify CPU on an
+  * ASCII-heavy corpus). Reused across blocks; zero steady-state allocation.
+  */
+final class SegWriter {
+  val sb = new java.lang.StringBuilder(64)
+  var linkChars = 0
+  var nonWs = 0
+  var pendingSpace = false
+  var pendingNewline = false // pre-only: preserved line break (wins over space)
+
+  def reset(): Unit = {
+    sb.setLength(0)
+    linkChars = 0; nonWs = 0
+    pendingSpace = false; pendingNewline = false
+  }
+
+  @inline private def isWsChar(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u000B' || c == '\u00A0'
+
+  def break(inPre: Boolean): Unit =
+    if (sb.length() > 0) {
+      if (inPre) pendingNewline = true else pendingSpace = true
+    }
+
+  /** Bulk append of a run of non-whitespace ASCII bytes (the fast-path
+    * common case): pendings resolve once, counters bump once, and the chars
+    * land via a single array append instead of per-char calls. */
+  def putRun(input: Array[Byte], from: Int, until: Int, inLink: Boolean): Unit = {
+    val len = until - from
+    if (len <= 0) return
+    if (pendingNewline) { sb.append('\n'); pendingNewline = false; pendingSpace = false }
+    else if (pendingSpace) { sb.append(' '); pendingSpace = false }
+    if (buf.length < len) buf = new Array[Char](math.max(len, buf.length * 2))
+    var i = 0
+    while (i < len) { buf(i) = input(from + i).toChar; i += 1 }
+    sb.append(buf, 0, len)
+    nonWs += len
+    if (inLink) linkChars += len
+  }
+  private var buf = new Array[Char](256)
+
+  def put(c: Char, inLink: Boolean, inPre: Boolean): Unit =
+    if (isWsChar(c)) {
+      if (sb.length() > 0) {
+        // inside <pre>/<textarea> newlines survive normalization (runs of
+        // them collapse to one line break); other whitespace -> spaces
+        if (inPre && (c == '\n' || c == '\r')) pendingNewline = true
+        else pendingSpace = true
+      }
+    } else {
+      if (pendingNewline) { sb.append('\n'); pendingNewline = false; pendingSpace = false }
+      else if (pendingSpace) { sb.append(' '); pendingSpace = false }
+      sb.append(c)
+      nonWs += 1
+      if (inLink) linkChars += 1
+    }
 }
 
 object Labels {
@@ -101,7 +164,11 @@ object Extractor {
     val truncated = html.length > cfg.maxHtmlBytes
     val input = if (truncated) java.util.Arrays.copyOf(html, cfg.maxHtmlBytes) else html
     val (charset, bom) = Charsets.sniff(input)
-    if (Charsets.rawByteSafe(charset))
+    // CDATA + non-UTF-8 multi-byte charset: ']' can be a trail byte, so the
+    // raw "]]>" scan could mis-close mid-character — transcode instead
+    val rawOk = Charsets.rawByteSafe(charset) &&
+      !(Charsets.rawByteHazardCdata(charset) && Charsets.containsCdata(input))
+    if (rawOk)
       extractHtml(url, input, charset, bom, truncated, cfg, state)
     else {
       // transcode-first path (utf-16/32, iso-2022, …): these encodings can put
@@ -246,41 +313,20 @@ object Extractor {
     var b = 0
     val nb = blocks.nBlocks // O(input bytes) total; the block cap is applied
     val endAfter = new Array[Int](1) // group-atomically at assembly instead
+    val w = state.seg
     while (b < nb) {
       val anchor = blocks.anchor(b)
       // fused decode + entity expansion + whitespace collapse + counting in a
       // single pass per segment (no intermediate strings per block — the
-      // previous decode→normalize→count pipeline allocated three)
-      val sb = new java.lang.StringBuilder(64)
-      var linkChars = 0
-      var nonWs = 0
-      var pendingSpace = false
-      var pendingNewline = false // pre-only: preserved line break (wins over space)
-      @inline def isWsChar(c: Char): Boolean =
-        c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u000B' || c == '\u00A0'
-      @inline def putChar(c: Char, inLink: Boolean, inPre: Boolean): Unit =
-        if (isWsChar(c)) {
-          if (sb.length() > 0) {
-            // inside <pre>/<textarea> newlines survive normalization (runs of
-            // them collapse to one line break); other whitespace -> spaces
-            if (inPre && (c == '\n' || c == '\r')) pendingNewline = true
-            else pendingSpace = true
-          }
-        } else {
-          if (pendingNewline) { sb.append('\n'); pendingNewline = false; pendingSpace = false }
-          else if (pendingSpace) { sb.append(' '); pendingSpace = false }
-          sb.append(c)
-          nonWs += 1
-          if (inLink) linkChars += 1
-        }
+      // previous decode→normalize→count pipeline allocated three); the
+      // accumulator is the reusable SegWriter (plain fields, no Ref boxing)
+      w.reset()
       var s = blocks.segOff(b)
       val sEnd = blocks.segOff(b + 1)
       while (s < sEnd) {
         if (blocks.segKind(s) == SegKind.Break) {
           // <br> inside <pre> is a preserved line break, like a literal '\n'
-          if (sb.length() > 0) {
-            if (blocks.segInPre(s)) pendingNewline = true else pendingSpace = true
-          }
+          w.break(blocks.segInPre(s))
         }
         else {
           val from = math.max(blocks.segStart(s), bom)
@@ -302,8 +348,23 @@ object Extractor {
               p += 1
             }
             if (asciiNoAmp) {
+              // run-bulk emit: whitespace bytes go through put() (collapse
+              // semantics), maximal non-ws runs append in one shot
               p = from
-              while (p < segEnd) { putChar(input(p).toChar, inLink, inPre); p += 1 }
+              while (p < segEnd) {
+                val c = input(p).toChar
+                if (c == ' ' || (c >= '\t' && c <= '\r')) { // ASCII ws set
+                  w.put(c, inLink, inPre); p += 1
+                } else {
+                  var q = p + 1
+                  while (q < segEnd && {
+                    val d = input(q)
+                    d != ' ' && (d < '\t' || d > '\r')
+                  }) q += 1
+                  w.putRun(input, p, q, inLink)
+                  p = q
+                }
+              }
             } else {
               val dec = new String(input, from, len, charset)
               var i = 0
@@ -313,17 +374,19 @@ object Extractor {
                   val rep = Entities.decodeAt(dec, i, endAfter)
                   if (rep != null) {
                     var r = 0
-                    while (r < rep.length) { putChar(rep.charAt(r), inLink, inPre); r += 1 }
+                    while (r < rep.length) { w.put(rep.charAt(r), inLink, inPre); r += 1 }
                     i = endAfter(0)
-                  } else { putChar(c, inLink, inPre); i += 1 }
-                } else { putChar(c, inLink, inPre); i += 1 }
+                  } else { w.put(c, inLink, inPre); i += 1 }
+                } else { w.put(c, inLink, inPre); i += 1 }
               }
             }
           }
         }
         s += 1
       }
-      val text = sb.toString
+      val text = w.sb.toString
+      val linkChars = w.linkChars
+      val nonWs = w.nonWs
       val anchorName = if (anchor >= 0 && !dom.isText(anchor)) dom.name(anchor) else ""
       val isHeading = HtmlNames.isHeading(anchorName)
       val isCell = anchorName == "td" || anchorName == "th"

@@ -148,9 +148,15 @@ object Charsets {
     cs
   }
 
-  /** Canonical names of multi-byte charsets KNOWN to keep every trail byte ≥
-    * 0x40 (so no structural HTML byte can appear inside a character). This is
-    * a whitelist on purpose: default-allow would wrongly admit e.g. Johab
+  /** Canonical names of multi-byte charsets whose sequences never contain a
+    * byte the raw tokenizer treats as TAG-structural. The precise invariant
+    * (r2 ADVICE): trail bytes stay ≥ 0x40 in these families EXCEPT GB18030's
+    * 4-byte form (2nd/4th bytes 0x30-0x39 — digits, not structural), and the
+    * only structural byte ≥ 0x40 anywhere in the scanner is ']' (0x5D, a
+    * legal Shift_JIS/Big5/GBK trail) in the CDATA "]]>" scan — which is why
+    * CDATA-bearing payloads in non-UTF-8 multi-byte charsets are routed to
+    * the transcode-first path instead ([[rawByteHazardCdata]]). This is a
+    * whitelist on purpose: default-allow would wrongly admit e.g. Johab
     * (trail bytes include 0x3C '<') or the escape-switched x-windows-5022x
     * JIS variants whose names don't contain "ISO-2022". */
   private val multiByteSafe: Set[String] = Set(
@@ -185,6 +191,30 @@ object Charsets {
       }
     safeCache.put(key, java.lang.Boolean.valueOf(safe))
     safe
+  }
+
+  /** True when `cs` is raw-byte-safe EXCEPT for the CDATA "]]>" scan: ']'
+    * (0x5D) is a legal trail byte in the non-UTF-8 multi-byte families, so a
+    * CDATA section there can appear to close one byte early, mid-character.
+    * UTF-8 is immune (trail bytes ≥ 0x80). Callers route such payloads to
+    * the transcode-first path when they actually contain a CDATA opener. */
+  def rawByteHazardCdata(cs: Charset): Boolean =
+    multiByteSafe.contains(cs.name()) && cs != Utf8
+
+  /** Does the payload contain a "<![CDATA[" opener (case-insensitive, same
+    * match as the tokenizer's)? Only consulted for the rare multi-byte
+    * non-UTF-8 charsets — never on the hot path. */
+  def containsCdata(b: Array[Byte]): Boolean = {
+    var i = 0
+    val n = b.length
+    while (i + 8 < n) {
+      if (b(i) == '<' && b(i + 1) == '!' && b(i + 2) == '[' &&
+        (b(i + 3) | 32) == 'c' && (b(i + 4) | 32) == 'd' &&
+        (b(i + 5) | 32) == 'a' && (b(i + 6) | 32) == 't' &&
+        (b(i + 7) | 32) == 'a' && b(i + 8) == '[') return true
+      i += 1
+    }
+    false
   }
 
   /** Returns (charset, bomLength). A `charset=` declaration is honored only

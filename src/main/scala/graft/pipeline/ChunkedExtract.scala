@@ -65,7 +65,10 @@ object ChunkedExtract {
     val truncated = html.length > cfg.maxHtmlBytes
     val input = if (truncated) java.util.Arrays.copyOf(html, cfg.maxHtmlBytes) else html
     val (charset, bom) = Charsets.sniff(input)
-    if (!Charsets.rawByteSafe(charset)) // utf-16/32 etc: byte-splitting is unsound
+    // utf-16/32 etc: byte-splitting is unsound; ditto CDATA in a non-UTF-8
+    // multi-byte charset (']' trail-byte hazard — same gate as Extractor)
+    if (!Charsets.rawByteSafe(charset) ||
+        (Charsets.rawByteHazardCdata(charset) && Charsets.containsCdata(input)))
       return Seq(ChunkRow(rowUid, p.url, -1, 0, 0, html, "", 0, truncated = false))
     val chunks = HtmlChunker.plan(input, minChunkBytes)
     if (chunks.length == 1)

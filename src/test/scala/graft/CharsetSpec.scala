@@ -97,6 +97,33 @@ class CharsetSpec extends AnyFunSuite {
     assert(got.charset == "utf-16be")
   }
 
+  test("CDATA in shift_jis: a 0x5D trail byte cannot fake the ]]> closer") {
+    // Shift_JIS 0x81 0x5D is a single char whose TRAIL byte is ']' — in the
+    // raw byte scan it would complete a phantom "]]>" one byte early and
+    // mis-close the CDATA mid-character (r2 ADVICE). Such payloads must take
+    // the transcode-first path and extract exactly like their UTF-8 twin.
+    val sjis = Charset.forName("Shift_JIS")
+    val tricky = new String(Array[Byte](0x81.toByte, 0x5D.toByte), sjis)
+    assert(tricky.length == 1 && tricky.getBytes(sjis)(1) == ']'.toByte)
+    def doc(cs: String) =
+      s"<html><head><meta charset=$cs></head><body><p>before paragraph text okay</p>" +
+      s"<![CDATA[$tricky]>still inside cdata]]><p>after paragraph text okay</p></body></html>"
+    assert(Charsets.containsCdata(doc("x").getBytes(StandardCharsets.UTF_8)))
+    assert(Charsets.rawByteHazardCdata(sjis))
+    assert(!Charsets.rawByteHazardCdata(StandardCharsets.UTF_8))
+    val viaSjis = Extractor.extract("u", doc("shift_jis").getBytes(sjis))
+    val viaUtf8 = Extractor.extract("u", doc("utf-8").getBytes(StandardCharsets.UTF_8))
+    assert(viaSjis.text == viaUtf8.text, s"\nsjis: ${viaSjis.text}\nutf8: ${viaUtf8.text}")
+    assert(viaSjis.text.contains("after paragraph text okay"))
+    assert(viaSjis.charset == "shift_jis")
+    // the chunked path must route it through the same passthrough gate
+    val chunked = graft.pipeline.ChunkedExtract.extractLocal(
+      graft.model.PageRow("u", new java.sql.Timestamp(0L),
+        doc("shift_jis").getBytes(sjis), null, "ja"),
+      chunkThreshold = 0, minChunkBytes = 64)
+    assert(chunked.text == viaSjis.text)
+  }
+
   test("multi-byte trail bytes never break tokenization (shift_jis stress)") {
     // ソ is the classic Shift_JIS trap: its trail byte is 0x5C ('\\'); ensure
     // structural parsing is unaffected and text round-trips
