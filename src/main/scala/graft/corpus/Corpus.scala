@@ -84,13 +84,15 @@ object Corpus {
       case 3  => if ((index / 16) % 2 == 0) f04Table(r, url, ts)
                  else f04TableSpans(r, url, ts)
       case 4  => f05Fragmented(r, url, ts)
-      case 5  => (index / 16) % 4 match {
+      case 5  => (index / 16) % 6 match {
         case 0 => f06PdfShuffled(r, url, ts)
         case 1 => f06PdfReal(r, url, ts, RealPdfGen.build)
-        // PDF 1.5 /ObjStm layout and the /ToUnicode custom-encoding font —
-        // same golden text, modern writer shapes
+        // modern writer shapes, same golden text: PDF 1.5 /ObjStm layout,
+        // /ToUnicode custom-encoding font, LZW filter, PNG-predicted ObjStm
         case 2 => f06PdfReal(r, url, ts, RealPdfGen.buildObjStm)
-        case _ => f06PdfReal(r, url, ts, RealPdfGen.buildToUnicode)
+        case 3 => f06PdfReal(r, url, ts, RealPdfGen.buildToUnicode)
+        case 4 => f06PdfReal(r, url, ts, RealPdfGen.buildLzw)
+        case _ => f06PdfReal(r, url, ts, RealPdfGen.buildObjStmPredicted)
       }
       case 6  => f07LowConf(r, url, ts)
       case 7  => f08Mega(r, url, ts)

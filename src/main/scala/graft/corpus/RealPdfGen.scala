@@ -73,6 +73,82 @@ object RealPdfGen {
     sb.toString.getBytes(StandardCharsets.ISO_8859_1)
   }
 
+  /** PDF LZWDecode-compatible encoder (ISO 32000 §7.4.4 / TIFF LZW):
+    * 9→12-bit codes, clear = 256, EOD = 257, early-change width growth.
+    * Exists so fixtures can carry genuine LZW streams whose expected text is
+    * authored, never derived from the decoder under test. */
+  def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length)
+    var bitBuf = 0L
+    var bitCnt = 0
+    var codeBits = 9
+    def putCode(c: Int): Unit = {
+      bitBuf = (bitBuf << codeBits) | c
+      bitCnt += codeBits
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >>> (bitCnt - 8)) & 0xff).toInt)
+        bitCnt -= 8
+      }
+    }
+    val dict = new java.util.HashMap[String, Integer](4096)
+    def resetDict(): Unit = {
+      dict.clear()
+      var b = 0
+      while (b < 256) { dict.put(String.valueOf(b.toChar), Integer.valueOf(b)); b += 1 }
+    }
+    resetDict()
+    var next = 258
+    putCode(256) // leading clear (what real encoders emit)
+    var w = ""
+    var i = 0
+    while (i < data.length) {
+      val c = (data(i) & 0xff).toChar
+      val wc = w + c
+      if (dict.containsKey(wc)) w = wc
+      else {
+        putCode(dict.get(w).intValue())
+        if (next < 4096) {
+          dict.put(wc, Integer.valueOf(next)); next += 1
+          // width pairing: the decoder's entry count lags the encoder's by
+          // one at the same stream position, and (early change) the decoder
+          // widens when ITS next+1 would overflow — so the encoder widens
+          // when its own next reaches the boundary exactly
+          if (next >= (1 << codeBits) && codeBits < 12) codeBits += 1
+        } else {
+          putCode(256); resetDict(); next = 258; codeBits = 9
+        }
+        w = String.valueOf(c)
+      }
+      i += 1
+    }
+    if (w.nonEmpty) putCode(dict.get(w).intValue())
+    putCode(257) // EOD
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** PNG Up-predictor (filter 2) forward application in rows of `columns`
+    * bytes, the /DecodeParms layout xref/ObjStm writers use. */
+  def pngUpPredict(data: Array[Byte], columns: Int): Array[Byte] = {
+    val nRows = (data.length + columns - 1) / columns
+    val padded = java.util.Arrays.copyOf(data, nRows * columns)
+    val out = new ByteArrayOutputStream(padded.length + nRows)
+    val prev = new Array[Byte](columns)
+    var r = 0
+    while (r < nRows) {
+      out.write(2) // Up filter
+      var k = 0
+      while (k < columns) {
+        val x = padded(r * columns + k)
+        out.write((x - prev(k)) & 0xff)
+        k += 1
+      }
+      System.arraycopy(padded, r * columns, prev, 0, columns)
+      r += 1
+    }
+    out.toByteArray
+  }
+
   private def deflate(data: Array[Byte]): Array[Byte] = {
     val d = new Deflater(Deflater.DEFAULT_COMPRESSION, false)
     d.setInput(data)
@@ -91,7 +167,15 @@ object RealPdfGen {
     * dicts a plain `N G obj` scan cannot see. Object layout: 3+2i = page i,
     * 4+2i = content i (top level), S = the ObjStm (holding 1, 2, pages),
     * S+1 = the xref stream. */
-  def buildObjStm(pages: Seq[PageSpec]): Array[Byte] = {
+  def buildObjStm(pages: Seq[PageSpec]): Array[Byte] = buildObjStm(pages, predict = false)
+
+  /** As [[buildObjStm]] but the object stream is PNG-Up-predicted before
+    * Flate (`/DecodeParms << /Predictor 12 /Columns 24 >>`) — the layout
+    * xref/ObjStm writers commonly emit. */
+  def buildObjStmPredicted(pages: Seq[PageSpec]): Array[Byte] =
+    buildObjStm(pages, predict = true)
+
+  private def buildObjStm(pages: Seq[PageSpec], predict: Boolean): Array[Byte] = {
     val out = new ByteArrayOutputStream(4096)
     def put(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
     val n = pages.length
@@ -114,7 +198,9 @@ object RealPdfGen {
     val header = contained.zip(offs).map { case ((num, _), o) => s"$num $o" }
       .mkString(" ") + "\n"
     val stmPlain = (header + bodies.mkString).getBytes(StandardCharsets.ISO_8859_1)
-    val stmData = deflate(stmPlain)
+    val stmData =
+      if (predict) deflate(pngUpPredict(stmPlain, 24)) else deflate(stmPlain)
+    val parms = if (predict) " /DecodeParms << /Predictor 12 /Columns 24 >>" else ""
 
     val offsets = scala.collection.mutable.HashMap.empty[Int, Int] // objnum → byte offset
     put("%PDF-1.5\n")
@@ -130,7 +216,7 @@ object RealPdfGen {
     }
     offsets(stmNum) = out.size()
     put(s"$stmNum 0 obj\n<< /Type /ObjStm /N ${contained.length} " +
-      s"/First ${header.length} /Length ${stmData.length} /Filter /FlateDecode >>\nstream\n")
+      s"/First ${header.length} /Length ${stmData.length} /Filter /FlateDecode$parms >>\nstream\n")
     out.write(stmData)
     put("\nendstream\nendobj\n")
 
@@ -257,8 +343,13 @@ object RealPdfGen {
   }
 
   /** Build the PDF bytes. Object layout: 1 = catalog, 2 = pages,
-    * 3+2i = page i, 4+2i = its content stream. */
-  def build(pages: Seq[PageSpec]): Array[Byte] = {
+    * 3+2i = page i, 4+2i = its content stream. `filter` selects the
+    * compressed-stream codec: "flate" (default) or "lzw". */
+  def build(pages: Seq[PageSpec]): Array[Byte] = build(pages, "flate")
+
+  def buildLzw(pages: Seq[PageSpec]): Array[Byte] = build(pages, "lzw")
+
+  def build(pages: Seq[PageSpec], filter: String): Array[Byte] = {
     val out = new ByteArrayOutputStream(4096)
     val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
     def put(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
@@ -278,10 +369,12 @@ object RealPdfGen {
         s"/Contents $contNum 0 R /Resources << /Font << /F1 << /Type /Font " +
         "/Subtype /Type1 /BaseFont /Helvetica >> >> >> >>\nendobj\n")
       val raw = contentFor(p)
-      val (data, filter) =
-        if (p.compress) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
+      val (data, fdecl) =
+        if (!p.compress) (raw, "")
+        else if (filter == "lzw") (lzwEncode(raw), " /Filter /LZWDecode")
+        else (deflate(raw), " /Filter /FlateDecode")
       beginObj(contNum)
-      put(s"<< /Length ${data.length}$filter >>\nstream\n")
+      put(s"<< /Length ${data.length}$fdecl >>\nstream\n")
       out.write(data)
       put("\nendstream\nendobj\n")
     }

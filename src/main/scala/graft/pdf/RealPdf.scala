@@ -16,9 +16,11 @@ import graft.pdf.PdfBranch.PBlock
   *    compressed into object streams — the modern writer default — parse;
   *  - page tree walk: `/Type /Catalog` → `/Pages` → `/Kids` recursion, page
   *    order = tree order (fallback: `/Type /Page` objects in object order);
-  *  - content streams: raw or `/FlateDecode` (java.util.zip.Inflater); other
-  *    filters (DCT, LZW, …) are counted as decode failures, never silently
-  *    dropped — the caller records `pdf_unparsed` in lineage;
+  *  - stream filters: raw, `/FlateDecode` (java.util.zip.Inflater) and
+  *    `/LZWDecode` (§7.4.4, from scratch), with `/DecodeParms` PNG/TIFF
+  *    predictor un-prediction (§7.4.4.4); remaining filters (DCT, CCITT, …
+  *    — image codecs with no text inside) are counted as decode failures,
+  *    never silently dropped — the caller records `pdf_unparsed` in lineage;
   *  - per-font `/ToUnicode` CMaps (§9.10.3): bfchar/bfrange (increment and
   *    array forms, multi-codepoint destinations), 1- and 2-byte codespaces;
   *    show strings route through the font selected by `Tf`, unmapped codes
@@ -288,15 +290,33 @@ object RealPdf {
     * or partial (truncated zlib input); `failed` marks any decode loss —
     * unsupported filter, corrupt Flate, or premature end — so the caller can
     * surface pdf_partial/pdf_unparsed (decode loss is never silent). */
-  private final case class Decoded(data: Array[Byte], failed: Boolean)
+  private[graft] final case class Decoded(data: Array[Byte], failed: Boolean)
 
   private def decodeStream(o: PdfObj): Decoded = {
     val raw = o.streamRaw
     if (raw == null) return Decoded(Array.emptyByteArray, failed = false)
     val hasFilter = o.dict.contains("/Filter")
     if (!hasFilter) return Decoded(raw, failed = false)
-    if (!o.dict.contains("/FlateDecode"))
-      return Decoded(Array.emptyByteArray, failed = true) // unsupported filter
+    val base =
+      if (o.dict.contains("/FlateDecode")) inflateStream(raw)
+      else if (o.dict.contains("/LZWDecode"))
+        lzwDecode(raw, directInt(o.dict, "EarlyChange").getOrElse(1))
+      else return Decoded(Array.emptyByteArray, failed = true) // unsupported (DCT, …)
+    // /DecodeParms PNG/TIFF predictors (§7.4.4.4) — routine on ObjStm/XRef
+    directInt(o.dict, "Predictor") match {
+      case Some(pred) if pred >= 2 && !base.failed =>
+        applyPredictor(base.data, pred,
+          directInt(o.dict, "Columns").getOrElse(1),
+          directInt(o.dict, "Colors").getOrElse(1),
+          directInt(o.dict, "BitsPerComponent").getOrElse(8)) match {
+          case Some(d) => Decoded(d, failed = false)
+          case None => Decoded(Array.emptyByteArray, failed = true)
+        }
+      case _ => base
+    }
+  }
+
+  private def inflateStream(raw: Array[Byte]): Decoded = {
     val inf = new Inflater()
     try {
       inf.setInput(raw)
@@ -314,6 +334,124 @@ object RealPdf {
       case _: java.util.zip.DataFormatException =>
         Decoded(Array.emptyByteArray, failed = true)
     } finally inf.end()
+  }
+
+  /** LZWDecode (ISO 32000 §7.4.4, the TIFF LZW variant): 9→12-bit codes,
+    * clear = 256, EOD = 257, code width grows `earlyChange` codes early
+    * (default 1). End-of-input without EOD recovers all data (success);
+    * a code beyond the table or a mid-code truncation keeps the partial
+    * output and FLAGS the loss. */
+  private[graft] def lzwDecode(in: Array[Byte], earlyChange: Int): Decoded = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, in.length * 3))
+    val MAX = 4096
+    val prefix = new Array[Int](MAX)
+    val suffix = new Array[Byte](MAX)
+    val scratch = new Array[Byte](MAX)
+    var next = 258
+    var codeBits = 9
+    var prev = -1
+    var bitBuf = 0L
+    var bitCnt = 0
+    def firstByteOf(code: Int): Byte = {
+      var c = code
+      while (c >= 258) c = prefix(c)
+      c.toByte
+    }
+    def emit(code: Int): Unit = {
+      var depth = 0
+      var c = code
+      while (c >= 258) { scratch(depth) = suffix(c); depth += 1; c = prefix(c) }
+      out.write(c)
+      var k = depth - 1
+      while (k >= 0) { out.write(scratch(k)); k -= 1 }
+    }
+    var i = 0
+    while (true) {
+      while (bitCnt < codeBits && i < in.length) {
+        bitBuf = (bitBuf << 8) | (in(i) & 0xff); bitCnt += 8; i += 1
+      }
+      if (bitCnt < codeBits) // clean end without EOD: data fully recovered
+        return Decoded(out.toByteArray, failed = false)
+      val code = ((bitBuf >>> (bitCnt - codeBits)) & ((1L << codeBits) - 1)).toInt
+      bitCnt -= codeBits
+      if (code == 256) { next = 258; codeBits = 9; prev = -1 }
+      else if (code == 257) return Decoded(out.toByteArray, failed = false)
+      else if (prev < 0) {
+        if (code > 255) return Decoded(out.toByteArray, failed = true)
+        emit(code)
+        prev = code
+      } else {
+        if (code < next && code != 256 && code != 257) {
+          if (next < MAX) {
+            prefix(next) = prev; suffix(next) = firstByteOf(code); next += 1
+          }
+          emit(code)
+        } else if (code == next) { // KwKwK
+          if (next < MAX) {
+            prefix(next) = prev; suffix(next) = firstByteOf(prev); next += 1
+            emit(code)
+          } else return Decoded(out.toByteArray, failed = true)
+        } else return Decoded(out.toByteArray, failed = true)
+        prev = code
+      }
+      if (prev >= 0 && next + earlyChange >= (1 << codeBits) && codeBits < 12)
+        codeBits += 1
+    }
+    Decoded(out.toByteArray, failed = true) // unreachable
+  }
+
+  /** PNG (predictor ≥ 10: per-row filter byte, Sub/Up/Average/Paeth) and
+    * TIFF horizontal (predictor 2) un-prediction. Returns None on a geometry
+    * mismatch (truncated rows) — the caller flags the loss. */
+  private def applyPredictor(data: Array[Byte], predictor: Int, columns: Int,
+                             colors: Int, bpc: Int): Option[Array[Byte]] = {
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowLen = math.max(1, columns * colors * bpc / 8)
+    if (predictor == 2) { // TIFF: add left neighbour (8-bit components only)
+      if (bpc != 8) return None
+      val out = data.clone()
+      var r = 0
+      while (r < out.length) {
+        val end = math.min(r + rowLen, out.length)
+        var k = r + bpp
+        while (k < end) { out(k) = (out(k) + out(k - bpp)).toByte; k += 1 }
+        r += rowLen
+      }
+      return Some(out)
+    }
+    if (data.length % (rowLen + 1) != 0) return None
+    val nRows = data.length / (rowLen + 1)
+    val out = new Array[Byte](nRows * rowLen)
+    val prevRow = new Array[Byte](rowLen)
+    var r = 0
+    while (r < nRows) {
+      val src = r * (rowLen + 1)
+      val filter = data(src) & 0xff
+      val dst = r * rowLen
+      var k = 0
+      while (k < rowLen) {
+        val x = data(src + 1 + k) & 0xff
+        val a = if (k >= bpp) out(dst + k - bpp) & 0xff else 0 // left
+        val b = prevRow(k) & 0xff // up
+        val c = if (k >= bpp) prevRow(k - bpp) & 0xff else 0 // up-left
+        val v = filter match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + ((a + b) / 2)
+          case 4 => // Paeth
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => return None
+        }
+        out(dst + k) = v.toByte
+        k += 1
+      }
+      System.arraycopy(out, dst, prevRow, 0, rowLen)
+      r += 1
+    }
+    Some(out)
   }
 
   // ------------------------------------------------------------ /ToUnicode

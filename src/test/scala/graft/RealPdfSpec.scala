@@ -138,6 +138,49 @@ class RealPdfSpec extends AnyFunSuite {
     assert(tu.map(0x70) == "P" && tu.map(0x71) == "Q")
   }
 
+  test("LZWDecode: round trip across all code-width boundaries and a table reset") {
+    // deterministic pseudo-random-ish bytes, long enough to cross 9→10→11→12
+    // bits and force a 4096-entry dictionary reset
+    var state = 42L
+    val data = Array.tabulate[Byte](200000) { _ =>
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      (z >>> 33).toByte
+    }
+    val enc = RealPdfGen.lzwEncode(data)
+    val dec = RealPdf.lzwDecode(enc, earlyChange = 1)
+    assert(!dec.failed)
+    assert(java.util.Arrays.equals(dec.data, data))
+    // highly repetitive data exercises long dictionary chains
+    val rep = ("the quick brown fox " * 3000).getBytes(StandardCharsets.ISO_8859_1)
+    val dec2 = RealPdf.lzwDecode(RealPdfGen.lzwEncode(rep), 1)
+    assert(!dec2.failed && java.util.Arrays.equals(dec2.data, rep))
+  }
+
+  test("LZW content streams extract identically to Flate") {
+    val pages = Seq(RealPdfGen.PageSpec(800, 1200, Seq(
+      RealPdfGen.Placed(50, 100, 12, Seq("LZW compressed paragraph text.", "Second wrapped line.")),
+      RealPdfGen.Placed(50, 300, 12, Seq("Another block via LZW."))), compress = true))
+    val flate = Extractor.extract("u", RealPdfGen.build(pages))
+    val lzw = Extractor.extract("u", RealPdfGen.buildLzw(pages))
+    assert(lzw.status == "ok", lzw.status)
+    assert(lzw.text == flate.text)
+  }
+
+  test("PNG-predicted ObjStm (/DecodeParms /Predictor 12) extracts like the plain one") {
+    val pages = Seq(
+      RealPdfGen.PageSpec(800, 1200, Seq(
+        RealPdfGen.Placed(50, 100, 12, Seq("Predicted object stream page."))), compress = true),
+      RealPdfGen.PageSpec(800, 1200, Seq(
+        RealPdfGen.Placed(50, 100, 12, Seq("Second page content here."))), compress = false))
+    val plain = Extractor.extract("u", RealPdfGen.buildObjStm(pages))
+    val pred = Extractor.extract("u", RealPdfGen.buildObjStmPredicted(pages))
+    assert(pred.status == "ok", pred.status)
+    assert(pred.text == plain.text)
+    assert(pred.text.contains("Second page content here."))
+  }
+
   test("unparseable real PDF is recorded, never a silent empty") {
     val junk = ("%PDF-1.7\nthis is not really a pdf body at all\n%%EOF\n")
       .getBytes(StandardCharsets.ISO_8859_1)
