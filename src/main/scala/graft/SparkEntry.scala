@@ -142,10 +142,11 @@ object SparkEntry {
           round(aggregate(col("feature"), lit(0.0d), (acc, x) => acc + x.cast("double")), 4))
         .drop("feature")
         .orderBy("url", "frame_idx")),
-    // PDF branch: page/span explode over PDF payloads only
+    // PDF branch: page/span explode over PDF payloads only — the tagPath
+    // prefix below IS the selector (a charset clause would match every
+    // utf-8 HTML page too; r2 "what's wrong" #3)
     "x06_pdf_spans" -> ((s, _) =>
       Extract.run(CorpusSource.pages(s, 280)).toDF()
-        .filter(col("charset") === "utf-8")
         .select(col("url"), explode(col("spans")).as("sp"))
         .filter(col("sp.tagPath").startsWith("pdf/"))
         .select(col("url"), col("sp.blockIdx").as("block_idx"),
