@@ -23,13 +23,16 @@ object Micro {
     // single-pass numbers on this host are steal-contaminated (±40%); the
     // best pass is the honest capacity signal (same rule as Bench)
     val passes = sys.env.getOrElse("MICRO_PASSES", "5").toInt
-    val catNanos = new java.util.TreeMap[String, Long]()
-    val catBytes = new java.util.TreeMap[String, Long]()
+    var catNanos = new java.util.TreeMap[String, Long]()
+    var catBytes = new java.util.TreeMap[String, Long]()
+    var bestCatNanos = catNanos
+    var bestCatBytes = catBytes
     var best = Long.MaxValue
     var bestStages = (0L, 0L, 0L, 0L)
     for (_ <- 0 until passes) {
       val state = new ExtractorState()
-      catNanos.clear(); catBytes.clear()
+      catNanos = new java.util.TreeMap[String, Long]()
+      catBytes = new java.util.TreeMap[String, Long]()
       t0 = System.nanoTime()
       pages.foreach { g =>
         val s = System.nanoTime()
@@ -43,6 +46,10 @@ object Micro {
         best = dt
         bestStages = (state.tokenizeNanos, state.domNanos, state.classifyNanos,
           state.assembleNanos)
+        // the per-category table must come from the SAME pass as the
+        // headline, or the report mixes two runs under steal
+        bestCatNanos = catNanos
+        bestCatBytes = catBytes
       }
     }
     val exSec = best / 1e9
@@ -51,8 +58,8 @@ object Micro {
       f"perDoc=${exSec * 1e6 / n}%.0fus (best of $passes)")
     println(f"stages: tok=${bestStages._1 / 1e9}%.2f dom=${bestStages._2 / 1e9}%.2f " +
       f"cls=${bestStages._3 / 1e9}%.2f asm=${bestStages._4 / 1e9}%.2f")
-    catNanos.forEach { (k, v) =>
-      println(f"  $k: ${v / 1e9}%.2fs  ${catBytes.get(k) / (v / 1e9) / 1e6}%.1fMB/s")
+    bestCatNanos.forEach { (k, v) =>
+      println(f"  $k: ${v / 1e9}%.2fs  ${bestCatBytes.get(k) / (v / 1e9) / 1e6}%.1fMB/s")
     }
   }
 }

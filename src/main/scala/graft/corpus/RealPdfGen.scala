@@ -101,12 +101,13 @@ object RealPdfGen {
     putCode(256) // leading clear (what real encoders emit)
     var w = ""
     var i = 0
+    var emittedSinceClear = false
     while (i < data.length) {
       val c = (data(i) & 0xff).toChar
       val wc = w + c
       if (dict.containsKey(wc)) w = wc
       else {
-        putCode(dict.get(w).intValue())
+        putCode(dict.get(w).intValue()); emittedSinceClear = true
         if (next < 4096) {
           dict.put(wc, Integer.valueOf(next)); next += 1
           // width pairing: the decoder's entry count lags the encoder's by
@@ -116,12 +117,25 @@ object RealPdfGen {
           if (next >= (1 << codeBits) && codeBits < 12) codeBits += 1
         } else {
           putCode(256); resetDict(); next = 258; codeBits = 9
+          emittedSinceClear = false
         }
         w = String.valueOf(c)
       }
       i += 1
     }
-    if (w.nonEmpty) putCode(dict.get(w).intValue())
+    if (w.nonEmpty) {
+      putCode(dict.get(w).intValue())
+      // the decoder adds one more table entry upon reading this flush code
+      // (it is not miss-driven here, so the loop above never counted it) —
+      // mirror that entry so EOD is emitted at the width the decoder will
+      // read it with (without this, a stream whose flush code lands the
+      // decoder exactly on a 2^n-1 boundary has its EOD read one bit wide:
+      // 2 bytes of garbage decoded with failed=false)
+      if (emittedSinceClear && next < 4096) {
+        next += 1
+        if (next >= (1 << codeBits) && codeBits < 12) codeBits += 1
+      }
+    }
     putCode(257) // EOD
     if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
     out.toByteArray

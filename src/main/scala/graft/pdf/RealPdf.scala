@@ -179,7 +179,7 @@ object RealPdf {
         // header: N pairs of integers "objnum offset"
         val pm = pat(raw"\d+").matcher(s.substring(0, math.min(first, s.length)))
         val header = Vector.newBuilder[Int]
-        while (pm.find()) header += pm.group.toInt
+        while (pm.find()) header += pm.group.toIntOption.getOrElse(-1)
         val pairs = header.result().grouped(2).collect {
           case Vector(a, b) => (a, b)
         }.take(nObjs).toVector
@@ -468,11 +468,18 @@ object RealPdf {
   private val bfRangePat = pat("(?s)beginbfrange(.*?)endbfrange")
   private val codeSpacePat = pat(raw"begincodespacerange\s*<([0-9A-Fa-f]+)>")
 
-  private def hexToInt(h: String): Int = java.lang.Long.parseLong(h, 16).toInt
+  /** Bounded hex→int for CMap code keys: −1 for anything longer than 6
+    * digits (codespaces are at most 2 bytes here; an absurd key like
+    * <FFFFFFFFFFFFFFFF> must skip the ENTRY, not throw out of parse() and
+    * downgrade the whole document to pdf_unparsed). */
+  private def hexToInt(h: String): Int =
+    if (h.isEmpty || h.length > 6) -1 else java.lang.Long.parseLong(h, 16).toInt
 
-  /** UTF-16BE hex body → String (the bfchar/bfrange destination form). */
+  /** UTF-16BE hex body → String (the bfchar/bfrange destination form).
+    * Short bodies LEFT-pad to a unit boundary: sloppy real-world CMaps write
+    * <41> meaning U+0041 — right-padding would turn it into U+4100. */
   private def hexToUtf16(h: String): String = {
-    val padded = if (h.length % 4 == 0) h else h + "0" * (4 - h.length % 4)
+    val padded = if (h.length % 4 == 0) h else "0" * (4 - h.length % 4) + h
     val bytes = new Array[Byte](padded.length / 2)
     var i = 0
     while (i < bytes.length) {
@@ -498,8 +505,11 @@ object RealPdf {
       val body = cm.group(1)
       val tm = pat(raw"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>").matcher(body)
       while (tm.find()) {
-        keyHexLen = math.max(keyHexLen, tm.group(1).length)
-        m += hexToInt(tm.group(1)) -> hexToUtf16(tm.group(2))
+        val key = hexToInt(tm.group(1))
+        if (key >= 0) {
+          keyHexLen = math.max(keyHexLen, tm.group(1).length)
+          m += key -> hexToUtf16(tm.group(2))
+        }
       }
     }
     val rm = bfRangePat.matcher(s)
@@ -509,30 +519,33 @@ object RealPdf {
       val tm = pat(raw"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(<[0-9A-Fa-f]+>|\[(?:\s*<[0-9A-Fa-f]+>)+\s*\])")
         .matcher(body)
       while (tm.find()) {
-        keyHexLen = math.max(keyHexLen, tm.group(1).length)
         val lo = hexToInt(tm.group(1))
-        val hi = math.min(hexToInt(tm.group(2)), lo + 0xFFFF)
+        val hi0 = hexToInt(tm.group(2)) // −1 = absurd key: skip the range
+        val hi = math.min(hi0, lo + 0xFFFF)
         val dst = tm.group(3)
-        if (dst.startsWith("[")) {
-          val dm = pat(raw"<([0-9A-Fa-f]+)>").matcher(dst)
-          var code = lo
-          while (dm.find() && code <= hi) {
-            m += code -> hexToUtf16(dm.group(1))
-            code += 1
-          }
-        } else {
-          val d0 = dst.substring(1, dst.length - 1)
-          // increment form: the LAST UTF-16 unit increments per code (§9.10.3)
-          val base = hexToUtf16(d0)
-          var code = lo
-          while (code <= hi) {
-            val delta = code - lo
-            val repl =
-              if (base.isEmpty) ""
-              else base.substring(0, base.length - 1) +
-                (base.charAt(base.length - 1) + delta).toChar
-            m += code -> repl
-            code += 1
+        if (lo >= 0 && hi0 >= 0) {
+          keyHexLen = math.max(keyHexLen, tm.group(1).length)
+          if (dst.startsWith("[")) {
+            val dm = pat(raw"<([0-9A-Fa-f]+)>").matcher(dst)
+            var code = lo
+            while (dm.find() && code <= hi) {
+              m += code -> hexToUtf16(dm.group(1))
+              code += 1
+            }
+          } else {
+            val d0 = dst.substring(1, dst.length - 1)
+            // increment form: the LAST UTF-16 unit increments per code (§9.10.3)
+            val base = hexToUtf16(d0)
+            var code = lo
+            while (code <= hi) {
+              val delta = code - lo
+              val repl =
+                if (base.isEmpty) ""
+                else base.substring(0, base.length - 1) +
+                  (base.charAt(base.length - 1) + delta).toChar
+              m += code -> repl
+              code += 1
+            }
           }
         }
       }
@@ -848,7 +861,8 @@ object RealPdf {
     * inheritance) → /Font → each `/Fn N 0 R` entry → the font's /ToUnicode
     * CMap stream. Fonts without a CMap simply don't appear (their shows keep
     * the Latin-ish fallback). */
-  private def pageFonts(page: PdfObj, objs: Map[Int, PdfObj]): Map[String, ToUnicode] = {
+  private def pageFonts(page: PdfObj, objs: Map[Int, PdfObj],
+      tuCache: scala.collection.mutable.HashMap[Int, Option[ToUnicode]]): Map[String, ToUnicode] = {
     var res: Option[String] = None
     var cur: Option[PdfObj] = Some(page)
     var hops = 0
@@ -859,14 +873,20 @@ object RealPdf {
     res.flatMap(subDict(_, "Font", objs)) match {
       case None => Map.empty
       case Some(fd) =>
-        val m = pat(raw"/([A-Za-z0-9]+)\s+(\d+)\s+\d+\s+R").matcher(fd)
+        // PDF name chars include '_', '+', '-', '.' (C2_0 / T1_0 are the
+        // standard subset-font names) — match any non-delimiter run
+        val m = pat(raw"/([^\s/\[\]()<>{}%]+)\s+(\d+)\s+\d+\s+R").matcher(fd)
         val out = Map.newBuilder[String, ToUnicode]
         while (m.find()) {
           val name = m.group(1)
-          objs.get(m.group(2).toInt).foreach { fo =>
-            ref(fo.dict, "ToUnicode").flatMap(objs.get).foreach { tuObj =>
-              val dec = decodeStream(tuObj)
-              if (!dec.failed) parseToUnicode(dec.data).foreach(tu => out += name -> tu)
+          m.group(2).toIntOption.flatMap(objs.get).foreach { fo =>
+            ref(fo.dict, "ToUnicode").foreach { tuNum =>
+              // CMaps are shared across pages: parse each /ToUnicode object
+              // once per document, not once per page
+              tuCache.getOrElseUpdate(tuNum, objs.get(tuNum).flatMap { tuObj =>
+                val dec = decodeStream(tuObj)
+                if (dec.failed) None else parseToUnicode(dec.data)
+              }).foreach(tu => out += name -> tu)
             }
           }
         }
@@ -887,9 +907,10 @@ object RealPdf {
       val pagesTruncated = pagesAll.length > maxPages
       val pages = if (pagesTruncated) pagesAll.take(maxPages) else pagesAll
       var decodeFailures = objStmFailures
+      val tuCache = scala.collection.mutable.HashMap.empty[Int, Option[ToUnicode]]
       val out = pages.map { p =>
         val (w, h) = pageBox(p, objs)
-        val fonts = pageFonts(p, objs)
+        val fonts = pageFonts(p, objs, tuCache)
         val contentRefs = refArray(p.dict, "Contents")
         val datas = contentRefs.flatMap { r =>
           objs.get(r).map { o =>

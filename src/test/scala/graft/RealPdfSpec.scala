@@ -158,6 +158,58 @@ class RealPdfSpec extends AnyFunSuite {
     assert(!dec2.failed && java.util.Arrays.equals(dec2.data, rep))
   }
 
+  test("LZW round trip at flush-code width boundaries (lengths 700-1900 sweep)") {
+    // r3 review: when the final flush code lands the decoder exactly on a
+    // 2^n-1 table boundary, EOD was emitted one bit narrow — lengths 769 and
+    // 1813 of this exact byte stream reproduced it (2 bytes of garbage with
+    // failed=false). Sweep every length in the window to pin the pairing.
+    var state = 42L
+    val full = Array.tabulate[Byte](1900) { _ =>
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      (z >>> 33).toByte
+    }
+    var len = 700
+    while (len <= 1900) {
+      val data = java.util.Arrays.copyOf(full, len)
+      val dec = RealPdf.lzwDecode(RealPdfGen.lzwEncode(data), 1)
+      assert(!dec.failed, s"len=$len flagged failed")
+      assert(java.util.Arrays.equals(dec.data, data), s"len=$len diverged")
+      len += 1
+    }
+  }
+
+  test("absurd CMap entries skip the entry, not the document") {
+    // a hex key wider than any codespace must not throw out of parse()
+    // (that downgraded the whole document to pdf_unparsed, r3 review)
+    val cmap = ("1 beginbfchar\n<FFFFFFFFFFFFFFFFFF> <0041>\nendbfchar\n" +
+      "1 beginbfrange\n<A0> <FE> <0020>\nendbfrange\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val tu = RealPdf.parseToUnicode(cmap).get
+    assert(tu.map.size == 0x5F) // only the sane range survived
+    assert(tu.map(0xA0) == " ")
+  }
+
+  test("bfchar destinations shorter than one UTF-16 unit left-pad (<41> is 'A')") {
+    val cmap = "1 beginbfchar\n<05> <41>\nendbfchar\n".getBytes(StandardCharsets.ISO_8859_1)
+    val tu = RealPdf.parseToUnicode(cmap).get
+    assert(tu.map(0x05) == "A") // right-padding would give U+4100
+  }
+
+  test("fonts with real-world subset names (C2_0) get their ToUnicode map") {
+    // the standard Adobe/InDesign naming uses '_' — the font-entry pattern
+    // must accept any PDF-name character run
+    // compress=false so the rename reaches the in-stream Tf operand too
+    val pages = Seq(RealPdfGen.PageSpec(800, 1200, Seq(
+      RealPdfGen.Placed(50, 100, 12, Seq("Subset font naming works fine."))), compress = false))
+    val pdf = RealPdfGen.buildToUnicode(pages)
+    val renamed = new String(pdf, StandardCharsets.ISO_8859_1)
+      .replace("/F1", "/C2_0")
+    val doc = Extractor.extract("u", renamed.getBytes(StandardCharsets.ISO_8859_1))
+    assert(doc.text == "Subset font naming works fine.", doc.text)
+  }
+
   test("LZW content streams extract identically to Flate") {
     val pages = Seq(RealPdfGen.PageSpec(800, 1200, Seq(
       RealPdfGen.Placed(50, 100, 12, Seq("LZW compressed paragraph text.", "Second wrapped line.")),
