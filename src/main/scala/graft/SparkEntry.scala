@@ -385,6 +385,12 @@ object SparkEntry {
     "s03_stream_extract" -> ((s, _) =>
       graft.streaming.PageStream.runStreamExtract(s, CorpusSource.pages(s, 140))
         .drop("text")),
+    // CUSTOM-STATE streaming sessionization (flatMapGroupsWithState +
+    // event-time timeout): drained emitted set = sessions closed before the
+    // final watermark — oracle = batch sessionize (q08's logic) filtered by
+    // ts_end + gap < max(ts) − delay
+    "s04_stream_sessions" -> ((s, dir) =>
+      graft.streaming.EventStream.runStreamSessions(s, dir)),
 
     // ================= similarity ops over `embeddings` ====================
     "e01_knn_brute" -> ((s, dir) => SimilarityFunctions.knnBrute(emb(s, dir), 5, 5)),
@@ -670,6 +676,29 @@ object SparkEntry {
         |FROM agg, m
         |WHERE window_start + INTERVAL '5 minutes' <= mx - INTERVAL '10 minutes'
         |ORDER BY window_start, event_type""".stripMargin,
+    "s04_stream_sessions" ->
+      """WITH m AS (SELECT max(epoch_ms(ts)) AS mx_ms FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |               OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 300000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, ts_ms,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked),
+        |agg AS (
+        |  SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+        |         min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+        |  FROM sessions GROUP BY 1, 2)
+        |SELECT user_id, start_ms::BIGINT AS session_start_ms,
+        |       end_ms::BIGINT AS session_end_ms, n_events
+        |FROM agg, m
+        |WHERE end_ms + 300000 < mx_ms - 600000
+        |ORDER BY user_id, session_start_ms""".stripMargin,
     "e01_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
         |           FROM embeddings WHERE vec_id < 5),

@@ -45,6 +45,82 @@ object EventStream {
     }.orderBy("window_start", "event_type")
   }
 
+  /** One emitted closed session (epochs in EXACT milliseconds — event times
+    * carry sub-second fractions, and an integer-ms surface keeps the oracle
+    * compare bit-exact where seconds would floor/round differently). */
+  final case class SessionOut(user_id: Long, session_start_ms: Long,
+                              session_end_ms: Long, n_events: Long)
+
+  final case class SessionBuf(tss: List[Long])
+
+  /** CUSTOM-STATE streaming sessionization (SURVEY §2.11's
+    * mapGroupsWithState family): per user, buffer event times, split on
+    * >`gapMs` gaps, and emit a session once the watermark has passed its
+    * close boundary — `last + gap < watermark` STRICTLY, matching the
+    * event-time-timeout firing rule (timeouts fire when wm > t), so the
+    * drained emitted set is exactly the oracle's
+    * `end_ms + gap_ms < max(ts)_ms − delay_ms` filter. Closure is safe by the
+    * watermark contract: an event that could extend a closing session would
+    * have ts < last+gap ≤ wm and be dropped as late data. State per user is
+    * O(open-session events), evicted on close — bounded like s02's windows,
+    * not complete-mode. */
+  private def sessionFn(gapMs: Long)(
+      uid: Long, it: Iterator[(Long, java.sql.Timestamp)],
+      state: org.apache.spark.sql.streaming.GroupState[SessionBuf]): Iterator[SessionOut] = {
+    val incoming = it.map(_._2.getTime).toList
+    val buf = (state.getOption.map(_.tss).getOrElse(Nil) ++ incoming).sorted
+    if (buf.isEmpty) { state.remove(); return Iterator.empty }
+    val wmMs = state.getCurrentWatermarkMs()
+    // gap-split the sorted buffer into sessions (all arithmetic in exact ms)
+    val sessions = buf.tail.foldLeft(List(List(buf.head))) { (acc, t) =>
+      if (t - acc.head.head <= gapMs) (t :: acc.head) :: acc.tail
+      else List(t) :: acc
+    }.map(_.reverse).reverse // each session ascending, sessions ascending
+    val (closed, open) = sessions.partition(s => s.last + gapMs < wmMs)
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(SessionBuf(open.flatten))
+      // EARLIEST open-session close boundary: a user can hold several open
+      // sessions at once (no new data arriving for it), and a timeout at the
+      // latest boundary would never fire for the earlier ones — each firing
+      // closes what it can and re-arms at the next boundary
+      val t = open.head.last + gapMs
+      state.setTimeoutTimestamp(math.max(t, wmMs + 1L))
+    }
+    closed.iterator.map(s => SessionOut(uid, s.head, s.last, s.length.toLong))
+  }
+
+  /** Streaming sessionization drained over the staged event log (same
+    * time-ordered file replay as [[runStreamAppend]]). */
+  def runStreamSessions(spark: SparkSession, dir: String,
+                        delay: String = "10 minutes",
+                        gapMs: Long = 300000L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val batchDf = spark.read.parquet(s"$dir/events.parquet")
+    StreamHarness.runDrained(spark, "graft_stream_sessions", "append") { staging =>
+      batchDf.repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(staging)
+      val parts = new java.io.File(staging).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val mtimeBase = System.currentTimeMillis() - 1000000
+      parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(mtimeBase + i * 10000) }
+    } { staging =>
+      spark.readStream
+        .schema(batchDf.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+        .withColumn("ts", col("ts").cast("timestamp")) // NTZ → instant (UTC session)
+        .withWatermark("ts", delay)
+        .select(col("user_id").cast("long"), col("ts"))
+        .as[(Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[SessionBuf, SessionOut](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(sessionFn(gapMs))
+        .toDF()
+    }.orderBy("user_id", "session_start_ms")
+  }
+
   /** Batch equivalent (the oracle's formulation). */
   def runBatch(spark: SparkSession, dir: String): DataFrame =
     windowedAgg(spark.read.parquet(s"$dir/events.parquet"))

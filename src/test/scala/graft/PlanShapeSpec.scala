@@ -92,6 +92,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!readSchema.contains("lang"), readSchema) // only doc_id + text read
   }
 
+  test("d10b: 32-bit band pairs are equi-joins only — no cartesian, no nested loop") {
+    val plan = planOf("d10b_simhash_pairs32")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("e04: candidate dedup shuffles id pairs only — no array column in any aggregate key") {
     val plan = planOf("e04_ann_bucketed")
     // the distinct() over the cross-table candidate union must group on

@@ -340,6 +340,36 @@ class RealPdfSpec extends AnyFunSuite {
       Extractor.extract("u", java.util.Arrays.copyOf(valid, cut))
   }
 
+  test("fuzz: byte mutations of every builder shape never crash and are deterministic") {
+    // structured mutation: flip/zero/insert random bytes into VALID PDFs of
+    // all five writer shapes (classic, ObjStm, predicted-ObjStm, ToUnicode,
+    // LZW) — the decode paths added this round must degrade to recorded
+    // loss, never an exception, and stay pure functions of the bytes
+    val pages = Seq(RealPdfGen.PageSpec(800, 1200, Seq(
+      RealPdfGen.Placed(50, 100, 12, Seq("Mutation target text block one.", "Wrapped line.")),
+      RealPdfGen.Placed(50, 300, 12, Seq("Second block for coverage."))), compress = true))
+    val shapes = Seq[Array[Byte]](
+      RealPdfGen.build(pages), RealPdfGen.buildObjStm(pages),
+      RealPdfGen.buildObjStmPredicted(pages), RealPdfGen.buildToUnicode(pages),
+      RealPdfGen.buildLzw(pages))
+    val rng = new java.util.Random(7L)
+    for (shape <- shapes; trial <- 0 until 60) {
+      val mutated = shape.clone()
+      val nMut = 1 + rng.nextInt(8)
+      for (_ <- 0 until nMut) {
+        val pos = rng.nextInt(mutated.length)
+        rng.nextInt(3) match {
+          case 0 => mutated(pos) = rng.nextInt(256).toByte
+          case 1 => mutated(pos) = 0
+          case _ => mutated(pos) = (mutated(pos) ^ (1 << rng.nextInt(8))).toByte
+        }
+      }
+      val a = Extractor.extract("u", mutated) // must not throw
+      val b = Extractor.extract("u", mutated)
+      assert(a == b, "extraction of a mutated PDF is not deterministic")
+    }
+  }
+
   test("RealPdf.isReal distinguishes the mini format") {
     assert(!RealPdf.isReal("%PDF-GRAFT 1.0\n".getBytes("UTF-8")))
     assert(RealPdf.isReal("%PDF-1.4\n".getBytes("UTF-8")))

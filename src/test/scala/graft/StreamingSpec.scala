@@ -34,6 +34,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size == 96 && streamed == batch)
   }
 
+  test("stateful sessionization emits exactly the closed sessions (batch-derived set)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventStream.runStreamSessions(spark, dir)
+      .collect().map(_.toString).toSeq
+    // batch derivation of the SAME rule: gap-split per user in exact ms,
+    // sessions closed iff end + gap < max(ts) − delay (the final watermark)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id").cast("long").as("user_id"),
+        (unix_millis(col("ts").cast("timestamp"))).as("ms"))
+    val mx = ev.agg(max(col("ms"))).head.getLong(0)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+    val batch = ev
+      .withColumn("prev", lag(col("ms"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("ms") - col("prev") > 300000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("is_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ms")).as("session_start_ms"), max(col("ms")).as("session_end_ms"),
+        count(lit(1)).as("n_events"))
+      .filter(col("session_end_ms") + 300000L < mx - 600000L)
+      .select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_ms")
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("append-mode stream emits exactly the watermark-closed windows") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
