@@ -369,6 +369,17 @@ object SparkEntry {
       DedupFunctions.simhashPairs(d.union(exactTwins).union(mutantTwins),
         12, bandBits = 32)
     }),
+    // the 10^12-doc shape: 128-bit signature × 32-bit bands (SCALE.md) —
+    // same planted-twin construction as d10b; exact twins guarantee rows
+    "d10c_simhash_pairs128" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val exactTwins = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val mutantTwins = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" twin")).as("text"))
+      DedupFunctions.simhash128Pairs(d.union(exactTwins).union(mutantTwins), 24)
+    }),
 
     // ================= streaming surface over `events` =====================
     // windowed agg computed by a REAL incremental stream (file micro-batches,

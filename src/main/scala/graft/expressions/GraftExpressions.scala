@@ -104,7 +104,14 @@ object SimHash64Kernel {
   import org.apache.spark.sql.catalyst.expressions.XXH64
   import org.apache.spark.unsafe.Platform
 
-  def compute(s: UTF8String): Long = {
+  def compute(s: UTF8String): Long = computeSeeded(s, 42L)
+
+  /** The 128-bit signature's halves are this kernel at two independent
+    * seeds: seed 42 (the canonical 64-bit signature — the low half of the
+    * 128-bit form equals `graft_simhash64` bit-for-bit) and HI_SEED. */
+  val HI_SEED = 0x9E3779B97F4A7C15L
+
+  def computeSeeded(s: UTF8String, seed: Long): Long = {
     val base = s.getBaseObject
     val off = s.getBaseOffset
     val n = s.numBytes()
@@ -115,7 +122,7 @@ object SimHash64Kernel {
       // 0x20 never occurs inside a multi-byte UTF-8 sequence, so byte-level
       // splitting is exact
       if (i == n || Platform.getByte(base, off + i) == ' '.toByte) {
-        val h = XXH64.hashUnsafeBytes(base, off + start, i - start, 42L)
+        val h = XXH64.hashUnsafeBytes(base, off + start, i - start, seed)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
@@ -136,7 +143,7 @@ object SimHash64Kernel {
   * ONE row-local expression — replaces the explode-every-token → groupBy
   * formulation whose shuffle re-keyed the entire corpus (at 10^12 rows, the
   * scale-killer). Codegen stays alive via a static kernel call. */
-case class SimHash64Expr(child: Expression) extends UnaryExpression {
+case class SimHash64Expr(child: Expression, seed: Long = 42L) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult =
@@ -145,10 +152,12 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_simhash64"
 
   override def nullSafeEval(input: Any): Any =
-    java.lang.Long.valueOf(SimHash64Kernel.compute(input.asInstanceOf[UTF8String]))
+    java.lang.Long.valueOf(
+      SimHash64Kernel.computeSeeded(input.asInstanceOf[UTF8String], seed))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.SimHash64Kernel.compute($c)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.SimHash64Kernel.computeSeeded($c, ${seed}L)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)
@@ -163,6 +172,9 @@ object GraftExpressions {
     ColumnBridge.column(TokenCountExpr(ColumnBridge.expression(c)))
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(c)))
+  /** High half of the 128-bit signature (independent seed, same kernel). */
+  def simhash64Hi(c: Column): Column =
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(c), SimHash64Kernel.HI_SEED))
 
   /** Register all as SQL functions on the session. */
   def register(spark: SparkSession): Unit = {

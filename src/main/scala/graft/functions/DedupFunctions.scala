@@ -124,4 +124,44 @@ object DedupFunctions {
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
+
+  /** 128-bit SimHash signature: two independent 64-bit halves (the kernel at
+    * two seeds; the LOW half is bit-identical to [[simhash64]]'s signature).
+    * Still a single row-local codegen'd projection — zero shuffle. This is
+    * the 10^12-doc shape SCALE.md documents: doubling signature width halves
+    * the random-collision hamming mass while 32-bit bands keep each band's
+    * bucket space at 2^32. */
+  def simhash128(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.expressions.GraftExpressions.simhash64Hi(col("text")).as("simhash_hi"),
+        graft.expressions.GraftExpressions.simhash64(col("text")).as("simhash_lo"))
+      .orderBy("doc_id")
+
+  /** Near-dup pairs over the 128-bit signature: 128/bandBits bands (default
+    * 32-bit → 4 bands, collision-guaranteed for hamming ≤ 3, probabilistic
+    * above), candidates via band equi-join, exact hamming =
+    * bit_count(hi⊕hi) + bit_count(lo⊕lo) over candidates only. */
+  def simhash128Pairs(docs: DataFrame, maxHamming: Int, bandBits: Int = 32): DataFrame = {
+    require(64 % bandBits == 0 && bandBits > 0 && bandBits <= 64,
+      s"bandBits must divide 64, got $bandBits")
+    val perHalf = 64 / bandBits
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val sig = simhash128(docs)
+    val bandCols =
+      (0 until perHalf).map(b =>
+        shiftrightunsigned(col("simhash_lo"), b * bandBits).bitwiseAND(lit(mask))) ++
+      (0 until perHalf).map(b =>
+        shiftrightunsigned(col("simhash_hi"), b * bandBits).bitwiseAND(lit(mask)))
+    val bands = sig.select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.band") === col("b.band")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.simhash_hi").bitwiseXOR(col("b.simhash_hi"))) +
+         bit_count(col("a.simhash_lo").bitwiseXOR(col("b.simhash_lo")))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
 }

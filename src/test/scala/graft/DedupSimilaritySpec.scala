@@ -70,6 +70,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.subsetOf(pairs16))
   }
 
+  test("simhash128: low half equals simhash64; halves are independent") {
+    val d = docsWithPlants
+    val s64 = DedupFunctions.simhash64(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s128 = DedupFunctions.simhash128(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    s128.foreach { case (id, (hi, lo)) =>
+      assert(lo == s64(id), s"low half diverges from simhash64 at doc $id")
+      assert(hi != lo, s"halves identical at doc $id — seeds not independent")
+    }
+  }
+
+  test("simhash128Pairs finds planted exact and near duplicates (32-bit bands)") {
+    val pairs = DedupFunctions.simhash128Pairs(docsWithPlants, maxHamming = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 9001L)), "exact twin must collide in every band")
+    assert(pairs.contains((0L, 9002L)) || pairs.contains((9001L, 9002L)),
+      "one-word mutant should be within 24/128 bits of its source")
+  }
+
   test("minhash LSH finds exact and near duplicates as candidates") {
     val pairs = DedupFunctions.lshCandidatePairs(docsWithPlants, 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
