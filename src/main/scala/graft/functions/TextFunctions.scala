@@ -98,45 +98,28 @@ object TextFunctions {
     "ja" -> "の", "ja" -> "は", "ja" -> "を", "ja" -> "が", "ja" -> "です",
     "ko" -> "의", "ko" -> "는", "ko" -> "을", "ko" -> "하다", "ko" -> "습니다")
 
-  /** N-gram-heuristic language ID as a ZERO-SHUFFLE map-side vote: per
-    * language, votes = occurrences of that language's marker tokens (a
-    * higher-order `filter` over the token array — the marker lexicons compile
-    * into the plan as literals, the in-plan form of the char-dict broadcast);
-    * argmax by a left-to-right fold over languages in ascending order with a
-    * strict `>`, which reproduces the (votes desc, lang asc) tie-break of the
-    * windowed formulation exactly. No explode, no join, no window — the
-    * whole operator is row-local, so at 10^12 rows it runs inside the scan
-    * stage (the r1 version shuffled (doc, lang) vote pairs twice). Measured
-    * trade at sf0.1: ~30% more single-node CPU than the exploded+joined form
-    * (higher-order lambdas evaluate interpreted) for zero exchanges — the
-    * right side of that trade everywhere beyond a single node. Docs with
-    * no marker hits predict "und". */
+  /** N-gram-heuristic language ID as a ZERO-SHUFFLE map-side vote, compiled:
+    * the whole per-row vote (token-equality counts for the 10 space-separated
+    * languages, substring-occurrence counts for ja/ko, argmax with the
+    * (votes desc, lang asc) tie-break) runs as ONE codegen'd Catalyst
+    * expression (`graft_lang_best`, LangIdKernel) over the UTF-8 bytes. The
+    * r2 formulation used higher-order array lambdas — row-local but
+    * INTERPRETED, a measured ~30% CPU premium the kernel removes; the r1
+    * version exploded every token and shuffled (doc, lang) vote pairs twice.
+    * Docs with no marker hits predict "und". The kernel, this projection,
+    * and the DuckDB oracle all derive from the same marker Seqs. */
   def langId(docs: DataFrame): DataFrame = {
-    val ws = tokens(col("text"))
-    val byLang = langMarkers.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val byShingle = shingleMarkers.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val langsAsc = (byLang.keys ++ byShingle.keys).toSeq.sorted
-    val cands = array(langsAsc.map { l =>
-      val v =
-        if (byShingle.contains(l)) // no-space script: substring occurrence count
-          byShingle(l).map { m =>
-            ((length(col("text")) - length(replace(col("text"), lit(m), lit(""))))
-              / lit(m.length)).cast("long")
-          }.reduce(_ + _)
-        else {
-          val markers = array(byLang(l).map(lit): _*)
-          size(filter(ws, t => array_contains(markers, t))).cast("long")
-        }
-      struct(v.as("v"), lit(l).as("cand_lang"))
-    }: _*)
-    val best = aggregate(cands,
-      struct(lit(0L).as("v"), lit("und").as("cand_lang")),
-      (acc, x) => when(x.getField("v") > acc.getField("v"), x).otherwise(acc))
+    import graft.expressions.{GraftExpressions, LangIdKernel}
+    val langs = LangIdKernel.langsAsc.toSeq :+ "und" // undIndex points past the end
+    val packed = GraftExpressions.langBest(col("text"))
     docs.select(
         col("doc_id"),
-        best.getField("cand_lang").as("pred_lang"),
-        best.getField("v").as("votes"),
-        (best.getField("cand_lang") === col("lang")).as("matches_label"))
+        element_at(array(langs.map(lit): _*),
+          packed.bitwiseAND(lit(15L)).cast("int") + 1).as("pred_lang"),
+        shiftrightunsigned(packed, 4).as("votes"),
+        (element_at(array(langs.map(lit): _*),
+          packed.bitwiseAND(lit(15L)).cast("int") + 1) === col("lang"))
+          .as("matches_label"))
       .orderBy("doc_id")
   }
 
