@@ -690,12 +690,15 @@ object SparkEntry {
     "s04_stream_sessions" ->
       """WITH m AS (SELECT max(epoch_ms(ts)) AS mx_ms FROM events),
         |marked AS (
+        |  -- BOTH windows order by (ts_ms, event_id): ordering one by raw ts
+        |  -- (microsecond) and the other by truncated ms could split
+        |  -- same-millisecond events across sessions differently
         |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
         |         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
         |               OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 300000
         |              THEN 1 ELSE 0 END AS is_new
         |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
         |), sessions AS (
         |  SELECT user_id, ts_ms,
         |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id

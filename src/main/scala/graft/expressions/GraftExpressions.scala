@@ -157,6 +157,10 @@ object LangIdKernel {
     (TextFunctions.langMarkers.map(_._1) ++ TextFunctions.shingleMarkers.map(_._1))
       .distinct.sorted.toArray
   val undIndex: Int = langsAsc.length
+  // the packed result keeps the index in 4 bits; a 16th language would bleed
+  // into the vote bits SILENTLY — fail loudly at class init instead
+  require(undIndex <= 15,
+    s"LangIdKernel packs the language index into 4 bits; got ${undIndex + 1} languages")
 
   private val tokenMarkers: Array[Array[Array[Byte]]] = {
     val byLang = TextFunctions.langMarkers.groupBy(_._1)

@@ -86,9 +86,14 @@ object DedupFunctions {
     * 64-vote groupBy re-keyed the whole corpus through an exchange; the
     * equivalence of the two formulations is spec-tested bit-for-bit). */
   def simhash64(docs: DataFrame): DataFrame =
+    simhash64Raw(docs).orderBy("doc_id")
+
+  /** Unsorted signature projection — the band-join builders consume this (an
+    * orderBy would be a wasted global sort the explode/join immediately
+    * destroys, same rationale as lshCandidatePairsRaw). */
+  private def simhash64Raw(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        graft.expressions.GraftExpressions.simhash64(col("text")).as("simhash64"))
-      .orderBy("doc_id")
+      graft.expressions.GraftExpressions.simhash64(col("text")).as("simhash64"))
 
   /** SimHash near-dup pairs: 64/bandBits bands of `bandBits` bits each — docs
     * collide if ANY band matches (a ≤`maxHamming`-bit difference leaves at
@@ -110,7 +115,7 @@ object DedupFunctions {
       s"bandBits must divide 64, got $bandBits")
     val nBands = 64 / bandBits
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val sig = simhash64(docs)
+    val sig = simhash64Raw(docs)
     val bands = sig.select(col("doc_id"), col("simhash64"),
       posexplode(array((0 until nBands).map(b =>
         shiftrightunsigned(col("simhash64"), b * bandBits).bitwiseAND(lit(mask))): _*))
@@ -132,10 +137,12 @@ object DedupFunctions {
     * the random-collision hamming mass while 32-bit bands keep each band's
     * bucket space at 2^32. */
   def simhash128(docs: DataFrame): DataFrame =
+    simhash128Raw(docs).orderBy("doc_id")
+
+  private def simhash128Raw(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        graft.expressions.GraftExpressions.simhash64Hi(col("text")).as("simhash_hi"),
-        graft.expressions.GraftExpressions.simhash64(col("text")).as("simhash_lo"))
-      .orderBy("doc_id")
+      graft.expressions.GraftExpressions.simhash64Hi(col("text")).as("simhash_hi"),
+      graft.expressions.GraftExpressions.simhash64(col("text")).as("simhash_lo"))
 
   /** Near-dup pairs over the 128-bit signature: 128/bandBits bands (default
     * 32-bit → 4 bands, collision-guaranteed for hamming ≤ 3, probabilistic
@@ -146,7 +153,7 @@ object DedupFunctions {
       s"bandBits must divide 64, got $bandBits")
     val perHalf = 64 / bandBits
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val sig = simhash128(docs)
+    val sig = simhash128Raw(docs)
     val bandCols =
       (0 until perHalf).map(b =>
         shiftrightunsigned(col("simhash_lo"), b * bandBits).bitwiseAND(lit(mask))) ++

@@ -180,8 +180,10 @@ object RealPdf {
         val pm = pat(raw"\d+").matcher(s.substring(0, math.min(first, s.length)))
         val header = Vector.newBuilder[Int]
         while (pm.find()) header += pm.group.toIntOption.getOrElse(-1)
+        // an overflowed header integer (-1 sentinel) skips ITS pair only — it
+        // must not become a phantom object number or a mis-aligned offset
         val pairs = header.result().grouped(2).collect {
-          case Vector(a, b) => (a, b)
+          case Vector(a, b) if a >= 0 && b >= 0 => (a, b)
         }.take(nObjs).toVector
         for (((num, off), idx) <- pairs.zipWithIndex if !out.contains(num)) {
           val start = first + off

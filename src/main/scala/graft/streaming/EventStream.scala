@@ -83,7 +83,13 @@ object EventStream {
       // EARLIEST open-session close boundary: a user can hold several open
       // sessions at once (no new data arriving for it), and a timeout at the
       // latest boundary would never fire for the earlier ones — each firing
-      // closes what it can and re-arms at the next boundary
+      // closes what it can and re-arms at the next boundary.
+      // Boundary note: Spark requires the armed timestamp be > watermark and
+      // fires strictly past it, so when t == wm the arm clamps to wm+1 and a
+      // FINAL watermark of exactly t+1 ms would leave that session unemitted
+      // while the oracle counts it closed — a 1-ms alignment that is
+      // irreducible under the >wm/> firing contract (any closure rule shifts
+      // the same boundary). Everywhere t > wm the arming is exact.
       val t = open.head.last + gapMs
       state.setTimeoutTimestamp(math.max(t, wmMs + 1L))
     }
@@ -98,13 +104,8 @@ object EventStream {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val batchDf = spark.read.parquet(s"$dir/events.parquet")
-    StreamHarness.runDrained(spark, "graft_stream_sessions", "append") { staging =>
-      batchDf.repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
-        .write.mode("overwrite").parquet(staging)
-      val parts = new java.io.File(staging).listFiles()
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      val mtimeBase = System.currentTimeMillis() - 1000000
-      parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(mtimeBase + i * 10000) }
+    StreamHarness.runDrained(spark, "graft_stream_sessions", "append") {
+      stageOrderedByTs(batchDf)
     } { staging =>
       spark.readStream
         .schema(batchDf.schema)
@@ -119,6 +120,22 @@ object EventStream {
           OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(sessionFn(gapMs))
         .toDF()
     }.orderBy("user_id", "session_start_ms")
+  }
+
+  /** Stage a batch DataFrame as a directory of files replayed in EVENT-TIME
+    * order: a real append-mode ingest consumes a log tail, and round-robin
+    * staging would race the watermark ahead on the first file and drop the
+    * rest as late data. Range-partition by ts, sort within partitions, and
+    * force ascending modification times so the file source (oldest-first)
+    * replays the month in order. ONE definition — both append-mode surfaces
+    * (windows s02, sessions s04) share the invariant. */
+  private def stageOrderedByTs(batchDf: DataFrame)(staging: String): Unit = {
+    batchDf.repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(staging)
+    val parts = new java.io.File(staging).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val mtimeBase = System.currentTimeMillis() - 1000000
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(mtimeBase + i * 10000) }
   }
 
   /** Batch equivalent (the oracle's formulation). */
@@ -137,18 +154,8 @@ object EventStream {
   def runStreamAppend(spark: SparkSession, dir: String,
                       delay: String = "10 minutes"): DataFrame = {
     val batchDf = spark.read.parquet(s"$dir/events.parquet")
-    StreamHarness.runDrained(spark, "graft_stream_append", "append") { staging =>
-      // a real append-mode ingest consumes files in event-time order (a log
-      // tail); round-robin staging would race the watermark ahead on the
-      // first file and drop the rest as late data. Range-partition by ts and
-      // force ascending modification times so the file source (oldest-first)
-      // replays the month in order.
-      batchDf.repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
-        .write.mode("overwrite").parquet(staging)
-      val parts = new java.io.File(staging).listFiles()
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      val mtimeBase = System.currentTimeMillis() - 1000000
-      parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(mtimeBase + i * 10000) }
+    StreamHarness.runDrained(spark, "graft_stream_append", "append") {
+      stageOrderedByTs(batchDf)
     } { staging =>
       spark.readStream
         .schema(batchDf.schema)
