@@ -12,8 +12,9 @@ package graft.extract
   *    entities.json data — not hand-copied pair by pair;
   *  - numeric references `&#D;` / `&#xH;` with the HTML5 compat rules: the
   *    C1 remap (0x80-0x9F resolve via windows-1252, e.g. `&#147;` → '“'),
-  *    NUL / surrogate / out-of-range (> U+10FFFF, incl. overflow of any
-  *    digit-count up to 32) → U+FFFD, exactly as browsers emit;
+  *    any digit count (value-clamped), the trailing semicolon OPTIONAL
+  *    (missing-semicolon is a parse error whose reference still resolves),
+  *    NUL / surrogate / out-of-range → U+FFFD — exactly as browsers emit;
   *  - bare legacy references without the trailing semicolon (`&amp`, `&copy`,
   *    `&nbsp` …) for the HTML5 legacy set (the 106 spec-listed names),
   *    longest-prefix matched exactly like browsers do in text content;
@@ -68,15 +69,15 @@ object Entities {
     val n = s.length
     if (i + 1 >= n) return null
     if (s.charAt(i + 1) == '#') {
-      // scan the digit run explicitly (zero-padded refs like &#0000000914;
-      // are valid per spec — browsers consume any digit count; we cap the
-      // scan at 32 digits and clamp the accumulator so overflow is exact)
+      // scan the digit run explicitly — browsers consume ANY digit count
+      // (zero-padded refs like &#0000000914; are routine); the accumulator
+      // clamps once out of range so arbitrarily long runs stay exact
       var j = i + 2
       var hex = false
       if (j < n && (s.charAt(j) == 'x' || s.charAt(j) == 'X')) { hex = true; j += 1 }
       val start = j
       var cp0 = 0L
-      while (j < n && j - start < 32 && {
+      while (j < n && {
         val c = s.charAt(j)
         val d =
           if (c >= '0' && c <= '9') c - '0'
@@ -89,8 +90,10 @@ object Entities {
           true
         } else false
       }) j += 1
-      if (j == start || j >= n || s.charAt(j) != ';') return null
-      endAfter(0) = j + 1
+      if (j == start) return null
+      // HTML5: a missing trailing semicolon is a parse error whose reference
+      // STILL resolves — browsers render "&#147quoted&#148" as curly-quoted
+      endAfter(0) = if (j < n && s.charAt(j) == ';') j + 1 else j
       numeric(cp0)
     } else {
       // scan the alphanumeric run after '&'

@@ -20,11 +20,14 @@ import graft.pdf.PdfBranch
   * the slice-offset rebase of SURVEY.md §2.3.
   *
   * `maxBlocksPerDoc` is enforced GLOBALLY at merge (r2 ADVICE): fragments
-  * extract with their own cap (a per-task output bound), ship their kept
-  * group-size partition, and merge re-applies `Extractor.capGroupCount` to
-  * the concatenated group sequence — the same pure function the single-pass
-  * kernel runs on the same sequence (groups never straddle fragments), so
-  * byte-identity holds through and beyond the cap.
+  * extract UNCAPPED (their output is intrinsically bounded by fragment
+  * bytes), ship their full group-size partition, and merge applies
+  * `Extractor.capGroupCount` to the concatenated group sequence — the same
+  * pure function over the same sequence the single-pass kernel walks
+  * (groups never straddle fragments), so byte-identity holds through and
+  * beyond the cap. A per-fragment cap would be WRONG, not just different:
+  * it removes the group on which the global walk stops, and the merge walk
+  * would keep later groups the single pass never emits.
   */
 object ChunkedExtract {
 
@@ -90,8 +93,15 @@ object ChunkedExtract {
       ChunkResult(r.rowUid, r.url, r.chunkIdx, r.chunkStart, r.prefixLen, doc.text,
         doc.spans, doc.charset, doc.truncated, doc.status, Nil)
     } else {
+      // fragments extract UNCAPPED: a per-fragment block cap would REMOVE the
+      // very group on which the single-pass global walk stops, and the merge
+      // walk (seeing only the survivors) would then keep later groups the
+      // single pass never reaches (r3 review, confirmed divergence). The
+      // global cap is merge's job alone; per-task output stays intrinsically
+      // bounded by O(fragment bytes).
+      val uncapped = cfg.copy(maxBlocksPerDoc = Int.MaxValue)
       val (doc, sizes) = Extractor.extractHtmlGrouped(r.url, r.payload,
-        Charsets.resolve(r.charsetName), r.bom, r.truncated, cfg, state)
+        Charsets.resolve(r.charsetName), r.bom, r.truncated, uncapped, state)
       ChunkResult(r.rowUid, r.url, r.chunkIdx, r.chunkStart, r.prefixLen, doc.text,
         doc.spans, doc.charset, doc.truncated, doc.status, sizes)
     }

@@ -87,6 +87,29 @@ class ChunkedExtractSpec extends AnyFunSuite {
     assert(Extractor.extract(row.url, row.html, ExtractConfig()).nSpans > 200)
   }
 
+  test("global cap sees groups a fragment-local cap would have hidden (r3 review)") {
+    // CONFIRMED divergence before the fix: 4 paragraphs, then a 3-cell table
+    // (the group the global walk stops on at cap=5), then 36 more paragraphs.
+    // A per-fragment cap dropped the table from fragment 0's shipped groups,
+    // so merge kept paragraph 5 — a span the single pass never emits.
+    val body = (0 until 4).map(i =>
+        s"<p>paragraph number $i with enough characters to be kept fine</p>").mkString +
+      "<table><tr><td>cell one content block</td><td>cell two content block</td>" +
+      "<td>cell three content block</td></tr></table>" +
+      (4 until 40).map(i =>
+        s"<p>paragraph number $i with enough characters to be kept fine</p>").mkString
+    val html = s"<html><body>$body</body></html>".getBytes(StandardCharsets.UTF_8)
+    val row = PageRow("u://hidden-group", new java.sql.Timestamp(0L), html, null, "en")
+    for (cap <- Seq(4, 5, 6, 7); minChunk <- Seq(256, 512, 1024)) {
+      val cfg = ExtractConfig(maxBlocksPerDoc = cap)
+      val single = Extractor.extract(row.url, row.html, cfg)
+      val chunked = ChunkedExtract.extractLocal(row, cfg,
+        chunkThreshold = 0, minChunkBytes = minChunk)
+      assert(single.text == chunked.text, s"cap=$cap minChunk=$minChunk text diff")
+      assert(single.spans == chunked.spans, s"cap=$cap minChunk=$minChunk span diff")
+    }
+  }
+
   test("block cap keeps group 0 even when it alone exceeds the budget") {
     val cells = (0 until 40).map(i => s"<td>cell content number $i block</td>").mkString
     val html = s"<html><body><table><tr>$cells</tr></table><p>after table paragraph content</p></body></html>"

@@ -61,10 +61,16 @@ class EntitiesSpec extends AnyFunSuite {
     assert(Entities.decode("&#0; &#x110000;") == "� �")
     assert(Entities.decode("&#0000000914;") == "Β") // zero-padded, browsers decode
     assert(Entities.decode("&#99999999999999999999;") == "�") // overflow clamps to FFFD
-    val over = "&#x" + ("0" * 33) + "41;" // >32 digits: not consumed, passthrough
-    assert(Entities.decode(over) == over)
+    // any digit count is consumed (browsers have no cap): 36 hex digits
+    assert(Entities.decode("&#x" + ("0" * 33) + "41;") == "A")
+    assert(Entities.decode("&#" + ("0" * 40) + "914;") == "\u0392")
     // surrogate range → U+FFFD (a lone surrogate would be an ill-formed String)
     assert(Entities.decode("&#xD800;&#xDFFF;&#55357;") == "���")
+    // missing trailing semicolon: parse error per spec, but the reference
+    // still resolves — exactly what browsers render
+    assert(Entities.decode("he said &#147quoted&#148 ok") == "he said \u201Cquoted\u201D ok")
+    assert(Entities.decode("A&#x42C") == "A\u042C") // hex form, bare
+    assert(Entities.decode("&# x") == "&# x") // no digits: literal
   }
 
   test("bare legacy refs decode without a semicolon; non-legacy don't") {
