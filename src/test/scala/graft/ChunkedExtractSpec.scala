@@ -60,6 +60,19 @@ class ChunkedExtractSpec extends AnyFunSuite {
       val row = PageRow("u", new java.sql.Timestamp(0), html.getBytes(StandardCharsets.UTF_8), null, "en")
       equivalent(row, 64).isEmpty && equivalent(row, 300).isEmpty
     })
+    // AND under a random block cap: the group-atomic global cap must stay
+    // lockstep for every (soup, cap, chunk size) — not just the authored
+    // shapes in the dedicated cap tests
+    check(Prop.forAll(soup, Gen.chooseNum(1, 30)) { (html, cap) =>
+      val row = PageRow("u", new java.sql.Timestamp(0), html.getBytes(StandardCharsets.UTF_8), null, "en")
+      val cfg = ExtractConfig(maxBlocksPerDoc = cap)
+      Seq(64, 300).forall { minChunk =>
+        val single = Extractor.extract(row.url, row.html, cfg)
+        val chunked = ChunkedExtract.extractLocal(row, cfg,
+          chunkThreshold = 0, minChunkBytes = minChunk)
+        single.text == chunked.text && single.spans == chunked.spans
+      }
+    })
   }
 
   test("chunked == single-pass BEYOND the block cap (global group-atomic cap)") {

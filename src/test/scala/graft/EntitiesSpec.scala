@@ -102,4 +102,29 @@ class EntitiesSpec extends AnyFunSuite {
     val s = "a & b && c &; &# &x20; 100% plain"
     assert(Entities.decode(s) == s)
   }
+
+  test("fuzz: random ampersand soup never throws, output is deterministic and well-formed") {
+    val rng = new java.util.Random(1234L)
+    val pieces = Array("&", "#", ";", "x", "amp", "lt", "not", "0", "9", "A", "f",
+      "NotEqualTilde", "zzz", " ", "Β", "00000000000000000000000000000000000001")
+    for (_ <- 0 until 3000) {
+      val sb = new StringBuilder
+      for (_ <- 0 until (1 + rng.nextInt(12))) sb.append(pieces(rng.nextInt(pieces.length)))
+      val s = sb.toString
+      val a = Entities.decode(s)
+      val b = Entities.decode(s)
+      assert(a == b)
+      // output must be a well-formed UTF-16 String (no lone surrogates — the
+      // parquet/UTF-8 byte-identity contract)
+      var i = 0
+      while (i < a.length) {
+        val c = a.charAt(i)
+        if (Character.isHighSurrogate(c))
+          assert(i + 1 < a.length && Character.isLowSurrogate(a.charAt(i + 1)), s"lone high surrogate in decode of: $s")
+        else assert(!Character.isLowSurrogate(c) ||
+          (i > 0 && Character.isHighSurrogate(a.charAt(i - 1))), s"lone low surrogate in decode of: $s")
+        i += 1
+      }
+    }
+  }
 }
