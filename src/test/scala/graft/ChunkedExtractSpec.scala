@@ -53,7 +53,12 @@ class ChunkedExtractSpec extends AnyFunSuite {
     val tableish = Gen.const(
       "<table><tr><td>cell one here</td><td>cell two here</td></tr></table>")
     val listish = Gen.const("<ul><li>item one words</li><li>item two words</li></ul>")
-    val soup = Gen.listOf(Gen.oneOf(section, navish, tableish, listish)).map { parts =>
+    // pre: the one block kind whose TEXT contains newlines — the merge's
+    // group-text recovery relies on "\n\n" appearing only BETWEEN groups
+    // (newline runs inside pre collapse to one '\n'), so it must be in the mix
+    val preish = Gen.const(
+      "<pre>line one of code here\n\n\nline two stays\r\nline three ends</pre>")
+    val soup = Gen.listOf(Gen.oneOf(section, navish, tableish, listish, preish)).map { parts =>
       s"<html><body>${parts.mkString}</body></html>"
     }
     check(Prop.forAll(soup) { html =>
