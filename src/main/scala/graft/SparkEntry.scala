@@ -130,6 +130,16 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
         .orderBy("doc_id")
     }),
+    // PubTabNet-style jsonl label-file source (PubTabDataSet analog): native
+    // json scan → annotation rebuilt as table HTML → the engine's own table
+    // assembly. Deterministic label file synthesized in place; expected text
+    // is pinned byte-exactly in PubTabSpec (rows-only check here).
+    "x15_pubtab_labels" -> ((s, _) => {
+      val path = "/tmp/graft_verify_pubtab.jsonl"
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        graft.corpus.PubTab.sampleJsonl(40).getBytes("UTF-8"))
+      graft.corpus.PubTab.tableText(s, path)
+    }),
     // DetResizeForTest arithmetic over media metadata (exact, spec-tested)
     "x11_media_resize" -> ((s, _) =>
       MultimodalFunctions.resizePlan(

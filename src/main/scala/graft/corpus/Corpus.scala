@@ -41,7 +41,7 @@ object Corpus {
     def pick[T](xs: IndexedSeq[T]): T = xs(nextInt(xs.length))
   }
 
-  private val WORDS: IndexedSeq[String] = Vector(
+  private[corpus] val WORDS: IndexedSeq[String] = Vector(
     "data", "engine", "spark", "query", "table", "batch", "stream", "merge",
     "filter", "window", "partition", "shuffle", "column", "record", "schema",
     "vector", "tokens", "corpus", "crawler", "page", "document", "content",
