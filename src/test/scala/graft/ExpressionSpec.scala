@@ -74,6 +74,32 @@ class ExpressionSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("graft_lang_best and the seeded simhash half run inside WholeStageCodegen, zero shuffle") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(GraftExpressions.langBest(col("text")).as("lb"),
+        GraftExpressions.simhash64Hi(col("text")).as("hi"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"no codegen span in:\n$plan")
+    assert(plan.contains("graft_lang_best"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("graft_lang_best packing decodes to the langId projection exactly") {
+    import graft.expressions.LangIdKernel
+    import org.apache.spark.unsafe.types.UTF8String
+    val cases = Seq(
+      "the cat and the dog of the house" -> ("en", 5L),
+      "これは日本語の文章です" -> ("ja", 3L), // は + の + です
+      "no markers here whatsoever" -> ("und", 0L))
+    for ((text, (lang, votes)) <- cases) {
+      val packed = LangIdKernel.compute(UTF8String.fromString(text))
+      val idx = (packed & 15L).toInt
+      val got = if (idx == LangIdKernel.undIndex) "und" else LangIdKernel.langsAsc(idx)
+      assert(got == lang, s"$text → $got")
+      assert((packed >>> 4) == votes, s"$text votes ${packed >>> 4}")
+    }
+  }
+
   test("token counter runs inside WholeStageCodegen") {
     GraftExpressions.register(spark)
     val df = spark.range(100)
