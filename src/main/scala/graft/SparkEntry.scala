@@ -135,10 +135,13 @@ object SparkEntry {
     // assembly. Deterministic label file synthesized in place; expected text
     // is pinned byte-exactly in PubTabSpec (rows-only check here).
     "x15_pubtab_labels" -> ((s, _) => {
-      val path = "/tmp/graft_verify_pubtab.jsonl"
-      java.nio.file.Files.write(java.nio.file.Paths.get(path),
-        graft.corpus.PubTab.sampleJsonl(40).getBytes("UTF-8"))
-      graft.corpus.PubTab.tableText(s, path)
+      // per-run temp file: two concurrent Verify/Bench runs on one host must
+      // not race on a shared fixed path (content is deterministic, but a
+      // half-written file under a concurrent writer is not)
+      val p = java.nio.file.Files.createTempFile("graft_verify_pubtab", ".jsonl")
+      p.toFile.deleteOnExit()
+      java.nio.file.Files.write(p, graft.corpus.PubTab.sampleJsonl(40).getBytes("UTF-8"))
+      graft.corpus.PubTab.tableText(s, p.toString)
     }),
     // DetResizeForTest arithmetic over media metadata (exact, spec-tested)
     "x11_media_resize" -> ((s, _) =>

@@ -16,7 +16,12 @@ final case class ExtractConfig(
       * (ppocr/data/imaug/operators.py:198-325): clamp work per doc, record the
       * truncation in lineage ("no silent caps"). */
     maxHtmlBytes: Int = 8 * 1024 * 1024,
-    /** ≡ max_candidates=1000 (ppocr/postprocess/db_postprocess.py:38) */
+    /** ≡ max_candidates=1000 (ppocr/postprocess/db_postprocess.py:38).
+      * NOT a hard row bound: the cap is group-atomic and the FIRST group is
+      * always kept whole, so the effective span bound is
+      * max(maxBlocksPerDoc, largest single group) — a single oversized table
+      * can emit more spans than the cap (bounded by maxHtmlBytes). Callers
+      * needing a strict row bound must clamp downstream. */
     maxBlocksPerDoc: Int = 10000,
     /** minimum non-whitespace chars for a free-standing content block
       * (≡ the ≤3px box size filter, tools/infer/predict_det.py:207-221) */

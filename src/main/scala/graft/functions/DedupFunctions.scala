@@ -95,12 +95,25 @@ object DedupFunctions {
     docs.select(col("doc_id"),
       graft.expressions.GraftExpressions.simhash64(col("text")).as("simhash64"))
 
+  /** Trivial-document guard shared by the SimHash band joins: documents whose
+    * whitespace token count is below `minTokens` all collapse onto a handful
+    * of signatures (empty text → signature 0), so at 10^12 rows ONE band
+    * bucket would hold every trivial doc — a quadratic pair blowup in that
+    * bucket. The guard drops them before the signature is even computed
+    * (row-local, pushes to the scan); it matches x13's quality gate, which is
+    * the de-facto precondition of every near-dup stage. */
+  private def nonTrivial(docs: DataFrame, minTokens: Int): DataFrame =
+    docs.filter(size(split(col("text"), " ")) >= minTokens)
+
   /** SimHash near-dup pairs: 64/bandBits bands of `bandBits` bits each — docs
     * collide if ANY band matches (a ≤`maxHamming`-bit difference leaves at
     * least one band intact with high probability), then exact hamming ≤
     * maxHamming via bit_count over the candidate pairs. The standard band-OR
     * construction: candidate generation is an equi-join on (band_idx,
-    * band_value), never an all-pairs scan.
+    * band_value), never an all-pairs scan. Documents with fewer than
+    * `minTokens` whitespace tokens are excluded (see [[nonTrivial]] — the
+    * degenerate-band guard; without it every empty/near-empty doc lands in
+    * the signature-0 bucket and the band join goes quadratic there).
     *
     * Band-width scaling (the n-dependent knob, SCALE.md): each band's bucket
     * count is 2^bandBits, so expected same-bucket pairs per band ≈
@@ -110,12 +123,13 @@ object DedupFunctions {
     * keys — widen the key, never the join. Fewer, wider bands trade recall
     * (only maxHamming < nBands is collision-guaranteed) for bucket size;
     * recall at bandBits=32 is spec-tested on planted near-dups. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int, bandBits: Int = 16): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int, bandBits: Int = 16,
+                   minTokens: Int = 5): DataFrame = {
     require(64 % bandBits == 0 && bandBits > 0 && bandBits <= 64,
       s"bandBits must divide 64, got $bandBits")
     val nBands = 64 / bandBits
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val sig = simhash64Raw(docs)
+    val sig = simhash64Raw(nonTrivial(docs, minTokens))
     val bands = sig.select(col("doc_id"), col("simhash64"),
       posexplode(array((0 until nBands).map(b =>
         shiftrightunsigned(col("simhash64"), b * bandBits).bitwiseAND(lit(mask))): _*))
@@ -147,13 +161,16 @@ object DedupFunctions {
   /** Near-dup pairs over the 128-bit signature: 128/bandBits bands (default
     * 32-bit → 4 bands, collision-guaranteed for hamming ≤ 3, probabilistic
     * above), candidates via band equi-join, exact hamming =
-    * bit_count(hi⊕hi) + bit_count(lo⊕lo) over candidates only. */
-  def simhash128Pairs(docs: DataFrame, maxHamming: Int, bandBits: Int = 32): DataFrame = {
+    * bit_count(hi⊕hi) + bit_count(lo⊕lo) over candidates only. Trivial docs
+    * (< `minTokens` tokens) are excluded — same degenerate-band guard as
+    * [[simhashPairs]]. */
+  def simhash128Pairs(docs: DataFrame, maxHamming: Int, bandBits: Int = 32,
+                      minTokens: Int = 5): DataFrame = {
     require(64 % bandBits == 0 && bandBits > 0 && bandBits <= 64,
       s"bandBits must divide 64, got $bandBits")
     val perHalf = 64 / bandBits
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val sig = simhash128Raw(docs)
+    val sig = simhash128Raw(nonTrivial(docs, minTokens))
     val bandCols =
       (0 until perHalf).map(b =>
         shiftrightunsigned(col("simhash_lo"), b * bandBits).bitwiseAND(lit(mask))) ++

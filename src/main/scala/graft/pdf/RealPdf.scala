@@ -185,18 +185,23 @@ object RealPdf {
         val pairs = header.result().grouped(2).collect {
           case Vector(a, b) if a >= 0 && b >= 0 => (a, b)
         }.take(nObjs).toVector
-        for (((num, off), idx) <- pairs.zipWithIndex if !out.contains(num)) {
+        for ((num, off) <- pairs if !out.contains(num)) {
+          // parse from first+off against the FULL decoded body: ISO 32000 does
+          // not require in-stream offsets to be ascending, so bounding by the
+          // next header pair's offset would truncate a legal out-of-order
+          // ObjStm mid-dict. dictEnd is balanced, so over-scanning is safe.
           val start = first + off
-          val end =
-            if (idx + 1 < pairs.length) math.min(first + pairs(idx + 1)._2, s.length)
-            else s.length
-          if (start >= 0 && start < end) {
-            val body = s.substring(start, end)
-            // contained objects are dicts/arrays/primitives — never streams
-            val t = body.indexOf("<<")
+          if (start >= 0 && start < s.length) {
+            // contained objects are dicts/arrays/primitives — never streams.
+            // Only a dict WHOSE OWN first token is "<<" belongs to this object;
+            // a free search would run into the NEXT object's dict when this
+            // one is a primitive.
+            var t = start
+            while (t < s.length && Character.isWhitespace(s.charAt(t))) t += 1
             val dict =
-              if (t >= 0) { val de = dictEnd(body, t); if (de > 0) body.substring(t, de) else "" }
-              else ""
+              if (t + 1 < s.length && s.charAt(t) == '<' && s.charAt(t + 1) == '<') {
+                val de = dictEnd(s, t); if (de > 0) s.substring(t, de) else ""
+              } else ""
             out += num -> PdfObj(num, dict, null, stm.offset)
           }
         }
@@ -562,21 +567,28 @@ object RealPdf {
 
   /** Map a byte-char show string (Latin-1 view: char code == byte) through a
     * font's ToUnicode CMap; unmapped codes keep the Latin-ish fallback char.
-    */
+    * With a 2-byte codespace, a lone trailing byte is NOT looked up as a
+    * 1-byte code (a stray final 0x41 must not hit a mapping keyed <0041>) —
+    * it keeps the fallback char directly. */
   private def applyToUnicode(raw: String, tu: ToUnicode): String = {
     val sb = new java.lang.StringBuilder(raw.length)
     var i = 0
     val n = raw.length
     while (i < n) {
-      val code =
-        if (tu.codeBytes == 2 && i + 1 < n) (raw.charAt(i) << 8) | raw.charAt(i + 1)
-        else raw.charAt(i).toInt
-      val step = if (tu.codeBytes == 2 && i + 1 < n) 2 else 1
-      tu.map.get(code) match {
-        case Some(repl) => sb.append(repl)
-        case None => if (step == 2) sb.append(raw, i, i + 2) else sb.append(raw.charAt(i))
+      if (tu.codeBytes == 2 && i + 1 >= n) { // truncated final code: fallback only
+        sb.append(raw.charAt(i))
+        i += 1
+      } else {
+        val code =
+          if (tu.codeBytes == 2) (raw.charAt(i) << 8) | raw.charAt(i + 1)
+          else raw.charAt(i).toInt
+        val step = if (tu.codeBytes == 2) 2 else 1
+        tu.map.get(code) match {
+          case Some(repl) => sb.append(repl)
+          case None => if (step == 2) sb.append(raw, i, i + 2) else sb.append(raw.charAt(i))
+        }
+        i += step
       }
-      i += step
     }
     sb.toString
   }

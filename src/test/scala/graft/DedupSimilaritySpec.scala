@@ -70,6 +70,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.subsetOf(pairs16))
   }
 
+  test("simhash banding excludes trivial docs (degenerate-band guard)") {
+    import spark.implicits._
+    // 40 planted trivial docs: all share signature 0 (empty) or a tiny-token
+    // signature — without the minTokens guard the band join would emit all
+    // ~40²/2 pairs among them. With the guard: zero pairs touch them.
+    val trivial = (9100L until 9140L).map { id =>
+      val t = if (id % 2 == 0) "" else "x y"
+      (id, t, "en", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "n_chars")
+    val all = docsWithPlants.union(trivial)
+    for (bandBits <- Seq(16, 32)) {
+      val pairs = DedupFunctions.simhashPairs(all, maxHamming = 12, bandBits = bandBits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!pairs.exists { case (a, b) => a >= 9100L || b >= 9100L },
+        s"trivial docs leaked into band join at bandBits=$bandBits")
+      assert(pairs.contains((0L, 9001L)), "guard must not drop real near-dups")
+    }
+    val pairs128 = DedupFunctions.simhash128Pairs(all, maxHamming = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs128.exists { case (a, b) => a >= 9100L || b >= 9100L })
+    assert(pairs128.contains((0L, 9001L)))
+  }
+
   test("simhash128: low half equals simhash64; halves are independent") {
     val d = docsWithPlants
     val s64 = DedupFunctions.simhash64(d).collect()
