@@ -84,15 +84,17 @@ object Corpus {
       case 3  => if ((index / 16) % 2 == 0) f04Table(r, url, ts)
                  else f04TableSpans(r, url, ts)
       case 4  => f05Fragmented(r, url, ts)
-      case 5  => (index / 16) % 6 match {
+      case 5  => (index / 16) % 7 match {
         case 0 => f06PdfShuffled(r, url, ts)
         case 1 => f06PdfReal(r, url, ts, RealPdfGen.build)
         // modern writer shapes, same golden text: PDF 1.5 /ObjStm layout,
-        // /ToUnicode custom-encoding font, LZW filter, PNG-predicted ObjStm
+        // /ToUnicode custom-encoding font, LZW filter, PNG-predicted ObjStm,
+        // simple font with /Encoding /Differences (no ToUnicode)
         case 2 => f06PdfReal(r, url, ts, RealPdfGen.buildObjStm)
         case 3 => f06PdfReal(r, url, ts, RealPdfGen.buildToUnicode)
         case 4 => f06PdfReal(r, url, ts, RealPdfGen.buildLzw)
-        case _ => f06PdfReal(r, url, ts, RealPdfGen.buildObjStmPredicted)
+        case 5 => f06PdfReal(r, url, ts, RealPdfGen.buildObjStmPredicted)
+        case _ => f06PdfReal(r, url, ts, RealPdfGen.buildEncodedDiff)
       }
       case 6  => f07LowConf(r, url, ts)
       case 7  => f08Mega(r, url, ts)

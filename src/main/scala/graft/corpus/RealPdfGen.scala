@@ -356,6 +356,137 @@ object RealPdfGen {
     out.toByteArray
   }
 
+  // ---- simple-font /Encoding + /Differences fixture -----------------------
+
+  /** Byte remap for the Differences variant: the five most frequent letters
+    * plus 's' are stored at codes 0x80-0x85 and restored by a /Differences
+    * array (0x85 via the `uni0073` name convention — that resolution path
+    * stays golden-covered too). A parser that ignores /Differences emits
+    * cp1252 punctuation garbage for every remapped letter. */
+  private def encodeDiff(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      sb.append(s.charAt(i) match {
+        case 'e' => 0x80.toChar
+        case 't' => 0x81.toChar
+        case 'a' => 0x82.toChar
+        case 'o' => 0x83.toChar
+        case 'n' => 0x84.toChar
+        case 's' => 0x85.toChar
+        case c => c
+      })
+      i += 1
+    }
+    sb.toString
+  }
+
+  private val diffEncodingDict =
+    "/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding " +
+      "/Differences [ 128 /e /t /a /o /n /uni0073 ] >>"
+
+  /** Classic layout but the font carries an /Encoding dict with a
+    * /Differences array and NO /ToUnicode (ISO 32000-1 §9.6.6 + Appendix D)
+    * — the common simple-font shape for subset-embedded Type1 fonts. Show
+    * bytes 0x80-0x85 only decode to the right letters through the
+    * Differences table. Object layout: 1 = catalog, 2 = pages, 3+2i = page,
+    * 4+2i = content, F = the encoded font. */
+  def buildEncodedDiff(pages: Seq[PageSpec]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(4096)
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def put(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    def beginObj(num: Int): Unit = { offsets += out.size(); put(s"$num 0 obj\n") }
+    val n = pages.length
+    val fontNum = 3 + 2 * n
+
+    put("%PDF-1.4\n")
+    beginObj(1)
+    put("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    val kids = pages.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    beginObj(2)
+    put(s"<< /Type /Pages /Kids [$kids] /Count $n >>\nendobj\n")
+    for ((p, i) <- pages.zipWithIndex) {
+      val pageNum = 3 + 2 * i
+      val contNum = 4 + 2 * i
+      beginObj(pageNum)
+      put(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 ${p.w} ${p.h}] " +
+        s"/Contents $contNum 0 R /Resources << /Font << /F1 $fontNum 0 R >> >> >>\nendobj\n")
+      val encoded = p.copy(blocks = p.blocks.map(b =>
+        b.copy(lines = b.lines.map(encodeDiff))))
+      val raw = contentFor(encoded)
+      val (data, filter) =
+        if (p.compress) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
+      beginObj(contNum)
+      put(s"<< /Length ${data.length}$filter >>\nstream\n")
+      out.write(data)
+      put("\nendstream\nendobj\n")
+    }
+    beginObj(fontNum)
+    put(s"<< /Type /Font /Subtype /Type1 /BaseFont /GRAFT+Diff " +
+      s"$diffEncodingDict >>\nendobj\n")
+    val xrefOff = out.size()
+    val total = offsets.length + 1
+    put(s"xref\n0 $total\n0000000000 65535 f \n")
+    for (o <- offsets)
+      put(String.format(java.util.Locale.ROOT, "%010d 00000 n \n", Integer.valueOf(o)))
+    put(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  // ---- Identity-H CID font WITHOUT /ToUnicode (spec fixture) --------------
+
+  /** Classic layout with TWO fonts: /F1 Helvetica carries the real blocks;
+    * /C2 is a composite Type0 `/Encoding /Identity-H` font with NO
+    * /ToUnicode whose show (2-byte glyph ids) is appended to every page.
+    * The extractor must DROP the C2 show (glyph ids carry no recoverable
+    * text) and flag the document pdf_partial — never emit the ids as
+    * mojibake. Used by RealPdfSpec, deliberately NOT in the golden corpus
+    * (golden docs assert status "ok"). */
+  def buildIdentityCid(pages: Seq[PageSpec]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(4096)
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def put(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    def beginObj(num: Int): Unit = { offsets += out.size(); put(s"$num 0 obj\n") }
+    val n = pages.length
+    val cidNum = 3 + 2 * n
+
+    put("%PDF-1.4\n")
+    beginObj(1)
+    put("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    val kids = pages.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    beginObj(2)
+    put(s"<< /Type /Pages /Kids [$kids] /Count $n >>\nendobj\n")
+    for ((p, i) <- pages.zipWithIndex) {
+      val pageNum = 3 + 2 * i
+      val contNum = 4 + 2 * i
+      beginObj(pageNum)
+      put(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 ${p.w} ${p.h}] " +
+        s"/Contents $contNum 0 R /Resources << /Font << /F1 << /Type /Font " +
+        s"/Subtype /Type1 /BaseFont /Helvetica >> /C2 $cidNum 0 R >> >> >>\nendobj\n")
+      // normal blocks + one Identity-H show of 2-byte glyph ids near the
+      // bottom margin
+      val raw = contentFor(p) ++
+        s"BT\n/C2 12 Tf\n50 10 Td\n<0048006500470042> Tj\nET\n"
+          .getBytes(StandardCharsets.ISO_8859_1)
+      val (data, filter) =
+        if (p.compress) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
+      beginObj(contNum)
+      put(s"<< /Length ${data.length}$filter >>\nstream\n")
+      out.write(data)
+      put("\nendstream\nendobj\n")
+    }
+    beginObj(cidNum)
+    put("<< /Type /Font /Subtype /Type0 /BaseFont /GRAFT+CID " +
+      "/Encoding /Identity-H >>\nendobj\n")
+    val xrefOff = out.size()
+    val total = offsets.length + 1
+    put(s"xref\n0 $total\n0000000000 65535 f \n")
+    for (o <- offsets)
+      put(String.format(java.util.Locale.ROOT, "%010d 00000 n \n", Integer.valueOf(o)))
+    put(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** Build the PDF bytes. Object layout: 1 = catalog, 2 = pages,
     * 3+2i = page i, 4+2i = its content stream. `filter` selects the
     * compressed-stream codec: "flate" (default) or "lzw". */

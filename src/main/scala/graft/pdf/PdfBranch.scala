@@ -60,9 +60,12 @@ object PdfBranch {
         case Some(p) =>
           val pages = p.pages.map(pg => (pg.pageW, pg.blocks))
           val anyText = pages.exists(_._2.nonEmpty)
+          // unmappedShows: text dropped through a CID font with no /ToUnicode
+          // (glyph ids with no byte→text mapping) — same non-silent-loss
+          // contract as a failed stream decode
           val status =
-            if (p.decodeFailures == 0) "ok"
-            else if (anyText) "pdf_partial" // text emitted, but pages are missing
+            if (p.decodeFailures == 0 && p.unmappedShows == 0) "ok"
+            else if (anyText) "pdf_partial" // text emitted, but some is missing
             else "pdf_unparsed"
           PdfPages(pages, status, p.pagesTruncated)
         case None => PdfPages(Vector.empty, "pdf_unparsed", pagesTruncated = false)

@@ -25,6 +25,11 @@ import graft.pdf.PdfBranch.PBlock
   *    array forms, multi-codepoint destinations), 1- and 2-byte codespaces;
   *    show strings route through the font selected by `Tf`, unmapped codes
   *    keep the Latin-ish fallback;
+  *  - simple-font `/Encoding` tables (§9.6.6, Appendix D): WinAnsi, MacRoman
+  *    and Standard base encodings plus `/Differences` overlays (see
+  *    [[Encodings]]) decode no-ToUnicode fonts; composite (Type0) fonts
+  *    without ToUnicode carry raw glyph ids — their shows are dropped and
+  *    COUNTED (→ pdf_partial), never emitted as mojibake;
   *  - text operators inside BT/ET: Tj, TJ, ', ", with Td, TD, Tm, TL and
   *    T-star positioning; literal strings with octal/escape handling, hex strings
   *    (UTF-16BE when BOM'd, else Latin-ish byte chars);
@@ -48,8 +53,13 @@ object RealPdf {
   final case class Page(pageW: Int, pageH: Int, blocks: Vector[PBlock])
 
   /** Parse result: pages in document order + whether any content stream
-    * failed to decode (drives the pdf_unparsed lineage status). */
-  final case class Parsed(pages: Vector[Page], decodeFailures: Int, pagesTruncated: Boolean)
+    * failed to decode (drives the pdf_unparsed lineage status) +
+    * `unmappedShows` = text-show operators through a composite (CID) font
+    * with no /ToUnicode CMap — their 2-byte codes are glyph ids with no
+    * byte→text mapping available, so the text is DROPPED (never emitted as
+    * mojibake) and the document is flagged pdf_partial. */
+  final case class Parsed(pages: Vector[Page], decodeFailures: Int,
+                          unmappedShows: Int, pagesTruncated: Boolean)
 
   private val graftMagic = "%PDF-GRAFT".getBytes(StandardCharsets.US_ASCII)
 
@@ -470,6 +480,22 @@ object RealPdf {
     * subset-embedded fonts). */
   private[graft] final case class ToUnicode(codeBytes: Int, map: Map[Int, String])
 
+  /** Per-font byte→text decoder, resolved once per font object:
+    *  - [[CMapDec]]: the font has a /ToUnicode CMap (§9.10.3) — authoritative.
+    *  - [[TableDec]]: a simple font with `/Encoding /WinAnsiEncoding` (or
+    *    MacRoman/Standard, or an /Encoding dict with /Differences) — codes
+    *    route through the 256-entry table (ISO 32000-1 Appendix D, see
+    *    [[Encodings]]); null slots keep the Latin-ish fallback char.
+    *  - [[CidNoMapDec]]: a composite (Type0) font WITHOUT /ToUnicode — show
+    *    bytes are 2-byte glyph ids with no recoverable text; shows are
+    *    dropped and counted (→ pdf_partial), never emitted as mojibake.
+    * A font with none of the above gets no entry (Latin-ish fallback, the
+    * pre-existing behavior). */
+  private[graft] sealed trait FontDec
+  private[graft] final case class CMapDec(tu: ToUnicode) extends FontDec
+  private[graft] final case class TableDec(table: Array[String]) extends FontDec
+  private[graft] case object CidNoMapDec extends FontDec
+
   // (?s): CMap sections span lines
   private val bfCharPat = pat("(?s)beginbfchar(.*?)endbfchar")
   private val bfRangePat = pat("(?s)beginbfrange(.*?)endbfrange")
@@ -665,11 +691,13 @@ object RealPdf {
 
   /** Tokenize a content stream and emit one Chunk per text-showing operator,
     * positioned by the (subset) text state machine. `fonts` carries each
-    * resource font's /ToUnicode map; `Tf` switches the active map and show
-    * strings route through it (unmapped codes keep the Latin-ish fallback —
-    * a font without a CMap behaves exactly as before). */
+    * resource font's byte→text decoder ([[FontDec]]); `Tf` switches the
+    * active decoder and show strings route through it (a font without an
+    * entry keeps the Latin-ish fallback — exactly the old behavior). Returns
+    * the chunks plus the count of shows dropped through a CID font with no
+    * /ToUnicode (the pdf_partial signal). */
   private[pdf] def extractChunks(data: Array[Byte],
-                                 fonts: Map[String, ToUnicode] = Map.empty): Vector[Chunk] = {
+                                 fonts: Map[String, FontDec] = Map.empty): (Vector[Chunk], Int) = {
     val s = byteView(data)
     val n = s.length
     val out = Vector.newBuilder[Chunk]
@@ -681,14 +709,31 @@ object RealPdf {
     var lineX = 0.0; var lineY = 0.0 // text line matrix origin (tx, ty)
     var inText = false
     var lastName: String = "" // most recent /name operand (the Tf font operand)
-    var curTu: ToUnicode = null
+    var curDec: FontDec = null
+    var unmapped = 0
 
     def clear(): Unit = { nums.clear(); strs.clear() }
     // mapping happens at operand-PUSH time: operands cannot outlive their
     // operator (every op clears the stack), so the font at push == the font
     // at show; and TJ kern spaces are inserted into already-mapped text,
     // which keeps 2-byte code alignment intact
-    def mapStr(t: String): String = if (curTu == null) t else applyToUnicode(t, curTu)
+    def mapStr(t: String): String = curDec match {
+      case null => t
+      case CMapDec(tu) => applyToUnicode(t, tu)
+      case TableDec(tab) =>
+        val sb = new java.lang.StringBuilder(t.length)
+        var k = 0
+        while (k < t.length) {
+          val c = t.charAt(k)
+          val repl = if (c < 256) tab(c) else null
+          if (repl != null) sb.append(repl) else sb.append(c)
+          k += 1
+        }
+        sb.toString
+      case CidNoMapDec => // glyph ids, no mapping: drop + flag, never mojibake
+        if (t.nonEmpty) unmapped += 1
+        ""
+    }
     def show(text: String): Unit =
       if (inText && text.nonEmpty) out += Chunk(lineX, lineY, fontSize, text)
 
@@ -762,7 +807,7 @@ object RealPdf {
           case "ET" => inText = false
           case "Tf" =>
             if (nums.nonEmpty) fontSize = nums.last
-            curTu = fonts.getOrElse(lastName, null)
+            curDec = fonts.getOrElse(lastName, null)
           case "TL" => if (nums.nonEmpty) leading = nums.last
           case "Td" => if (nums.length >= 2) { lineX += nums(nums.length - 2); lineY += nums.last }
           case "TD" => if (nums.length >= 2) {
@@ -781,7 +826,7 @@ object RealPdf {
         clear()
       } else i += 1
     }
-    out.result()
+    (out.result(), unmapped)
   }
 
   @inline private def isDelim(c: Char): Boolean =
@@ -871,12 +916,41 @@ object RealPdf {
     ref(dict, key).flatMap(objs.get).map(_.dict).filter(_.nonEmpty)
   }
 
-  /** Per-page font-name → /ToUnicode map: /Resources (with /Parent
-    * inheritance) → /Font → each `/Fn N 0 R` entry → the font's /ToUnicode
-    * CMap stream. Fonts without a CMap simply don't appear (their shows keep
-    * the Latin-ish fallback). */
+  /** Resolve one font object's decoder when it has NO /ToUnicode CMap:
+    *  - composite (Type0) fonts — their /Encoding is a CMap name like
+    *    Identity-H; without ToUnicode the codes are raw glyph ids → CidNoMap;
+    *  - `/Encoding /WinAnsiEncoding` (name form) → the Appendix D table;
+    *  - `/Encoding << /BaseEncoding … /Differences [ … ] >>` (inline dict or
+    *    indirect ref) → base table (Standard when unnamed — the spec default
+    *    for non-symbolic Type1) overlaid with the Differences;
+    *  - anything else → None (Latin-ish fallback, the pre-existing path). */
+  private def encodingDec(fontDict: String, objs: Map[Int, PdfObj]): Option[FontDec] = {
+    if (hasName(fontDict, "Subtype", "Type0")) return Some(CidNoMapDec)
+    // dict form FIRST: an inline `/Encoding << /Type /Encoding … >>` contains
+    // "/Encoding /BaseEncoding" text the name-form regex would false-match
+    subDict(fontDict, "Encoding", objs) match {
+      case Some(enc) =>
+        val base = firstGroup(raw"/BaseEncoding\s*/([A-Za-z0-9-]+)", enc)
+          .flatMap(Encodings.baseTable).getOrElse(Encodings.standard)
+        Some(firstGroup(raw"/Differences\s*\[([^\]]*)\]", enc) match {
+          case Some(body) => TableDec(Encodings.withDifferences(base, body))
+          case None => TableDec(base)
+        })
+      case None =>
+        firstGroup(raw"/Encoding\s*/([A-Za-z0-9-]+)", fontDict) match {
+          case Some(name) if name.startsWith("Identity") => Some(CidNoMapDec)
+          case Some(name) => Encodings.baseTable(name).map(TableDec.apply)
+          case None => None
+        }
+    }
+  }
+
+  /** Per-page font-name → decoder map: /Resources (with /Parent inheritance)
+    * → /Font → each `/Fn N 0 R` entry → the font's /ToUnicode CMap stream
+    * (authoritative) or its /Encoding tables ([[encodingDec]]). Fonts with
+    * neither simply don't appear (their shows keep the Latin-ish fallback). */
   private def pageFonts(page: PdfObj, objs: Map[Int, PdfObj],
-      tuCache: scala.collection.mutable.HashMap[Int, Option[ToUnicode]]): Map[String, ToUnicode] = {
+      tuCache: scala.collection.mutable.HashMap[Int, Option[ToUnicode]]): Map[String, FontDec] = {
     var res: Option[String] = None
     var cur: Option[PdfObj] = Some(page)
     var hops = 0
@@ -890,18 +964,19 @@ object RealPdf {
         // PDF name chars include '_', '+', '-', '.' (C2_0 / T1_0 are the
         // standard subset-font names) — match any non-delimiter run
         val m = pat(raw"/([^\s/\[\]()<>{}%]+)\s+(\d+)\s+\d+\s+R").matcher(fd)
-        val out = Map.newBuilder[String, ToUnicode]
+        val out = Map.newBuilder[String, FontDec]
         while (m.find()) {
           val name = m.group(1)
           m.group(2).toIntOption.flatMap(objs.get).foreach { fo =>
-            ref(fo.dict, "ToUnicode").foreach { tuNum =>
+            val viaCMap: Option[FontDec] = ref(fo.dict, "ToUnicode").flatMap { tuNum =>
               // CMaps are shared across pages: parse each /ToUnicode object
               // once per document, not once per page
               tuCache.getOrElseUpdate(tuNum, objs.get(tuNum).flatMap { tuObj =>
                 val dec = decodeStream(tuObj)
                 if (dec.failed) None else parseToUnicode(dec.data)
-              }).foreach(tu => out += name -> tu)
+              }).map(CMapDec.apply)
             }
+            viaCMap.orElse(encodingDec(fo.dict, objs)).foreach(d => out += name -> d)
           }
         }
         out.result()
@@ -921,6 +996,7 @@ object RealPdf {
       val pagesTruncated = pagesAll.length > maxPages
       val pages = if (pagesTruncated) pagesAll.take(maxPages) else pagesAll
       var decodeFailures = objStmFailures
+      var unmappedShows = 0
       val tuCache = scala.collection.mutable.HashMap.empty[Int, Option[ToUnicode]]
       val out = pages.map { p =>
         val (w, h) = pageBox(p, objs)
@@ -937,11 +1013,15 @@ object RealPdf {
         // the sequential scan (a substring re-search could match "4 0 obj"
         // inside "14 0 obj" or inside compressed stream bytes)
         val off = contentRefs.headOption.flatMap(objs.get).map(_.offset).getOrElse(0)
-        val chunks = datas.flatMap(extractChunks(_, fonts)).toVector
+        val chunks = datas.flatMap { d =>
+          val (cs, u) = extractChunks(d, fonts)
+          unmappedShows += u
+          cs
+        }.toVector
         Page(math.round(w).toInt, math.round(h).toInt,
           chunksToBlocks(chunks, h, off, math.min(payload.length, off + 1)))
       }
-      Some(Parsed(out, decodeFailures, pagesTruncated))
+      Some(Parsed(out, decodeFailures, unmappedShows, pagesTruncated))
     } catch {
       case scala.util.control.NonFatal(_) => None
     }

@@ -117,6 +117,90 @@ class RealPdfSpec extends AnyFunSuite {
     assert(raw.text == doc.text)
   }
 
+  test("simple-font /Encoding dict + /Differences decodes remapped bytes") {
+    // e/t/a/o/n/s ride codes 0x80-0x85 (0x85 via the uni0073 name form); a
+    // parser ignoring /Differences would emit cp1252 punctuation for them
+    val pages = Seq(RealPdfGen.PageSpec(800, 1200, Seq(
+      RealPdfGen.Placed(50, 100, 12, Seq("The first encoded sentence here.", "Plain second line too.")),
+      RealPdfGen.Placed(50, 300, 12, Seq("Another paragraph wants letters."))), compress = true))
+    val doc = Extractor.extract("u", RealPdfGen.buildEncodedDiff(pages))
+    assert(doc.status == "ok", doc.status)
+    assert(doc.text ==
+      "The first encoded sentence here. Plain second line too.\n\nAnother paragraph wants letters.")
+    val raw = Extractor.extract("u", RealPdfGen.buildEncodedDiff(
+      pages.map(_.copy(compress = false))))
+    assert(raw.text == doc.text)
+  }
+
+  test("Identity-H CID font without /ToUnicode: show dropped, doc pdf_partial") {
+    val pages = Seq(RealPdfGen.PageSpec(800, 1200, Seq(
+      RealPdfGen.Placed(50, 100, 12, Seq("Readable Helvetica paragraph."))), compress = true))
+    val doc = Extractor.extract("u", RealPdfGen.buildIdentityCid(pages))
+    // the F1 text survives; the C2 glyph-id show is dropped, never mojibake
+    assert(doc.text == "Readable Helvetica paragraph.")
+    assert(doc.status == "pdf_partial", doc.status)
+    assert(!doc.text.exists(c => c < 0x20 && c != '\n'), "control-char mojibake leaked")
+  }
+
+  test("Identity-H-only page (no mappable text) is pdf_unparsed") {
+    val pages = Seq(RealPdfGen.PageSpec(800, 1200, Seq.empty, compress = false))
+    val doc = Extractor.extract("u", RealPdfGen.buildIdentityCid(pages))
+    assert(doc.text == "")
+    assert(doc.status == "pdf_unparsed", doc.status)
+  }
+
+  test("name-form /Encoding /WinAnsiEncoding decodes cp1252-only bytes") {
+    // 0x93/0x94 curly quotes, 0x97 emdash, 0x80 euro — all differ from
+    // Latin-1 (the fallback would emit C1 control chars the normalizer
+    // strips or garbles)
+    val shown = "“Café” — 5€"
+    val showBytes = shown.getBytes(java.nio.charset.Charset.forName("windows-1252"))
+    val content = "BT /F1 12 Tf 50 1100 Td (".getBytes(StandardCharsets.ISO_8859_1) ++
+      showBytes ++ ") Tj ET".getBytes(StandardCharsets.ISO_8859_1)
+    val pdf = ("%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 800 1200] /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n" +
+      s"4 0 obj\n<< /Length ${content.length} >>\nstream\n").getBytes(StandardCharsets.ISO_8859_1) ++
+      content ++ ("\nendstream\nendobj\n" +
+      "5 0 obj\n<< /Type /Font /Subtype /TrueType /BaseFont /Arial " +
+      "/Encoding /WinAnsiEncoding >>\nendobj\n" +
+      "trailer\n<< /Root 1 0 R >>\n%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+    val doc = Extractor.extract("u", pdf)
+    assert(doc.status == "ok", doc.status)
+    assert(doc.text == shown, doc.text)
+  }
+
+  test("Encodings tables: Appendix D quirks and glyph-name resolution") {
+    import graft.pdf.Encodings
+    // WinAnsi = cp1252 + quirks
+    assert(Encodings.winAnsi(0x93) == "“" && Encodings.winAnsi(0x94) == "”")
+    assert(Encodings.winAnsi(0x80) == "€" && Encodings.winAnsi(0xe9) == "é")
+    assert(Encodings.winAnsi(0x81) == "•" && Encodings.winAnsi(0xad) == "-")
+    assert(Encodings.winAnsi(0xa0) == " ")
+    // Standard: quote quirks + symbol range
+    assert(Encodings.standard(0x27) == "’" && Encodings.standard(0x60) == "‘")
+    assert(Encodings.standard(0xa9) == "'" && Encodings.standard(0xae) == "ﬁ")
+    assert(Encodings.standard(0xd0) == "—" && Encodings.standard(0xfb) == "ß")
+    assert(Encodings.standard(0x90) == null) // undefined slot → caller fallback
+    assert(Encodings.standard(0xe9) == "Ø")  // Oslash lives at 0xE9 in Standard
+    // MacRoman: PDF-era currency at 0xDB, space in the nbsp slot, é at 0x8E
+    assert(Encodings.macRoman(0xdb) == "¤" && Encodings.macRoman(0xca) == " ")
+    assert(Encodings.macRoman(0x8e) == "é")
+    // glyph names: AGL subset + uniXXXX + uXXXXX forms
+    assert(Encodings.glyph("eacute").contains("é"))
+    assert(Encodings.glyph("quotedblleft").contains("“"))
+    assert(Encodings.glyph("uni0041").contains("A"))
+    assert(Encodings.glyph("uni00660069").contains("fi"))
+    assert(Encodings.glyph("u1F600").contains(new String(Character.toChars(0x1f600))))
+    assert(Encodings.glyph("notaglyphname").isEmpty)
+    // Differences overlay: ints set the cursor, names assign sequentially;
+    // unknown names CLEAR the slot (fallback, never a wrong char)
+    val t = Encodings.withDifferences(Encodings.winAnsi,
+      " 65 /eacute /notaglyphname 200 /Euro ")
+    assert(t(65) == "é" && t(66) == null && t(200) == "€" && t(67) == "C")
+  }
+
   test("parseToUnicode: bfchar, bfrange increment + array forms, codespace width") {
     val cmap = ("""1 begincodespacerange
       |<0000> <FFFF>
