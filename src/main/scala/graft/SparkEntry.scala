@@ -73,12 +73,15 @@ object SparkEntry {
           col("emptyDocs"), col("truncatedDocs"), col("unparsedDocs"))
         .orderBy("bucket")
     }),
-    // multimodal: binary payload metadata + stub-decoded features. The raw
-    // array<float> feature stays in the library API (mediaMeta); the query
-    // surface projects it to a scalar because the driver's pandas sort cannot
-    // hash ndarray cells (CORRECTNESS_r01 x05 harness error).
+    // multimodal: binary payload metadata + decoded features — image-container
+    // rows (PNG/JPEG/GIF/BMP fixtures) get REAL header-parse dims, the rest
+    // keep the labeled stub. The raw array<float> feature stays in the
+    // library API (mediaMeta); the query surface projects it to a scalar
+    // because the driver's pandas sort cannot hash ndarray cells
+    // (CORRECTNESS_r01 x05 harness error).
     "x05_multimodal_meta" -> ((s, _) =>
-      MultimodalFunctions.mediaMeta(CorpusSource.pages(s, 280))
+      MultimodalFunctions.mediaMeta(
+          CorpusSource.pages(s, 280).union(CorpusSource.mediaPages(s, 48)))
         .withColumn("feature_sum",
           round(aggregate(col("feature"), lit(0.0d), (acc, x) => acc + x.cast("double")), 4))
         .drop("feature")
@@ -143,10 +146,12 @@ object SparkEntry {
       java.nio.file.Files.write(p, graft.corpus.PubTab.sampleJsonl(40).getBytes("UTF-8"))
       graft.corpus.PubTab.tableText(s, p.toString)
     }),
-    // DetResizeForTest arithmetic over media metadata (exact, spec-tested)
+    // DetResizeForTest arithmetic over media metadata (exact, spec-tested) —
+    // the image fixtures feed REAL header dims through the 960px clamp
     "x11_media_resize" -> ((s, _) =>
       MultimodalFunctions.resizePlan(
-          MultimodalFunctions.mediaMeta(CorpusSource.pages(s, 280)))
+          MultimodalFunctions.mediaMeta(
+            CorpusSource.pages(s, 280).union(CorpusSource.mediaPages(s, 48))))
         .orderBy("url")),
     // per-frame explode rows with stub decode (frame-sample plumbing)
     "x12_frame_sample" -> ((s, _) =>

@@ -1,0 +1,99 @@
+package graft.corpus
+
+import java.io.ByteArrayOutputStream
+
+/** Deterministic image-container payloads for the multimodal surfaces: valid
+  * headers (PNG IHDR / JPEG SOFn / GIF screen descriptor / BMP info header)
+  * carrying authored dimensions, followed by deterministic filler bytes in
+  * place of the pixel data (no codecs in this environment — the header IS
+  * the tested contract; see functions/ImageHeaders.scala). */
+object MediaFixtures {
+
+  private def filler(n: Int, seed: Long): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var z = seed
+    var i = 0
+    while (i < n) {
+      z += 0x9e3779b97f4a7c15L
+      var x = z
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      out(i) = (x ^ (x >>> 31)).toByte
+      i += 1
+    }
+    out
+  }
+
+  private def be32(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** PNG signature + IHDR(w, h, 8-bit RGB) + filler "IDAT". */
+  def png(w: Int, h: Int, extraBytes: Int = 256): Array[Byte] = {
+    val out = new ByteArrayOutputStream(64 + extraBytes)
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    out.write(be32(13), 0, 4) // IHDR length
+    out.write("IHDR".getBytes("US-ASCII"), 0, 4)
+    out.write(be32(w), 0, 4)
+    out.write(be32(h), 0, 4)
+    out.write(Array[Byte](8, 2, 0, 0, 0), 0, 5) // depth, color RGB, comp, filt, interlace
+    out.write(be32(0), 0, 4) // CRC (not validated by header parse)
+    out.write(filler(extraBytes, w.toLong << 32 | h), 0, extraBytes)
+    out.toByteArray
+  }
+
+  /** JPEG SOI + APP0(JFIF) + COM + DHT (must be SKIPPED by the SOFn scan)
+    * + SOF0(h, w) + filler + EOI. */
+  def jpeg(w: Int, h: Int, extraBytes: Int = 256): Array[Byte] = {
+    val out = new ByteArrayOutputStream(96 + extraBytes)
+    def seg(marker: Int, body: Array[Byte]): Unit = {
+      out.write(0xff); out.write(marker)
+      out.write(be16(body.length + 2), 0, 2)
+      out.write(body, 0, body.length)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    seg(0xe0, "JFIF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xfe, "graft fixture".getBytes("US-ASCII")) // COM
+    seg(0xc4, filler(16, 7L)) // DHT — a non-frame Cx marker the scan must skip
+    seg(0xc0, Array[Byte](8) ++ be16(h) ++ be16(w) ++
+      Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)) // SOF0
+    out.write(filler(extraBytes, w.toLong * 31 + h), 0, extraBytes)
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** GIF89a header + logical screen (w, h) + trailer. */
+  def gif(w: Int, h: Int, extraBytes: Int = 64): Array[Byte] = {
+    val out = new ByteArrayOutputStream(16 + extraBytes)
+    out.write("GIF89a".getBytes("US-ASCII"), 0, 6)
+    out.write(le16(w), 0, 2)
+    out.write(le16(h), 0, 2)
+    out.write(Array[Byte](0, 0, 0), 0, 3) // flags, bg, aspect
+    out.write(filler(extraBytes, w.toLong * 17 + h), 0, extraBytes)
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** BMP file header + BITMAPINFOHEADER(w, h). */
+  def bmp(w: Int, h: Int, extraBytes: Int = 64): Array[Byte] = {
+    val out = new ByteArrayOutputStream(64 + extraBytes)
+    out.write('B'); out.write('M')
+    out.write(le32(54 + extraBytes), 0, 4) // file size
+    out.write(le32(0), 0, 4) // reserved
+    out.write(le32(54), 0, 4) // pixel offset
+    out.write(le32(40), 0, 4) // info header size
+    out.write(le32(w), 0, 4)
+    out.write(le32(h), 0, 4)
+    out.write(le16(1), 0, 2) // planes
+    out.write(le16(24), 0, 2) // bpp
+    out.write(filler(24 + extraBytes, w.toLong * 13 + h), 0, 24 + extraBytes)
+    out.toByteArray
+  }
+}

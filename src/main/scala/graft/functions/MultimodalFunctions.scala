@@ -17,10 +17,10 @@ object MultimodalFunctions {
   final case class MediaMeta(
       url: String,
       n_bytes: Long,
-      kind: String, // "pdf" | "html" | "empty" | "other" — magic-byte sniff
+      kind: String, // "png"|"jpeg"|"gif"|"bmp"|"pdf"|"html"|"empty"|"other" — magic-byte sniff
       content_md5: String,
-      width: Int, // STUB decode output
-      height: Int, // STUB decode output
+      width: Int, // REAL header-parse dims for image containers; stub otherwise
+      height: Int,
       feature: Array[Float] // STUB embedding (8-dim)
   )
 
@@ -30,19 +30,28 @@ object MultimodalFunctions {
 
   private def sniff(b: Array[Byte]): String =
     if (b == null || b.isEmpty) "empty"
+    else if (ImageHeaders.isPng(b)) "png"
+    else if (ImageHeaders.isGif(b)) "gif"
+    else if (ImageHeaders.isJpeg(b)) "jpeg"
     else if (b.length >= 4 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F') "pdf"
     else if (b.length >= 1 && (b(0) == '<' || b(0) == 0xef.toByte)) "html"
+    else if (ImageHeaders.isBmp(b)) "bmp" // after html: 'B' can't open a tag
     else "other"
 
-  /** STUB decode: deterministic pseudo-features from the digest bytes. The
-    * real implementation would decode the payload here (per batch); the
-    * signature (batch in → per-item dims + feature vector out) is the real
-    * contract. */
+  /** Decode step: image-container dimensions are REAL header reads (PNG IHDR,
+    * JPEG SOFn, GIF screen descriptor, BMP info header — see ImageHeaders; no
+    * codec involved, exactly what the reference's DecodeImage reports,
+    * ppocr/data/imaug/operators.py:29-61). Pixels/features stay a
+    * clearly-labeled deterministic STUB (no codecs in this environment); the
+    * batch signature (batch in → per-item dims + feature vector out) is the
+    * real contract. Non-image payloads keep digest-derived stub dims. */
   private def stubDecode(batch: Array[(String, Array[Byte], String, Array[Byte])])
       : Array[MediaMeta] =
     batch.map { case (url, payload, kind, digest) =>
-      val w = 64 + (digest(0) & 0x7f) * 16
-      val h = 64 + (digest(1) & 0x7f) * 16
+      val (w, h) = ImageHeaders.dims(payload) match {
+        case Some(d) => (d.width, d.height)
+        case None => (64 + (digest(0) & 0x7f) * 16, 64 + (digest(1) & 0x7f) * 16)
+      }
       val feat = Array.tabulate(8)(i => (digest(i) & 0xff).toFloat / 255.0f)
       MediaMeta(url, if (payload == null) 0L else payload.length.toLong, kind,
         digest.map("%02x".format(_)).mkString, w, h, feat)

@@ -34,6 +34,34 @@ object CorpusSource {
       (g.row.url, g.expectedLabels: Seq[String])
     })
   }
+
+  /** Deterministic image-container pages (PNG/JPEG/GIF/BMP headers with
+    * authored dimensions + filler bytes — corpus/MediaFixtures): the
+    * multimodal fixture set whose width/height the media pipeline must
+    * recover by REAL header parsing (functions/ImageHeaders). Authored dims
+    * are a pure function of the index, so specs can assert them exactly. */
+  def mediaPages(spark: SparkSession, n: Long): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions(_.map { i =>
+      val idx = i.toInt
+      val (w, h) = mediaDims(idx)
+      val payload = (idx % 4) match {
+        case 0 => graft.corpus.MediaFixtures.png(w, h, 256 + idx)
+        case 1 => graft.corpus.MediaFixtures.jpeg(w, h, 256 + idx)
+        case 2 => graft.corpus.MediaFixtures.gif(w, h, 64 + idx)
+        case _ => graft.corpus.MediaFixtures.bmp(w, h, 64 + idx)
+      }
+      val url = String.format(java.util.Locale.ROOT,
+        "https://img.example.org/m%04d", Integer.valueOf(idx))
+      PageRow(url, new java.sql.Timestamp(1577836800000L + idx.toLong * 3600000L),
+        payload, null, null)
+    })
+  }
+
+  /** Authored (width, height) for media fixture `idx` — spans both sides of
+    * the resize planner's 960px long-side limit. */
+  def mediaDims(idx: Int): (Int, Int) =
+    (320 + (idx % 7) * 160, 200 + (idx % 5) * 230)
 }
 
 /** The extraction stage: one narrow mapPartitions over pages — no shuffle

@@ -40,6 +40,53 @@ class MultimodalSpec extends AnyFunSuite {
       assert(got(in2) == want, s"$in2: got ${got(in2)}, reference says $want")
   }
 
+  test("image headers: hand-authored PNG/JPEG/GIF/BMP dims parse exactly") {
+    import graft.corpus.MediaFixtures
+    import graft.functions.ImageHeaders
+    // hand-authored header bytes (not via MediaFixtures): PNG 800x600
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x03, 0x20, /* 800 */ 0, 0, 0x02, 0x58, /* 600 */
+      8, 2, 0, 0, 0).map(_.toByte)
+    assert(ImageHeaders.dims(png).contains(ImageHeaders.Dims(800, 600)))
+    // GIF 320x200 little-endian
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Int](0x40, 0x01, 0xc8, 0x00, 0, 0, 0).map(_.toByte)
+    assert(ImageHeaders.dims(gif).contains(ImageHeaders.Dims(320, 200)))
+    // builder round-trips, incl. the JPEG DHT-before-SOF skip
+    for ((w, h) <- Seq((1, 1), (960, 540), (4096, 2160), (65535, 3))) {
+      assert(ImageHeaders.dims(MediaFixtures.png(w, h)).contains(ImageHeaders.Dims(w, h)))
+      assert(ImageHeaders.dims(MediaFixtures.jpeg(w, h)).contains(ImageHeaders.Dims(w, h)))
+      assert(ImageHeaders.dims(MediaFixtures.gif(math.min(w, 65535), h))
+        .contains(ImageHeaders.Dims(math.min(w, 65535), h)))
+      assert(ImageHeaders.dims(MediaFixtures.bmp(w, h)).contains(ImageHeaders.Dims(w, h)))
+    }
+    // truncation / corruption → None (stub fallback), never a wrong parse
+    assert(ImageHeaders.dims(png.take(20)).isEmpty)
+    assert(ImageHeaders.dims(Array[Byte](1, 2, 3)).isEmpty)
+    assert(ImageHeaders.dims(MediaFixtures.jpeg(640, 480).take(10)).isEmpty)
+    assert(ImageHeaders.dims(null).isEmpty)
+  }
+
+  test("mediaMeta reports real header dims for image rows, stub for the rest") {
+    import graft.pipeline.CorpusSource
+    val pages = CorpusSource.pages(spark, 32).union(CorpusSource.mediaPages(spark, 24))
+    val metas = MultimodalFunctions.mediaMeta(pages).collect()
+      .map(r => r.getString(0) -> ((r.getString(2), r.getInt(4), r.getInt(5)))).toMap
+    var imgRows = 0
+    for ((url, (kind, w, h)) <- metas if url.startsWith("https://img.")) {
+      imgRows += 1
+      val idx = url.drop(url.length - 4).toInt
+      val (ew, eh) = CorpusSource.mediaDims(idx)
+      assert((w, h) == ((ew, eh)), s"$url: got ${(w, h)}, authored ${(ew, eh)}")
+      val expectKind = Seq("png", "jpeg", "gif", "bmp")(idx % 4)
+      assert(kind == expectKind, s"$url sniffed $kind")
+    }
+    assert(imgRows == 24)
+    // non-image payloads keep their sniff kinds and stub dims
+    assert(metas.exists { case (u, (k, _, _)) => !u.startsWith("https://img.") && k == "html" })
+  }
+
   test("frameSample: per-frame rows, bounded, deterministic") {
     val pages = CorpusSource.pages(spark, 48)
     val frames = MultimodalFunctions.frameSample(pages, strideBytes = 1024, maxFrames = 5)
