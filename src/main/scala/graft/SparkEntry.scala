@@ -437,7 +437,29 @@ object SparkEntry {
     // scale path, spec-tested with planted duplicates
     "e05_cosine_dups" -> ((s, dir) =>
       SimilarityFunctions.cosineDupPairsBrute(
-        emb(s, dir).filter(col("vec_id") < 200), 0.3))
+        emb(s, dir).filter(col("vec_id") < 200), 0.3)),
+    // the e05 SCALE path end-to-end (SRP-blocked candidates → exact verify;
+    // d10b's planted-twin recipe): raw sf embeddings are near-uniform on the
+    // sphere (no pairs at 0.95), so the query plants deterministic twins —
+    // exact copies of vecs 0..24 (cosine 1.0 collides in EVERY hash table by
+    // construction, so rows > 0 is guaranteed) and one-coordinate-bumped
+    // renormalized copies (cos ≥ 0.998 near dups; SRP recall for those is
+    // spec-tested in DedupSimilaritySpec). No SQL oracle: DuckDB cannot
+    // reproduce the splitmix64 plane table; pair-for-pair equality with the
+    // brute filter over the same input is spec-pinned instead.
+    "e05b_cosine_dups_srp" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
+      val base = e.filter(col("vec_id") < 25)
+      val exact = base.select((col("vec_id") + 1000000L).as("vec_id"),
+        col("label"), col("embedding"))
+      val bumped = transform(col("embedding").cast("array<double>"),
+        (x, i) => when(i === 0, x + lit(0.05d)).otherwise(x))
+      val nrm = sqrt(aggregate(bumped, lit(0.0d), (a, x) => a + x * x))
+      val near = base.select((col("vec_id") + 2000000L).as("vec_id"), col("label"),
+        transform(bumped, x => (x / nrm).cast("float")).as("embedding"))
+      SimilarityFunctions.cosineDupPairs(e.union(exact).union(near), 0.95,
+        nPlanes = 4, dim = 64)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -145,7 +146,7 @@ object SimHash64Kernel {
   * while keeping the vote row-local and zero-shuffle). Semantics are
   * EXACTLY TextFunctions.langId's: per token-language, votes = count of
   * whitespace-split tokens byte-equal to a marker; per shingle-language
-  * (ja/ko), votes = non-overlapping substring occurrences; winner = fold in
+  * (ja/ko/th), votes = non-overlapping substring occurrences; winner = fold in
   * ascending language order with strict >, zero votes → "und". The marker
   * data comes from the same Seqs the DuckDB oracle builds its VALUES from,
   * so the three formulations cannot drift. */
@@ -282,6 +283,95 @@ case class SimHash64Expr(child: Expression, seed: Long = 42L) extends UnaryExpre
     copy(child = newChild)
 }
 
+/** Sign-random-projection bucket kernel: all nTables bucket ids of one
+  * embedding in a single compiled pass. Replaces the literal-weight-array
+  * column formulation (r3 `SimilarityFunctions.srpBuckets`): at production
+  * embedding dims (768–1536) that shape embedded nTables × nPlanes × dim
+  * double literals into every ANN plan — tens of thousands of literals per
+  * query — while this expression carries three ints and materializes the
+  * plane table once per JVM. Semantics are BIT-IDENTICAL to the literal
+  * formulation (pinned in ExpressionSpec): weight = splitmix64(plane*dim+d)
+  * scaled to [-1,1], projection summed left-to-right in double, bit p set iff
+  * proj > 0, bucket = bits + (table << 32); a length-mismatched or
+  * null-holding embedding degenerates to bits = 0 for every table (exactly
+  * what the null-padding zip_with + aggregate produced). */
+object SrpKernel {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  /** splitmix64 scaled to [-1,1] — public-knowledge mix (Steele et al.,
+    * "Fast Splittable Pseudorandom Number Generators", OOPSLA'14). */
+  private def planeWeight(plane: Int, dimIdx: Int, dim: Int): Double = {
+    var z = (plane.toLong * dim + dimIdx) + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    z.toDouble / Long.MaxValue.toDouble
+  }
+
+  private def weights(nPlanesTotal: Int, dim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((nPlanesTotal, dim),
+      _ => Array.tabulate(nPlanesTotal)(p => Array.tabulate(dim)(planeWeight(p, _, dim))))
+
+  def compute(arr: ArrayData, nTables: Int, nPlanes: Int, dim: Int): ArrayData = {
+    val out = new Array[Long](nTables)
+    val n = arr.numElements()
+    var degenerate = n != dim
+    var d = 0
+    while (!degenerate && d < n) { degenerate = arr.isNullAt(d); d += 1 }
+    if (degenerate) {
+      var t = 0
+      while (t < nTables) { out(t) = t.toLong << 32; t += 1 }
+    } else {
+      val v = new Array[Double](dim)
+      d = 0
+      while (d < dim) { v(d) = arr.getDouble(d); d += 1 }
+      val w = weights(nTables * nPlanes, dim)
+      var t = 0
+      while (t < nTables) {
+        var bits = 0L
+        var p = 0
+        while (p < nPlanes) {
+          val wp = w(t * nPlanes + p)
+          var proj = 0.0
+          var i = 0
+          while (i < dim) { proj += v(i) * wp(i); i += 1 }
+          if (proj > 0) bits += 1L << p
+          p += 1
+        }
+        out(t) = bits + (t.toLong << 32)
+        t += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_srp_buckets(v ARRAY<DOUBLE>) -> ARRAY<BIGINT>`: one bucket id per
+  * hash table from [[SrpKernel]]. Codegen'd static call; the (nTables,
+  * nPlanes, dim) knobs are plan-side constants, not per-row data. */
+case class SrpBucketsExpr(child: Expression, nTables: Int, nPlanes: Int, dim: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<DOUBLE>, got $other")
+  }
+  override def prettyName: String = "graft_srp_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    SrpKernel.compute(input.asInstanceOf[ArrayData], nTables, nPlanes, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.SrpKernel.compute($c, $nTables, $nPlanes, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): SrpBucketsExpr =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
   import org.apache.spark.sql.graftshim.ColumnBridge
 
@@ -296,6 +386,8 @@ object GraftExpressions {
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(c), SimHash64Kernel.HI_SEED))
   def langBest(c: Column): Column =
     ColumnBridge.column(LangBestExpr(ColumnBridge.expression(c)))
+  def srpBuckets(c: Column, nTables: Int, nPlanes: Int, dim: Int): Column =
+    ColumnBridge.column(SrpBucketsExpr(ColumnBridge.expression(c), nTables, nPlanes, dim))
 
   /** Register all as SQL functions on the session. */
   def register(spark: SparkSession): Unit = {
@@ -307,5 +399,10 @@ object GraftExpressions {
       "graft_simhash64", exprs => SimHash64Expr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_lang_best", exprs => LangBestExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_srp_buckets", exprs => SrpBucketsExpr(exprs.head,
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Number].intValue,
+        exprs(2).eval(InternalRow.empty).asInstanceOf[Number].intValue,
+        exprs(3).eval(InternalRow.empty).asInstanceOf[Number].intValue), "scala_udf")
   }
 }

@@ -54,39 +54,24 @@ object SimilarityFunctions {
       .select(col("label"), col("pos"), col("centroid_v"), col("n"))
       .orderBy("label", "pos")
 
-  /** Deterministic pseudo-random hyperplanes for sign-random-projection LSH:
-    * plane p, dim d weight = splitmix64(p*dim+d) scaled to [-1,1]. Pure
-    * function — identical on every executor, no broadcast needed beyond the
-    * literal seed. */
-  private def planeWeight(plane: Int, dimIdx: Int, dim: Int): Double = {
-    var z = (plane.toLong * dim + dimIdx) + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z = z ^ (z >>> 31)
-    z.toDouble / Long.MaxValue.toDouble
-  }
-
   /** Sign-random-projection bucket ids, one per hash table (OR-amplification:
     * a candidate collides if it shares the bucket in ANY table — raises recall
     * exponentially in nTables while each table's bucket stays small). Output:
     * one row per (vector, table) with a bucket key prefixed by the table id.
     * Candidate-generation primitive for ANN at scale: search = equi-join on
-    * (table, bucket) then exact re-rank over the deduped candidate union. */
-  def srpBuckets(emb: DataFrame, nPlanes: Int, nTables: Int, dim: Int): DataFrame = {
-    val v = col("embedding").cast("array<double>")
-    val bucketCols = (0 until nTables).map { t =>
-      val bits = (0 until nPlanes).map { p =>
-        val weights = array((0 until dim)
-          .map(d => lit(planeWeight(t * nPlanes + p, d, dim))): _*)
-        val proj = aggregate(zip_with(v, weights, (x, wgt) => x * wgt),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      (bits + lit(t.toLong << 32)).cast("long") // table-id prefix keeps tables disjoint
-    }
+    * (table, bucket) then exact re-rank over the deduped candidate union.
+    *
+    * The projection runs as ONE codegen'd kernel expression
+    * ([[graft.expressions.SrpKernel]]) whose plane table is a deterministic
+    * splitmix64 function materialized once per JVM — the r3 literal-array
+    * formulation embedded nTables × nPlanes × dim double literals into every
+    * plan, which at production embedding dims (768–1536) meant tens of
+    * thousands of literals per ANN query. Bucket values are bit-identical to
+    * that formulation (ExpressionSpec pins the equality). */
+  def srpBuckets(emb: DataFrame, nPlanes: Int, nTables: Int, dim: Int): DataFrame =
     emb.select(col("vec_id"), col("label"), col("embedding"),
-      explode(array(bucketCols: _*)).as("bucket"))
-  }
+      explode(graft.expressions.GraftExpressions.srpBuckets(
+        col("embedding").cast("array<double>"), nTables, nPlanes, dim)).as("bucket"))
 
   /** Embedding-cosine near-duplicate pairs, brute variant: all pairs with
     * rounded cosine ≥ minCos. Quadratic by construction — the CORRECTNESS

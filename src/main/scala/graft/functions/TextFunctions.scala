@@ -73,7 +73,7 @@ object TextFunctions {
     * words; the heuristic itself is the deliverable, per-token equality —
     * not substring — so it is exactly expressible in SQL too). Markers are
     * chosen to be unambiguous across the covered set; no-space scripts
-    * (ja/ko) vote via [[shingleMarkers]] substring counts instead. The DuckDB
+    * (ja/ko/th) vote via [[shingleMarkers]] substring counts instead. The DuckDB
     * oracle builds its VALUES tables from these same Seqs, so the two sides
     * can never drift. */
   val langMarkers: Seq[(String, String)] = Seq(
@@ -86,21 +86,25 @@ object TextFunctions {
     "pt" -> "não", "pt" -> "uma", "pt" -> "você", "pt" -> "são", "pt" -> "também",
     "it" -> "di", "it" -> "che", "it" -> "della", "it" -> "sono", "it" -> "anche",
     "nl" -> "het", "nl" -> "een", "nl" -> "niet", "nl" -> "voor", "nl" -> "zijn",
-    "ar" -> "في", "ar" -> "من", "ar" -> "على", "ar" -> "أن", "ar" -> "هذا")
+    "ar" -> "في", "ar" -> "من", "ar" -> "على", "ar" -> "أن", "ar" -> "هذا",
+    // Devanagari function words — hi is space-separated, so token equality
+    // works; the script is exclusive to hi within the covered set
+    "hi" -> "है", "hi" -> "और", "hi" -> "के", "hi" -> "में", "hi" -> "का")
 
-  /** Shingle markers for no-space scripts (ja/ko): these languages don't
+  /** Shingle markers for no-space scripts (ja/ko/th): these languages don't
     * tokenize on whitespace, so the vote counts marker OCCURRENCES as
     * substrings of the raw text (still row-local, still zero-shuffle, and
     * SQL-expressible as (len(text) − len(replace(text, m, ''))) / len(m)).
-    * Hiragana particles / hangul endings are script-exclusive, so they can't
-    * fire on any other covered language. */
+    * Hiragana particles / hangul endings / Thai function words are
+    * script-exclusive, so they can't fire on any other covered language. */
   val shingleMarkers: Seq[(String, String)] = Seq(
     "ja" -> "の", "ja" -> "は", "ja" -> "を", "ja" -> "が", "ja" -> "です",
-    "ko" -> "의", "ko" -> "는", "ko" -> "을", "ko" -> "하다", "ko" -> "습니다")
+    "ko" -> "의", "ko" -> "는", "ko" -> "을", "ko" -> "하다", "ko" -> "습니다",
+    "th" -> "และ", "th" -> "ที่", "th" -> "ใน", "th" -> "ของ", "th" -> "ได้")
 
   /** N-gram-heuristic language ID as a ZERO-SHUFFLE map-side vote, compiled:
-    * the whole per-row vote (token-equality counts for the 10 space-separated
-    * languages, substring-occurrence counts for ja/ko, argmax with the
+    * the whole per-row vote (token-equality counts for the 11 space-separated
+    * languages, substring-occurrence counts for ja/ko/th, argmax with the
     * (votes desc, lang asc) tie-break) runs as ONE codegen'd Catalyst
     * expression (`graft_lang_best`, LangIdKernel) over the UTF-8 bytes. The
     * r2 formulation used higher-order array lambdas — row-local but

@@ -181,6 +181,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     pairs.foreach { case (k, c) => assert(brute.get(k).contains(c), s"mismatch at $k") }
   }
 
+  test("e05b driver surface: planted twins found by the SRP-blocked path") {
+    val rows = SparkEntry.queries("e05b_cosine_dups_srp")(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // exact twins collide in every table by construction — all 25 MUST appear
+    (0L until 25L).foreach { k =>
+      assert(rows.get((k, k + 1000000L)).contains(1.0), s"exact twin $k missing")
+    }
+    // bumped-renormalized twins are probabilistic per table; a plane flips
+    // only when |proj| < 0.05·|w[0]| (measured ~1e-6 miss rate at 4 tables) —
+    // assert a conservative floor, not all 25
+    val nearFound = (0L until 25L).count(k => rows.contains((k, k + 2000000L)))
+    assert(nearFound >= 20, s"near-twin recall too low: $nearFound/25")
+    // every near twin that was found must clear the cosine bar
+    (0L until 25L).flatMap(k => rows.get((k, k + 2000000L)))
+      .foreach(c => assert(c >= 0.95 && c <= 1.0, s"near-twin cos $c"))
+  }
+
   test("langId: no-space scripts (ja/ko) vote via shingle substring counts") {
     import spark.implicits._
     val docs = Seq(

@@ -90,6 +90,8 @@ class ExpressionSpec extends AnyFunSuite {
     val cases = Seq(
       "the cat and the dog of the house" -> ("en", 5L),
       "これは日本語の文章です" -> ("ja", 3L), // は + の + です
+      "यह किताब है और वह है" -> ("hi", 3L), // है ×2 + और (token path)
+      "ในของและ" -> ("th", 3L), // ใน + ของ + และ (shingle path)
       "no markers here whatsoever" -> ("und", 0L))
     for ((text, (lang, votes)) <- cases) {
       val packed = LangIdKernel.compute(UTF8String.fromString(text))
@@ -98,6 +100,56 @@ class ExpressionSpec extends AnyFunSuite {
       assert(got == lang, s"$text → $got")
       assert((packed >>> 4) == votes, s"$text votes ${packed >>> 4}")
     }
+  }
+
+  test("graft_srp_buckets equals the literal-weight-array formulation bit-for-bit") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (nTables, nPlanes, dim) = (4, 4, 64)
+    // reference formulation (the r3 implementation): per-table bucket from
+    // literal weight arrays via zip_with + aggregate — the independent oracle
+    // for the kernel's splitmix64 plane table and left-to-right double sum
+    def planeWeight(plane: Int, dimIdx: Int): Double = {
+      var z = (plane.toLong * dim + dimIdx) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      z.toDouble / Long.MaxValue.toDouble
+    }
+    val v = col("embedding").cast("array<double>")
+    val bucketCols = (0 until nTables).map { t =>
+      val bits = (0 until nPlanes).map { p =>
+        val weights = array((0 until dim)
+          .map(d => lit(planeWeight(t * nPlanes + p, d))): _*)
+        val proj = aggregate(zip_with(v, weights, (x, wgt) => x * wgt),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      (bits + lit(t.toLong << 32)).cast("long")
+    }
+    val want = emb.select(col("vec_id"), array(bucketCols: _*).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val got = emb.select(col("vec_id"),
+        GraftExpressions.srpBuckets(v, nTables, nPlanes, dim).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got.size == want.size && got == want)
+    // degenerate inputs: wrong length / null element → bits 0, table prefix only
+    import spark.implicits._
+    val weird = Seq(Seq(0.5, -0.5), Seq.empty[Double]).toDF("v")
+      .select(GraftExpressions.srpBuckets(col("v"), 2, 4, 64).as("b"))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    assert(weird.forall(_ == Seq(0L, 1L << 32)), weird.toString)
+  }
+
+  test("graft_srp_buckets runs inside WholeStageCodegen with a compact plan") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(GraftExpressions.srpBuckets(
+        col("embedding").cast("array<double>"), 4, 4, 64).as("b"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"no codegen span in:\n$plan")
+    assert(plan.contains("graft_srp_buckets"), plan)
+    // the whole point: no literal weight arrays in the plan text
+    assert(!plan.contains("zip_with") && !plan.contains("aggregate("), plan)
   }
 
   test("token counter runs inside WholeStageCodegen") {
