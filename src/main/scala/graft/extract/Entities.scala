@@ -65,7 +65,7 @@ object Entities {
     * string; `endAfter(0)` receives the index just past the reference (past
     * the ';' for full refs, past the name for bare legacy refs). Returns null
     * when not an entity (caller keeps the literal '&'). */
-  def decodeAt(s: String, i: Int, endAfter: Array[Int]): String = {
+  def decodeAt(s: CharSequence, i: Int, endAfter: Array[Int]): String = {
     val n = s.length
     if (i + 1 >= n) return null
     if (s.charAt(i + 1) == '#') {
@@ -100,7 +100,7 @@ object Entities {
       var j = i + 1
       while (j < n && j - i <= 32 && isAlnum(s.charAt(j))) j += 1
       if (j == i + 1) return null
-      val run = s.substring(i + 1, j)
+      val run = s.subSequence(i + 1, j).toString
       if (j < n && s.charAt(j) == ';') {
         val rep = named.get(run)
         if (rep != null) { endAfter(0) = j + 1; return rep }

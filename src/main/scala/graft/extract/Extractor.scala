@@ -82,6 +82,61 @@ final class ExtractorState {
   var domNanos = 0L
   var classifyNanos = 0L
   var assembleNanos = 0L
+
+  // classify non-ASCII path: a reused CharsetDecoder + char buffer in place
+  // of the String-per-segment allocation (the last steady-state allocation
+  // in the hot loop). Result is identical to `new String(bytes, cs)` — the
+  // JDK's own slow path IS a fresh decoder with REPLACE on malformed and
+  // unmappable input, and its fast paths are defined to match it.
+  private var decCs: java.nio.charset.Charset = null
+  private var dec: java.nio.charset.CharsetDecoder = null
+  val decBuf = new CharBuf()
+
+  def decodeSegment(input: Array[Byte], from: Int, len: Int,
+                    cs: java.nio.charset.Charset): CharBuf = {
+    if (cs ne decCs) { // Charset instances are canonical — identity suffices
+      decCs = cs
+      dec = cs.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    }
+    decBuf.ensure((len * dec.maxCharsPerByte()).toInt + 2)
+    val bb = java.nio.ByteBuffer.wrap(input, from, len)
+    dec.reset()
+    var out = java.nio.CharBuffer.wrap(decBuf.buf)
+    var cr = dec.decode(bb, out, true)
+    while (cr.isOverflow) { // defensive: maxCharsPerByte sizing bounds this
+      decBuf.ensure(decBuf.buf.length * 2)
+      val bigger = java.nio.CharBuffer.wrap(decBuf.buf)
+      out.flip(); bigger.put(out); out = bigger
+      cr = dec.decode(bb, out, true)
+    }
+    cr = dec.flush(out)
+    if (cr.isOverflow) { // a flush emitting past the bound cannot occur for
+      decBuf.ensure(decBuf.buf.length * 2) // JDK charsets; keep the guard
+      val bigger = java.nio.CharBuffer.wrap(decBuf.buf)
+      out.flip(); bigger.put(out); out = bigger
+      dec.flush(out)
+    }
+    decBuf.len = out.position()
+    decBuf
+  }
+}
+
+/** Reusable decoded-segment window (grow-only char array). Implements
+  * CharSequence so [[Entities.decodeAt]] reads it like the String it
+  * replaces; subSequence materializes a String (entity-name map lookups need
+  * one — entities are rare relative to characters, so that allocation is off
+  * the steady-state path). */
+final class CharBuf extends CharSequence {
+  var buf = new Array[Char](256)
+  var len = 0
+  def ensure(n: Int): Unit =
+    if (buf.length < n) buf = new Array[Char](Integer.highestOneBit(n - 1) << 1)
+  override def length: Int = len
+  override def charAt(i: Int): Char = buf(i)
+  override def subSequence(a: Int, b: Int): CharSequence = new String(buf, a, b - a)
+  override def toString: String = new String(buf, 0, len)
 }
 
 /** Per-block text accumulator for the classify pass: fused decode + entity
@@ -371,12 +426,16 @@ object Extractor {
                 }
               }
             } else {
-              val dec = new String(input, from, len, charset)
+              // reused decoder + buffer — no String per segment (see
+              // ExtractorState.decodeSegment for the equivalence argument)
+              val cb = state.decodeSegment(input, from, len, charset)
+              val chars = cb.buf
+              val m = cb.len
               var i = 0
-              while (i < dec.length) {
-                val c = dec.charAt(i)
+              while (i < m) {
+                val c = chars(i)
                 if (c == '&') {
-                  val rep = Entities.decodeAt(dec, i, endAfter)
+                  val rep = Entities.decodeAt(cb, i, endAfter)
                   if (rep != null) {
                     var r = 0
                     while (r < rep.length) { w.put(rep.charAt(r), inLink, inPre); r += 1 }
