@@ -420,6 +420,11 @@ object SparkEntry {
     // ts_end + gap < max(ts) − delay
     "s04_stream_sessions" -> ((s, dir) =>
       graft.streaming.EventStream.runStreamSessions(s, dir)),
+    // exactly-once ingest dedup over an at-least-once replay (every file
+    // redelivered once): dropDuplicatesWithinWatermark with bounded state —
+    // oracle = the events table itself (each event emitted exactly once)
+    "s05_stream_dedup" -> ((s, dir) =>
+      graft.streaming.EventStream.runStreamDedup(s, dir)),
 
     // ================= similarity ops over `embeddings` ====================
     "e01_knn_brute" -> ((s, dir) => SimilarityFunctions.knnBrute(emb(s, dir), 5, 5)),
@@ -753,6 +758,9 @@ object SparkEntry {
         |FROM agg, m
         |WHERE end_ms + 300000 < mx_ms - 600000
         |ORDER BY user_id, session_start_ms""".stripMargin,
+    "s05_stream_dedup" ->
+      """SELECT event_id, user_id, event_type, ts, value
+        |FROM events ORDER BY event_id""".stripMargin,
     "e01_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
         |           FROM embeddings WHERE vec_id < 5),

@@ -138,6 +138,44 @@ object EventStream {
     parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(mtimeBase + i * 10000) }
   }
 
+  /** Exactly-once ingest dedup over an AT-LEAST-ONCE replay — the streaming
+    * face of the pipeline's idempotent-commit story (north rule: a resumed
+    * checkpoint redelivers its partition's rows; ExtractPipeline dedups by
+    * bucket overwrite, a stream ingest dedups by key). Every staged file is
+    * delivered TWICE (a `redeliver-` copy replayed right after its original);
+    * `dropDuplicatesWithinWatermark(event_id)` suppresses the second
+    * delivery while keeping state bounded by the watermark horizon — unlike
+    * plain `dropDuplicates`, whose per-key state grows forever (at 10^12
+    * events, the difference between a bounded state store and an unbounded
+    * one). A redelivered row is either still inside the horizon (suppressed
+    * by state) or already behind the watermark (dropped as late data) — both
+    * paths keep the drained output exactly-once, so it equals the batch
+    * table itself, which IS the oracle (s05). */
+  def runStreamDedup(spark: SparkSession, dir: String,
+                     delay: String = "10 minutes"): DataFrame = {
+    val batchDf = spark.read.parquet(s"$dir/events.parquet")
+    StreamHarness.runDrained(spark, "graft_stream_dedup", "append") { staging =>
+      stageOrderedByTs(batchDf)(staging)
+      val parts = new java.io.File(staging).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      parts.foreach { f =>
+        val dup = new java.io.File(staging, f.getName.replace("part-", "redeliver-"))
+        java.nio.file.Files.copy(f.toPath, dup.toPath)
+        dup.setLastModified(f.lastModified() + 5000) // replay right after original
+      }
+    } { staging =>
+      spark.readStream
+        .schema(batchDf.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+        .withColumn("ts", col("ts").cast("timestamp")) // NTZ → instant (UTC session)
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts").cast("timestamp_ntz").as("ts"), col("value"))
+    }.orderBy("event_id")
+  }
+
   /** Batch equivalent (the oracle's formulation). */
   def runBatch(spark: SparkSession, dir: String): DataFrame =
     windowedAgg(spark.read.parquet(s"$dir/events.parquet"))

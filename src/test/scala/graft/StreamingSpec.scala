@@ -65,6 +65,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("at-least-once replay dedups to exactly-once: drained output equals the batch table") {
+    val dir = "/root/testdata/sf0.001"
+    // every staged file is redelivered once (2000 input rows for 1000 events);
+    // dropDuplicatesWithinWatermark must emit each event EXACTLY once — a
+    // redelivered row is either suppressed by state (inside the horizon) or
+    // dropped as late data (behind the watermark), never re-emitted
+    val streamed = EventStream.runStreamDedup(spark, dir)
+      .collect().map(_.toString).toSeq
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "user_id", "event_type", "ts", "value")
+      .orderBy("event_id").collect().map(_.toString).toSeq
+    assert(streamed.size == 1000, s"expected 1000 exactly-once rows, got ${streamed.size}")
+    assert(streamed == batch)
+  }
+
   test("append-mode stream emits exactly the watermark-closed windows") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
