@@ -198,13 +198,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .foreach(c => assert(c >= 0.95 && c <= 1.0, s"near-twin cos $c"))
   }
 
-  test("langId: no-space scripts (ja/ko) vote via shingle substring counts") {
+  test("langId: no-space scripts (ja/ko/th) vote via shingle substring counts; hi via tokens") {
     import spark.implicits._
     val docs = Seq(
       (1L, "これは日本語の文章です。天気がいいですね。", "ja"),
       (2L, "이 문서는 한국어입니다. 우리는 데이터를 처리하다 합니다. 감사합니다.", "ko"),
       (3L, "the cat and the dog of the house", "en"),
-      (4L, "no markers here whatsoever", "und")
+      (4L, "no markers here whatsoever", "und"),
+      (5L, "หนังสือเล่มนี้อยู่ในบ้านของฉันและเพื่อน", "th"), // ใน + ของ + และ substrings
+      (6L, "यह किताब मेज़ पर है और वह भी है", "hi") // है ×2 + और tokens
     ).toDF("doc_id", "text", "lang")
     val out = TextFunctions.langId(docs).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
@@ -212,6 +214,8 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(2L)._1 == "ko" && out(2L)._2 >= 2) // 의? 는 + 하다 + 습니다
     assert(out(3L)._1 == "en")
     assert(out(4L)._1 == "und" && out(4L)._2 == 0L)
+    assert(out(5L)._1 == "th" && out(5L)._2 >= 3)
+    assert(out(6L)._1 == "hi" && out(6L)._2 == 3L)
   }
 
   test("exact dedup groups identical texts under min doc_id") {
