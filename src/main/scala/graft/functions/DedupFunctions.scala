@@ -101,9 +101,12 @@ object DedupFunctions {
     * bucket would hold every trivial doc — a quadratic pair blowup in that
     * bucket. The guard drops them before the signature is even computed
     * (row-local, pushes to the scan); it matches x13's quality gate, which is
-    * the de-facto precondition of every near-dup stage. */
+    * the de-facto precondition of every near-dup stage. Counted with the
+    * codegen'd `graft_token_count` kernel — no per-row token-array
+    * allocation (split+size materializes every token just to count), and
+    * real whitespace semantics (tab/newline separate tokens too). */
   private def nonTrivial(docs: DataFrame, minTokens: Int): DataFrame =
-    docs.filter(size(split(col("text"), " ")) >= minTokens)
+    docs.filter(graft.expressions.GraftExpressions.token_count(col("text")) >= minTokens)
 
   /** SimHash near-dup pairs: 64/bandBits bands of `bandBits` bits each — docs
     * collide if ANY band matches (a ≤`maxHamming`-bit difference leaves at
