@@ -462,8 +462,14 @@ object SparkEntry {
       val nrm = sqrt(aggregate(bumped, lit(0.0d), (a, x) => a + x * x))
       val near = base.select((col("vec_id") + 2000000L).as("vec_id"), col("label"),
         transform(bumped, x => (x / nrm).cast("float")).as("embedding"))
+      // nPlanes=8 (256 buckets/table, e04's setting): the blocking must be
+      // SELECTIVE to demonstrate the scale path — at 4 planes the 16 buckets
+      // admit ~n²/16 candidates per table (the band join approaches all-pairs
+      // on this corpus); at 8 the candidate set shrinks 16× while exact twins
+      // still collide in every table and near-twin retention stays ≥0.999
+      // (per-table (1-θ/π)^8 ≈ 0.85, OR over 4 tables)
       SimilarityFunctions.cosineDupPairs(e.union(exact).union(near), 0.95,
-        nPlanes = 4, dim = 64)
+        nPlanes = 8, dim = 64)
     })
   )
 
