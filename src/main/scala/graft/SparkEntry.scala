@@ -146,6 +146,30 @@ object SparkEntry {
       java.nio.file.Files.write(p, graft.corpus.PubTab.sampleJsonl(40).getBytes("UTF-8"))
       graft.corpus.PubTab.tableText(s, p.toString)
     }),
+    // Iceberg-style date-partitioned ingest (north star: "partition pruning
+    // on warc_ts date partitions"): the corpus commits partitioned by
+    // dt=date(warc_ts) — the Common-Crawl crawl-day layout — and the
+    // reader's dt-range predicate prunes at the directory level
+    // (PartitionFilters on the scan, pinned in PlanShapeSpec; at 10^12 rows
+    // the difference between scanning 3 days and scanning the whole table).
+    // dt then flows through the codegen'd extraction kernel to a per-day
+    // rollup with map-side partial aggregation — no join to recover the date.
+    "x16_partitioned_ingest" -> ((s, _) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_dtpart").toFile
+      out.deleteOnExit()
+      CorpusSource.pages(s, 280).toDF()
+        .withColumn("dt", to_date(col("warc_ts")))
+        .write.partitionBy("dt").mode("overwrite").parquet(out.getAbsolutePath)
+      s.read.parquet(out.getAbsolutePath)
+        .filter(col("dt").between(lit("2020-01-03"), lit("2020-01-05")))
+        .select(col("dt").cast("string").as("dt"),
+          GraftExpressions.extract_text(col("html")).as("text"))
+        .groupBy(col("dt"))
+        .agg(count(lit(1)).as("docs"),
+          sum(length(col("text"))).as("chars"),
+          sum(GraftExpressions.token_count(col("text"))).as("tokens"))
+        .orderBy("dt")
+    }),
     // DetResizeForTest arithmetic over media metadata (exact, spec-tested) —
     // the image fixtures feed REAL header dims through the 960px clamp
     "x11_media_resize" -> ((s, _) =>

@@ -70,6 +70,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("(bucket"), plan)
   }
 
+  test("x16: warc_ts date partitions prune on dt (PartitionFilters, not post-scan)") {
+    import org.apache.spark.sql.functions.{col, lit, to_date}
+    val out = java.nio.file.Files.createTempDirectory("graft-dtprune").toFile.getAbsolutePath
+    CorpusSource.pages(spark, 112).toDF()
+      .withColumn("dt", to_date(col("warc_ts")))
+      .write.partitionBy("dt").mode("overwrite").parquet(out)
+    val pruned = spark.read.parquet(out)
+      .filter(col("dt").between(lit("2020-01-02"), lit("2020-01-03")))
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the dt predicate must prune partition DIRECTORIES at planning time,
+    // never run as a post-scan Filter over all crawl days
+    assert(plan.contains("PartitionFilters: [isnotnull(dt"), plan)
+    assert(plan.contains("(dt"), plan)
+    // and the pruned read is exactly the full corpus restricted to those days
+    val full = spark.read.parquet(out)
+    assert(pruned.count() == 48, pruned.count()) // 2 days × 24 hourly pages
+    assert(pruned.count() ==
+      full.filter(col("dt").between(lit("2020-01-02"), lit("2020-01-03"))).count())
+    val prunedUrls = pruned.select("url").collect().map(_.getString(0)).toSet
+    val fullUrls = full.collect().filter { r =>
+      val d = r.getAs[java.sql.Date](r.fieldIndex("dt")).toString
+      d >= "2020-01-02" && d <= "2020-01-03"
+    }.map(_.getAs[String]("url")).toSet
+    assert(prunedUrls == fullUrls)
+  }
+
   test("e01: query side broadcasts; no cartesian product materializes") {
     val plan = planOf("e01_knn_brute")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
