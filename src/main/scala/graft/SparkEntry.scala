@@ -494,7 +494,16 @@ object SparkEntry {
       // (per-table (1-θ/π)^8 ≈ 0.85, OR over 4 tables)
       SimilarityFunctions.cosineDupPairs(e.union(exact).union(near), 0.95,
         nPlanes = 8, dim = 64)
-    })
+    }),
+    // IVF ANN — the second similarity-search scale path next to SRP-LSH
+    // (e04): k-means coarse quantizer (Lloyd in DECIMAL — bit-deterministic
+    // across parallelism), one inverted list per vector via the codegen'd
+    // assignment kernel, candidates = equi-join on probed list ids, exact
+    // re-rank. No SQL oracle (DuckDB cannot reproduce the quantizer);
+    // recall vs knnBrute and determinism are spec-pinned.
+    "e06_ivf_ann" -> ((s, dir) =>
+      SimilarityFunctions.ivfSearch(emb(s, dir), nQueries = 5, kNN = 5,
+        k = 16, iters = 3, nProbe = 4, dim = 64))
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -372,6 +372,96 @@ case class SrpBucketsExpr(child: Expression, nTables: Int, nPlanes: Int, dim: In
     copy(child = newChild)
 }
 
+/** IVF coarse-quantizer kernel: the nProbe nearest centroids of one embedding
+  * by squared L2 (ties broken by centroid id ascending — deterministic). With
+  * L2-normalized vectors nearest-L2 equals max-dot, the standard IVF metric
+  * recast. Used with nProbe=1 for list ASSIGNMENT (each vector belongs to
+  * exactly one inverted list) and nProbe>1 for query-side probing. */
+object IvfKernel {
+  def nearest(arr: ArrayData, centroids: Array[Array[Double]], nProbe: Int): ArrayData = {
+    val k = centroids.length
+    val p = math.min(nProbe, k)
+    val n = arr.numElements()
+    val dim = if (k > 0) centroids(0).length else 0
+    var degenerate = n != dim
+    var d = 0
+    while (!degenerate && d < n) { degenerate = arr.isNullAt(d); d += 1 }
+    val out = new Array[Long](p)
+    if (degenerate) {
+      // deterministic degenerate: the first nProbe lists
+      var i = 0
+      while (i < p) { out(i) = i.toLong; i += 1 }
+    } else {
+      val v = new Array[Double](dim)
+      d = 0
+      while (d < dim) { v(d) = arr.getDouble(d); d += 1 }
+      val dist = new Array[Double](k)
+      var c = 0
+      while (c < k) {
+        val ct = centroids(c)
+        var s = 0.0
+        var i = 0
+        while (i < dim) { val diff = v(i) - ct(i); s += diff * diff; i += 1 }
+        dist(c) = s
+        c += 1
+      }
+      // partial selection of the p smallest (k is small — the coarse
+      // quantizer is O(100s..1000s) of centroids, never the corpus)
+      val taken = new Array[Boolean](k)
+      var j = 0
+      while (j < p) {
+        var best = -1
+        var bestD = Double.MaxValue
+        c = 0
+        while (c < k) {
+          if (!taken(c) && dist(c) < bestD) { best = c; bestD = dist(c) }
+          c += 1
+        }
+        taken(best) = true
+        out(j) = best.toLong
+        j += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_ivf_nearest(v ARRAY<DOUBLE>) -> ARRAY<BIGINT>`: the nProbe nearest
+  * centroid ids from [[IvfKernel]]. The centroid matrix rides the plan as ONE
+  * reference object (`ctx.addReferenceObj`), not k×dim literals — the same
+  * plan-compactness rationale as [[SrpBucketsExpr]]. Carried as Seq[Seq[..]]
+  * so case-class equality stays structural (Array equals is by reference —
+  * it would defeat plan canonicalization/codegen caching). Sandbox-scale
+  * centroid tables (≤10^3 × dim) ship fine in the task closure; a
+  * production 10^5-centroid table would move to an explicit Spark broadcast
+  * variable consumed in the same kernel. */
+case class IvfNearestExpr(child: Expression, centroids: Seq[Seq[Double]], nProbe: Int)
+    extends UnaryExpression {
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<DOUBLE>, got $other")
+  }
+  override def prettyName: String = "graft_ivf_nearest"
+
+  override def nullSafeEval(input: Any): Any =
+    IvfKernel.nearest(input.asInstanceOf[ArrayData], matrix, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("ivfCentroids", matrix, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.IvfKernel.nearest($c, $m, $nProbe)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfNearestExpr =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
   import org.apache.spark.sql.graftshim.ColumnBridge
 
@@ -388,6 +478,10 @@ object GraftExpressions {
     ColumnBridge.column(LangBestExpr(ColumnBridge.expression(c)))
   def srpBuckets(c: Column, nTables: Int, nPlanes: Int, dim: Int): Column =
     ColumnBridge.column(SrpBucketsExpr(ColumnBridge.expression(c), nTables, nPlanes, dim))
+  /** No SQL registration: the centroid matrix is a plan-side object, not an
+    * expressible SQL literal. */
+  def ivfNearest(c: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
+    ColumnBridge.column(IvfNearestExpr(ColumnBridge.expression(c), centroids, nProbe))
 
   /** Register all as SQL functions on the session. */
   def register(spark: SparkSession): Unit = {

@@ -145,4 +145,75 @@ object SimilarityFunctions {
         col("vec_id"), col("score"))
       .orderBy("query_id", "rank")
   }
+
+  /** IVF coarse-quantizer training: `iters` Lloyd rounds over the corpus.
+    * Deterministic BIT-FOR-BIT across parallelism levels:
+    *  - init = the k lowest-vec_id embeddings (data-defined, order-free);
+    *  - assignment = the codegen'd [[graft.expressions.IvfKernel]] (squared
+    *    L2, ties to the lower centroid id) — row-local, zero shuffle;
+    *  - update = per-(list, dim) mean where the sum runs in DECIMAL(38,18) —
+    *    decimal addition is exact and order-independent, so the centroid is
+    *    identical no matter how the shuffle interleaves partitions (a double
+    *    sum would drift with partitioning and flip borderline assignments).
+    * Each round is one narrow (list_id, pos, v) aggregation with map-side
+    * partial combine; the k×dim result is collected as CONTROL-PLANE state
+    * (same O(buckets) rationale as ExtractPipeline's bucket collect — the
+    * centroid table is the quantizer, never the corpus). An empty cluster
+    * keeps its previous centroid. At 10^12 rows training runs on a sample
+    * (the standard IVF recipe); full-corpus list ASSIGNMENT stays the
+    * one-pass row-local kernel. */
+  def ivfCentroids(emb: DataFrame, k: Int, iters: Int, dim: Int): Seq[Seq[Double]] = {
+    val v = col("embedding").cast("array<double>")
+    var cents: Seq[Seq[Double]] = emb.filter(col("vec_id") < k)
+      .orderBy("vec_id").select(v.as("e")).collect()
+      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    require(cents.length == k, s"init needs vec_ids 0..${k - 1} present, got ${cents.length}")
+    for (_ <- 0 until iters) {
+      val assign = element_at(
+        graft.expressions.GraftExpressions.ivfNearest(v, cents, 1), 1).as("list_id")
+      val upd = emb.select(assign, posexplode(v).as(Seq("pos", "vd")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg((sum(col("vd").cast("decimal(38,18)")) / count(lit(1)))
+          .cast("double").as("c"))
+        .collect()
+      val next = Array.tabulate(k)(i => cents(i).toArray.clone())
+      upd.foreach { r =>
+        next(r.getLong(0).toInt)(r.getInt(1)) = r.getDouble(2)
+      }
+      cents = next.map(_.toIndexedSeq).toIndexedSeq
+    }
+    cents
+  }
+
+  /** IVF ANN search — the second scale path next to SRP-LSH ([[annBucketed]]):
+    * every vector belongs to exactly ONE inverted list (assignment kernel,
+    * nProbe=1, row-local), queries probe their `nProbe` nearest lists, and
+    * the candidate join is an equi-join on `list_id` — never all-pairs, and
+    * (unlike the OR-amplified SRP tables) needs no candidate dedup because
+    * list membership is a partition of the corpus. Exact cosine re-rank over
+    * candidates only; recall rises with nProbe (spec-measured vs knnBrute).
+    */
+  def ivfSearch(emb: DataFrame, nQueries: Int, kNN: Int, k: Int = 16,
+                iters: Int = 3, nProbe: Int = 4, dim: Int = 64): DataFrame = {
+    val cents = ivfCentroids(emb, k, iters, dim)
+    val v = col("embedding").cast("array<double>")
+    val lists = emb.select(col("vec_id"), col("embedding"),
+      element_at(graft.expressions.GraftExpressions.ivfNearest(v, cents, 1), 1)
+        .as("list_id"))
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        explode(graft.expressions.GraftExpressions.ivfNearest(
+          col("embedding").cast("array<double>"), cents, nProbe)).as("list_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    lists.join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (round(dot(col("q"), col("embedding")), 4) + lit(0.0)).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNN)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
 }

@@ -96,6 +96,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(prunedUrls == fullUrls)
   }
 
+  test("e06: IVF candidates come from a list-id equi-join, never all-pairs") {
+    val plan = planOf("e06_ivf_ann")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan) // probes join lists on list_id
+    // the centroid matrix rides the plan as a reference object, not literals:
+    // no flood of double literals in the plan text
+    assert(!plan.contains("0.0078125"), plan)
+  }
+
   test("e01: query side broadcasts; no cartesian product materializes") {
     val plan = planOf("e01_knn_brute")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
