@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.corpus.Corpus
 import graft.expressions.GraftExpressions
 import graft.extract.{ExtractConfig, Extractor}
+import graft.functions.SimilarityFunctions
 import graft.pipeline.CorpusSource
 
 /** The Catalyst-expression SQL surface must agree exactly with the kernel it
@@ -150,6 +151,40 @@ class ExpressionSpec extends AnyFunSuite {
     assert(plan.contains("graft_srp_buckets"), plan)
     // the whole point: no literal weight arrays in the plan text
     assert(!plan.contains("zip_with") && !plan.contains("aggregate("), plan)
+  }
+
+  test("graft_ivf_nearest: brute-argmin oracle, ordering, degenerate inputs, codegen") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = SimilarityFunctions.ivfCentroids(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+      k = 8, iters = 2, dim = 64)
+    val v = col("embedding").cast("array<double>")
+    val got = emb.select(col("vec_id"),
+        GraftExpressions.ivfNearest(v, cents, 3).as("lists"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // independent oracle: brute squared-L2 argsort in plain Scala
+    val rows = emb.select(col("vec_id"), v.as("e")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    rows.foreach { case (id, vec) =>
+      val want = cents.indices.map { c =>
+        val ct = cents(c)
+        (vec.indices.map(i => { val d = vec(i) - ct(i); d * d }).sum, c)
+      }.sortBy(identity).take(3).map(_._2.toLong)
+      assert(got(id) == want, s"vec $id: ${got(id)} != $want")
+    }
+    // degenerate: wrong length → the first nProbe list ids, deterministic
+    val weird = Seq(Seq(0.5, -0.5), Seq.empty[Double]).toDF("v")
+      .select(GraftExpressions.ivfNearest(col("v"), cents, 2).as("l"))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    assert(weird.forall(_ == Seq(0L, 1L)), weird.toString)
+    // codegen: the kernel stays inside a WholeStageCodegen span and the plan
+    // carries the centroid matrix as a reference, not k×dim literals
+    val plan = emb.select(GraftExpressions.ivfNearest(v, cents, 1).as("l"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"no codegen span in:\n$plan")
+    assert(plan.contains("graft_ivf_nearest"), plan)
   }
 
   test("token counter runs inside WholeStageCodegen") {
