@@ -193,6 +193,18 @@ object SparkEntry {
         .filter(col("sp.tagPath").startsWith("pdf/"))
         .select(col("url"), col("sp.blockIdx").as("block_idx"),
           col("sp.tagPath").as("page"), col("sp.text"))),
+    // embedded-image mining over PDF payloads (figure–caption pairs): each
+    // image XObject row carries dict dims, header-parse dims cross-checked
+    // via ImageHeaders, the CTM placement rect, and the nearest text block
+    // below the rect as caption — the multimodal image–text pairing surface.
+    // Zero shuffle (row-local flatMap). The raw payload bytes stay in the
+    // library API (PdfImages.imageTable's `img` column); the query surface
+    // keeps the md5 + byte count (binary cells don't survive the driver's
+    // pandas hash, same rationale as x05's feature projection).
+    "x17_pdf_images" -> ((s, _) =>
+      graft.functions.PdfImages.imageTable(CorpusSource.pdfImagePages(s, 60)).toDF()
+        .drop("img")
+        .orderBy("url", "page", "img_name")),
 
     // ================= relational recasts (oracle-checked) =================
     // score/size filter + projection (≡ drop_score gate + KeepKeys,
@@ -387,6 +399,10 @@ object SparkEntry {
       TextFunctions.wordSpans(docs(s, dir).filter(col("doc_id") < 200))),
     // BPE-ish sub-word token counting next to the whitespace count
     "d13_bpe_tokens" -> ((s, dir) => TextFunctions.bpeTokenStats(docs(s, dir))),
+    // Gopher-rule repetition signals (type–token ratio, top-token and
+    // top-bigram fractions — the boilerplate/spam gate of a web-text
+    // training-data pipeline)
+    "d14_repetition" -> ((s, dir) => TextFunctions.repetitionSignals(docs(s, dir))),
     // RTL segment reversal (pred_reverse analog) — row-local, fully pushable
     "d12_pred_reverse" -> ((s, dir) =>
       docs(s, dir).filter(col("doc_id") < 200)
@@ -728,6 +744,25 @@ object SparkEntry {
          |       len(regexp_extract_all(text, '$pat'))::BIGINT AS n_bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    "d14_repetition" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        |ta AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+        |              count(*)::BIGINT AS n_distinct, max(c) AS m
+        |       FROM tc GROUP BY 1),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS ls FROM documents),
+        |b AS (SELECT doc_id, ls[i] || ' ' || ls[i + 1] AS bg
+        |      FROM (SELECT doc_id, ls, unnest(range(1, len(ls))) AS i FROM d)),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+        |ba AS (SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c) AS mb
+        |       FROM bc GROUP BY 1)
+        |SELECT ta.doc_id AS doc_id, n_tokens, n_distinct,
+        |       round(n_distinct::DOUBLE / n_tokens, 4) AS distinct_ratio,
+        |       round(m::DOUBLE / n_tokens, 4) AS top_token_frac,
+        |       coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+        |       coalesce(round(mb::DOUBLE / n_bigrams, 4), 0.0) AS top_bigram_frac
+        |FROM ta LEFT JOIN ba ON ta.doc_id = ba.doc_id
+        |ORDER BY ta.doc_id""".stripMargin,
     "d12_pred_reverse" ->
       """SELECT doc_id,
         |       array_to_string(list_reverse(regexp_extract_all(text,

@@ -490,6 +490,81 @@ object RealPdfGen {
   /** Build the PDF bytes. Object layout: 1 = catalog, 2 = pages,
     * 3+2i = page i, 4+2i = its content stream. `filter` selects the
     * compressed-stream codec: "flate" (default) or "lzw". */
+  /** One image drawn on a page: placement rect in top-down coordinates (like
+    * Placed), authored pixel dims (w, h), and the payload. `dct` = embed the
+    * bytes as-is under /Filter /DCTDecode (the bytes must BE a JPEG file —
+    * MediaFixtures.jpeg); otherwise the bytes are raw gray samples deflated
+    * under /Filter /FlateDecode. */
+  final case class PlacedImage(x: Int, yTop: Int, drawW: Int, drawH: Int,
+                               w: Int, h: Int, data: Array[Byte], dct: Boolean)
+
+  /** Image-bearing page: text blocks + image XObjects named /Im0, /Im1, …
+    * drawn with `q  drawW 0 0 drawH x y cm  /ImN Do  Q` — the standard writer
+    * form. Expected placements/captions are authored from construction, never
+    * from running the extractor. */
+  def buildWithImages(pages: Seq[(PageSpec, Seq[PlacedImage])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(4096)
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def put(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    def beginObj(num: Int): Unit = { offsets += out.size(); put(s"$num 0 obj\n") }
+
+    // numbering: 1 catalog, 2 pages; per page: page, content, then its images
+    val firstNum = new Array[Int](pages.length)
+    var next = 3
+    for (((_, imgs), i) <- pages.zipWithIndex) {
+      firstNum(i) = next
+      next += 2 + imgs.length
+    }
+
+    put("%PDF-1.4\n")
+    beginObj(1)
+    put("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    val kids = pages.indices.map(i => s"${firstNum(i)} 0 R").mkString(" ")
+    beginObj(2)
+    put(s"<< /Type /Pages /Kids [$kids] /Count ${pages.length} >>\nendobj\n")
+    for (((p, imgs), i) <- pages.zipWithIndex) {
+      val pageNum = firstNum(i)
+      val contNum = pageNum + 1
+      val xo = imgs.indices.map(k => s"/Im$k ${contNum + 1 + k} 0 R").mkString(" ")
+      beginObj(pageNum)
+      put(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 ${p.w} ${p.h}] " +
+        s"/Contents $contNum 0 R /Resources << /Font << /F1 << /Type /Font " +
+        "/Subtype /Type1 /BaseFont /Helvetica >> >> " +
+        s"/XObject << $xo >> >> >>\nendobj\n")
+      val sb = new java.lang.StringBuilder()
+      sb.append(new String(contentFor(p), StandardCharsets.ISO_8859_1))
+      for ((im, k) <- imgs.zipWithIndex) {
+        val y0 = p.h - im.yTop - im.drawH // bottom edge, bottom-up coords
+        sb.append("q\n").append(im.drawW).append(" 0 0 ").append(im.drawH)
+          .append(' ').append(im.x).append(' ').append(y0).append(" cm\n")
+          .append("/Im").append(k).append(" Do\nQ\n")
+      }
+      val data = deflate(sb.toString.getBytes(StandardCharsets.ISO_8859_1))
+      beginObj(contNum)
+      put(s"<< /Length ${data.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(data)
+      put("\nendstream\nendobj\n")
+      for ((im, k) <- imgs.zipWithIndex) {
+        val (data, fdecl, cs) =
+          if (im.dct) (im.data, "/DCTDecode", "/DeviceRGB")
+          else (deflate(im.data), "/FlateDecode", "/DeviceGray")
+        beginObj(contNum + 1 + k)
+        put(s"<< /Type /XObject /Subtype /Image /Width ${im.w} /Height ${im.h} " +
+          s"/ColorSpace $cs /BitsPerComponent 8 /Filter $fdecl " +
+          s"/Length ${data.length} >>\nstream\n")
+        out.write(data)
+        put("\nendstream\nendobj\n")
+      }
+    }
+    val xrefOff = out.size()
+    val n = offsets.length + 1
+    put(s"xref\n0 $n\n0000000000 65535 f \n")
+    for (o <- offsets)
+      put(String.format(java.util.Locale.ROOT, "%010d 00000 n \n", Integer.valueOf(o)))
+    put(s"trailer\n<< /Size $n /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
   def build(pages: Seq[PageSpec]): Array[Byte] = build(pages, "flate")
 
   def buildLzw(pages: Seq[PageSpec]): Array[Byte] = build(pages, "lzw")

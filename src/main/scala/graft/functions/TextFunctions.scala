@@ -127,6 +127,49 @@ object TextFunctions {
       .orderBy("doc_id")
   }
 
+  /** Word bigrams of a token array column (empty when <2 tokens). */
+  def bigrams(ws: Column): Column =
+    when(size(ws) >= 2,
+      transform(sequence(lit(0), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Token-repetition quality signals — the Gopher-rule repetition family
+    * (Rae et al. 2021, "Scaling Language Models: ... Gopher", §A1.1: pages
+    * dominated by one token or one n-gram are boilerplate/spam and get
+    * dropped; public methodology). Per document: distinct-token ratio
+    * (type–token ratio), most-frequent-token fraction, and most-frequent-
+    * bigram fraction, each rounded to 4dp for cross-engine determinism.
+    *
+    * Shape: two narrow shuffles of (doc_id, gram) pairs with map-side
+    * combine (the d06 shape — grams, never text, cross the exchange), then a
+    * doc_id equi-join of the two small aggregated sides. No UDFs; scales as
+    * token count, not document size squared. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val ws = tokens(col("text"))
+    val toks = docs.select(col("doc_id"), explode(ws).as("tok"))
+    val tokAgg = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        max(col("c")).as("m"))
+    val bg = docs.select(col("doc_id"), explode(bigrams(ws)).as("bg"))
+    val bgAgg = bg.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_bigrams"), max(col("c")).as("mb"))
+    tokAgg.join(bgAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_tokens"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 4).as("distinct_ratio"),
+        round(col("m").cast("double") / col("n_tokens"), 4).as("top_token_frac"),
+        coalesce(col("n_bigrams"), lit(0L)).cast("long").as("n_bigrams"),
+        coalesce(round(col("mb").cast("double") / col("n_bigrams"), 4), lit(0.0))
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: content hash + structural summary — the graft of
     * the reference's golden-compare identity per input
     * (test_tipc/compare_results.py:11-60). md5 is the cross-engine-exact hash.

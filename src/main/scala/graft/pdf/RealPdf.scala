@@ -59,7 +59,21 @@ object RealPdf {
     * byte→text mapping available, so the text is DROPPED (never emitted as
     * mojibake) and the document is flagged pdf_partial. */
   final case class Parsed(pages: Vector[Page], decodeFailures: Int,
-                          unmappedShows: Int, pagesTruncated: Boolean)
+                          unmappedShows: Int, pagesTruncated: Boolean,
+                          images: Vector[PdfImage] = Vector.empty)
+
+  /** One embedded image XObject occurrence (ISO 32000 §8.9.5): dictionary
+    * metadata + the RAW stream bytes — for /DCTDecode the stream IS a complete
+    * JPEG file, so the payload is directly minable with no decode — plus the
+    * placement rect when a content-stream `cm … /Name Do` drew it (the unit
+    * square through the CTM, ISO 32000 §8.3.2.4; bbox in TOP-DOWN page
+    * coordinates like PBlock). `placed` = false means the image sits in
+    * /Resources but no parsed content stream drew it (still an embedded
+    * payload worth mining — emitted once with a zero rect). */
+  final case class PdfImage(page: Int, objNum: Int, name: String,
+      width: Int, height: Int, bitsPerComponent: Int, colorSpace: String,
+      filter: String, data: Array[Byte],
+      x: Double, yTop: Double, drawW: Double, drawH: Double, placed: Boolean)
 
   private val graftMagic = "%PDF-GRAFT".getBytes(StandardCharsets.US_ASCII)
 
@@ -621,7 +635,7 @@ object RealPdf {
 
   // ------------------------------------------------- content stream → text
 
-  private[pdf] final case class Chunk(x: Double, y: Double, size: Double, text: String)
+  private[graft] final case class Chunk(x: Double, y: Double, size: Double, text: String)
 
   /** Parse a literal string starting at `i0` (s(i0) == '('): returns the
     * decoded text and the index just past the closing ')'. Handles nesting,
@@ -696,8 +710,17 @@ object RealPdf {
     * entry keeps the Latin-ish fallback — exactly the old behavior). Returns
     * the chunks plus the count of shows dropped through a CID font with no
     * /ToUnicode (the pdf_partial signal). */
-  private[pdf] def extractChunks(data: Array[Byte],
-                                 fonts: Map[String, FontDec] = Map.empty): (Vector[Chunk], Int) = {
+  /** An XObject drawn by the content stream: `name` (the /Resources /XObject
+    * key) + the bbox of the unit square through the CTM at the `Do` operator,
+    * in PDF (bottom-up) coordinates. */
+  private[graft] final case class ImagePlace(name: String, x0: Double, y0: Double,
+                                             x1: Double, y1: Double)
+
+  private[graft] final case class ChunkScan(chunks: Vector[Chunk], unmapped: Int,
+                                            places: Vector[ImagePlace])
+
+  private[graft] def extractChunks(data: Array[Byte],
+                                   fonts: Map[String, FontDec] = Map.empty): ChunkScan = {
     val s = byteView(data)
     val n = s.length
     val out = Vector.newBuilder[Chunk]
@@ -711,6 +734,11 @@ object RealPdf {
     var lastName: String = "" // most recent /name operand (the Tf font operand)
     var curDec: FontDec = null
     var unmapped = 0
+    // graphics state: CTM as (a b c d e f) with q/Q save/restore — tracked so
+    // `Do` can place image XObjects (x' = a·u + c·v + e, y' = b·u + d·v + f)
+    var ctm = Array(1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    val gsStack = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val places = Vector.newBuilder[ImagePlace]
 
     def clear(): Unit = { nums.clear(); strs.clear() }
     // mapping happens at operand-PUSH time: operands cannot outlive their
@@ -821,12 +849,41 @@ object RealPdf {
           case "\"" => lineY -= leading; if (strs.nonEmpty) show(strs.last)
           case "BI" => // inline image: skip to EI
             val e = s.indexOf("EI", i); i = if (e < 0) n else e + 2
+          case "q" => gsStack += ctm.clone()
+          case "Q" => if (gsStack.nonEmpty) ctm = gsStack.remove(gsStack.length - 1)
+          case "cm" => if (nums.length >= 6) {
+            // CTM' = M_cm × CTM (ISO 32000 §8.3.4, row-vector convention)
+            val o = nums.length - 6
+            val (ma, mb, mc, md, me, mf) =
+              (nums(o), nums(o + 1), nums(o + 2), nums(o + 3), nums(o + 4), nums(o + 5))
+            ctm = Array(
+              ma * ctm(0) + mb * ctm(2), ma * ctm(1) + mb * ctm(3),
+              mc * ctm(0) + md * ctm(2), mc * ctm(1) + md * ctm(3),
+              me * ctm(0) + mf * ctm(2) + ctm(4), me * ctm(1) + mf * ctm(3) + ctm(5))
+          }
+          case "Do" => if (lastName.nonEmpty) {
+            // image XObjects paint the unit square through the CTM — record
+            // its bbox (handles rotated/flipped placements); form XObjects
+            // recorded too and filtered at parse time by /Subtype /Image
+            var xMin = Double.MaxValue; var xMax = Double.MinValue
+            var yMin = Double.MaxValue; var yMax = Double.MinValue
+            var ci = 0
+            while (ci < 4) {
+              val u = ci & 1; val v = ci >> 1
+              val px = ctm(0) * u + ctm(2) * v + ctm(4)
+              val py = ctm(1) * u + ctm(3) * v + ctm(5)
+              if (px < xMin) xMin = px; if (px > xMax) xMax = px
+              if (py < yMin) yMin = py; if (py > yMax) yMax = py
+              ci += 1
+            }
+            places += ImagePlace(lastName, xMin, yMin, xMax, yMax)
+          }
           case _ => ()
         }
         clear()
       } else i += 1
     }
-    (out.result(), unmapped)
+    ChunkScan(out.result(), unmapped, places.result())
   }
 
   @inline private def isDelim(c: Char): Boolean =
@@ -949,8 +1006,9 @@ object RealPdf {
     * → /Font → each `/Fn N 0 R` entry → the font's /ToUnicode CMap stream
     * (authoritative) or its /Encoding tables ([[encodingDec]]). Fonts with
     * neither simply don't appear (their shows keep the Latin-ish fallback). */
-  private def pageFonts(page: PdfObj, objs: Map[Int, PdfObj],
-      tuCache: scala.collection.mutable.HashMap[Int, Option[ToUnicode]]): Map[String, FontDec] = {
+  /** The page's /Resources dict (inline or indirect), inherited through
+    * /Parent like MediaBox (ISO 32000 §7.7.3.4). */
+  private def pageResources(page: PdfObj, objs: Map[Int, PdfObj]): Option[String] = {
     var res: Option[String] = None
     var cur: Option[PdfObj] = Some(page)
     var hops = 0
@@ -958,7 +1016,29 @@ object RealPdf {
       res = subDict(cur.get.dict, "Resources", objs)
       if (res.isEmpty) { cur = ref(cur.get.dict, "Parent").flatMap(objs.get); hops += 1 }
     }
-    res.flatMap(subDict(_, "Font", objs)) match {
+    res
+  }
+
+  /** Per-page image XObjects: /Resources → /XObject → each `/Name N 0 R`
+    * entry whose object is `/Subtype /Image`, in dict order. */
+  private def pageImageObjs(page: PdfObj, objs: Map[Int, PdfObj]): Vector[(String, PdfObj)] =
+    pageResources(page, objs).flatMap(subDict(_, "XObject", objs)) match {
+      case None => Vector.empty
+      case Some(xd) =>
+        val m = pat(raw"/([^\s/\[\]()<>{}%]+)\s+(\d+)\s+\d+\s+R").matcher(xd)
+        val out = Vector.newBuilder[(String, PdfObj)]
+        while (m.find()) {
+          val name = m.group(1)
+          m.group(2).toIntOption.flatMap(objs.get)
+            .filter(o => hasName(o.dict, "Subtype", "Image"))
+            .foreach(o => out += name -> o)
+        }
+        out.result()
+    }
+
+  private def pageFonts(page: PdfObj, objs: Map[Int, PdfObj],
+      tuCache: scala.collection.mutable.HashMap[Int, Option[ToUnicode]]): Map[String, FontDec] = {
+    pageResources(page, objs).flatMap(subDict(_, "Font", objs)) match {
       case None => Map.empty
       case Some(fd) =>
         // PDF name chars include '_', '+', '-', '.' (C2_0 / T1_0 are the
@@ -998,7 +1078,8 @@ object RealPdf {
       var decodeFailures = objStmFailures
       var unmappedShows = 0
       val tuCache = scala.collection.mutable.HashMap.empty[Int, Option[ToUnicode]]
-      val out = pages.map { p =>
+      val images = Vector.newBuilder[PdfImage]
+      val out = pages.zipWithIndex.map { case (p, pageIdx) =>
         val (w, h) = pageBox(p, objs)
         val fonts = pageFonts(p, objs, tuCache)
         val contentRefs = refArray(p.dict, "Contents")
@@ -1013,15 +1094,45 @@ object RealPdf {
         // the sequential scan (a substring re-search could match "4 0 obj"
         // inside "14 0 obj" or inside compressed stream bytes)
         val off = contentRefs.headOption.flatMap(objs.get).map(_.offset).getOrElse(0)
+        val places = Vector.newBuilder[ImagePlace]
         val chunks = datas.flatMap { d =>
-          val (cs, u) = extractChunks(d, fonts)
-          unmappedShows += u
-          cs
+          val scan = extractChunks(d, fonts)
+          unmappedShows += scan.unmapped
+          places ++= scan.places
+          scan.chunks
         }.toVector
+        // embedded images: every /Resources /XObject image, with a placement
+        // rect per Do occurrence (top-down coords, like PBlock) — an image the
+        // content stream never drew still carries its payload (placed=false)
+        val imgObjs = pageImageObjs(p, objs)
+        if (imgObjs.nonEmpty) {
+          val byName = imgObjs.toMap
+          val drawn = scala.collection.mutable.Set.empty[String]
+          def mk(name: String, o: PdfObj, pl: Option[ImagePlace]): PdfImage = {
+            val data = if (o.streamRaw == null) Array.emptyByteArray else o.streamRaw
+            PdfImage(pageIdx, o.num, name,
+              directInt(o.dict, "Width").getOrElse(0),
+              directInt(o.dict, "Height").getOrElse(0),
+              directInt(o.dict, "BitsPerComponent").getOrElse(8),
+              firstGroup(raw"/ColorSpace\s*/([A-Za-z0-9]+)", o.dict).getOrElse(""),
+              firstGroup(raw"/Filter\s*/([A-Za-z0-9]+)", o.dict).getOrElse("none"),
+              data,
+              pl.map(_.x0).getOrElse(0.0), pl.map(q => h - q.y1).getOrElse(0.0),
+              pl.map(q => q.x1 - q.x0).getOrElse(0.0),
+              pl.map(q => q.y1 - q.y0).getOrElse(0.0),
+              placed = pl.isDefined)
+          }
+          for (pl <- places.result(); o <- byName.get(pl.name)) {
+            drawn += pl.name
+            images += mk(pl.name, o, Some(pl))
+          }
+          for ((name, o) <- imgObjs if !drawn.contains(name))
+            images += mk(name, o, None)
+        }
         Page(math.round(w).toInt, math.round(h).toInt,
           chunksToBlocks(chunks, h, off, math.min(payload.length, off + 1)))
       }
-      Some(Parsed(out, decodeFailures, unmappedShows, pagesTruncated))
+      Some(Parsed(out, decodeFailures, unmappedShows, pagesTruncated, images.result()))
     } catch {
       case scala.util.control.NonFatal(_) => None
     }

@@ -62,6 +62,47 @@ object CorpusSource {
     * the resize planner's 960px long-side limit. */
   def mediaDims(idx: Int): (Int, Int) =
     (320 + (idx % 7) * 160, 200 + (idx % 5) * 230)
+
+  /** Authored pixel dims of the DCT figure embedded in pdf-image fixture
+    * `idx` (pure function of the index, so specs assert them exactly). */
+  def pdfImageDims(idx: Int): (Int, Int) = (64 + (idx % 32), 48 + (idx % 24))
+
+  /** Authored caption line for figure `k` of pdf-image fixture `idx`. */
+  def pdfImageCaption(idx: Int, k: Int): String =
+    s"Figure ${2 * idx + k}: authored deterministic caption ${idx * 31 + k}"
+
+  /** Deterministic image-bearing REAL PDFs (corpus/RealPdfGen.buildWithImages):
+    * each page carries a body paragraph plus two embedded image XObjects —
+    * a /DCTDecode JPEG (MediaFixtures.jpeg, authored dims) and a /FlateDecode
+    * raw-gray bitmap — each drawn via `q … cm /ImN Do Q` with an authored
+    * caption line placed directly below its rect. The figure-mining fixture
+    * set: payload bytes, dims, placements and captions are all pure functions
+    * of the index, never derived from the extractor. */
+  def pdfImagePages(spark: SparkSession, n: Long): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions(_.map { i =>
+      val idx = i.toInt
+      val (w0, h0) = pdfImageDims(idx)
+      val jpeg = graft.corpus.MediaFixtures.jpeg(w0, h0, 256 + idx)
+      val gray = Array.tabulate(16 * 12)(j => ((j * 31 + idx) & 0xff).toByte)
+      val body = graft.corpus.RealPdfGen.Placed(50, 40, 12,
+        graft.corpus.RealPdfGen.wrap(
+          s"Document $idx discusses the embedded figures below in detail. " +
+            "The body text flows above both figures on the page.", 70))
+      val cap0 = graft.corpus.RealPdfGen.Placed(50, 360, 10, Seq(pdfImageCaption(idx, 0)))
+      val cap1 = graft.corpus.RealPdfGen.Placed(50, 570, 10, Seq(pdfImageCaption(idx, 1)))
+      val page = graft.corpus.RealPdfGen.PageSpec(612, 792,
+        Seq(body, cap0, cap1), compress = true)
+      val imgs = Seq(
+        graft.corpus.RealPdfGen.PlacedImage(50, 200, 200, 150, w0, h0, jpeg, dct = true),
+        graft.corpus.RealPdfGen.PlacedImage(50, 470, 120, 90, 16, 12, gray, dct = false))
+      val payload = graft.corpus.RealPdfGen.buildWithImages(Seq((page, imgs)))
+      val url = String.format(java.util.Locale.ROOT,
+        "https://pdf-img.example.org/d%04d.pdf", Integer.valueOf(idx))
+      PageRow(url, new java.sql.Timestamp(1577836800000L + idx.toLong * 3600000L),
+        payload, null, null)
+    })
+  }
 }
 
 /** The extraction stage: one narrow mapPartitions over pages — no shuffle

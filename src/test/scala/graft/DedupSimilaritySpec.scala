@@ -286,6 +286,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!sig(1).isNullAt(1))
   }
 
+  test("repetitionSignals: hand-computed Gopher-rule fractions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),         // 4 toks, 2 distinct; bigrams: "a a","a a","a b"
+      (2L, "x"),               // 1 tok → no bigrams
+      (3L, "spam spam spam"))  // fully repetitive
+      .toDF("doc_id", "text")
+    val r = TextFunctions.repetitionSignals(docs).collect()
+    assert(r(0).getLong(1) == 4L && r(0).getLong(2) == 2L)
+    assert(r(0).getDouble(3) == 0.5 && r(0).getDouble(4) == 0.75)
+    assert(r(0).getLong(5) == 3L && r(0).getDouble(6) == 0.6667)
+    assert(r(1).getLong(1) == 1L && r(1).getLong(5) == 0L && r(1).getDouble(6) == 0.0)
+    assert(r(2).getDouble(3) == 0.3333 && r(2).getDouble(4) == 1.0 &&
+      r(2).getDouble(6) == 1.0)
+  }
+
   test("predReverse matches the reference's pred_reverse segment semantics") {
     import spark.implicits._
     val in = Seq(
