@@ -519,7 +519,15 @@ object SparkEntry {
     // recall vs knnBrute and determinism are spec-pinned.
     "e06_ivf_ann" -> ((s, dir) =>
       SimilarityFunctions.ivfSearch(emb(s, dir), nQueries = 5, kNN = 5,
-        k = 16, iters = 3, nProbe = 4, dim = 64))
+        k = 16, iters = 3, nProbe = 4, dim = 64)),
+    // IVF-PQ ANN: the compressed-corpus scale path — vectors stored as
+    // 1+M small ints, ADC scoring from codes (codegen'd kernel), exact
+    // re-rank over refine×kNN candidates only. No SQL analog for the
+    // quantizer (rows-only check); exactness of the returned scores and the
+    // planted-twin guarantee are spec-pinned (DedupSimilaritySpec).
+    "e07_pq_ann" -> ((s, dir) =>
+      SimilarityFunctions.pqSearch(emb(s, dir), nQueries = 5, kNN = 5,
+        k = 16, m = 8, ksub = 16, iters = 3, nProbe = 4, refine = 4, dim = 64))
   )
 
   def oracleSql: Map[String, String] = Map(

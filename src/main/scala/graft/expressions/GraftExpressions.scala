@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -462,6 +462,224 @@ case class IvfNearestExpr(child: Expression, centroids: Seq[Seq[Double]], nProbe
     copy(child = newChild)
 }
 
+/** Product-quantization kernel (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search" — public method): a vector is coarse-assigned to
+  * its nearest IVF centroid, the RESIDUAL (v − centroid) is split into M
+  * subvectors, and each subvector is replaced by the id of its nearest
+  * subspace codeword. The encoded form is 1+M small ints instead of `dim`
+  * doubles — the 10^12-vector memory shape (64 floats → ~9 bytes at M=8).
+  * Scoring is asymmetric (ADC): dot(q, c_list) + Σ_m dot(q_m, codeword_m) —
+  * computed straight from the codes, no reconstruction materialized.
+  * All loops are fixed-order sequential → bit-deterministic at any
+  * parallelism. Degenerate inputs (wrong dim / null slots) encode to list 0
+  * code 0 and score 0.0 — deterministic, never a throw. */
+object PqKernel {
+  def encode(arr: ArrayData, coarse: Array[Array[Double]],
+             cbs: Array[Array[Array[Double]]]): ArrayData = {
+    val m = cbs.length
+    val dsub = cbs(0)(0).length
+    val dim = m * dsub
+    val out = new Array[Long](1 + m)
+    var degenerate = arr.numElements() != dim
+    var d = 0
+    while (!degenerate && d < dim) { degenerate = arr.isNullAt(d); d += 1 }
+    if (!degenerate) {
+      val v = new Array[Double](dim)
+      d = 0
+      while (d < dim) { v(d) = arr.getDouble(d); d += 1 }
+      // coarse argmin (squared L2, ties to the lower id — IvfKernel's rule)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < coarse.length) {
+        val ct = coarse(c)
+        var s = 0.0
+        var i = 0
+        while (i < dim) { val df = v(i) - ct(i); s += df * df; i += 1 }
+        if (s < bestD) { best = c; bestD = s }
+        c += 1
+      }
+      out(0) = best.toLong
+      val ct = coarse(best)
+      var sm = 0
+      while (sm < m) {
+        val cb = cbs(sm)
+        val base = sm * dsub
+        var bc = 0
+        var bd = Double.MaxValue
+        var w = 0
+        while (w < cb.length) {
+          val cw = cb(w)
+          var s = 0.0
+          var i = 0
+          while (i < dsub) {
+            val df = (v(base + i) - ct(base + i)) - cw(i); s += df * df; i += 1
+          }
+          if (s < bd) { bc = w; bd = s }
+          w += 1
+        }
+        out(1 + sm) = bc.toLong
+        sm += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  def score(q: ArrayData, enc: ArrayData, coarse: Array[Array[Double]],
+            cbs: Array[Array[Array[Double]]]): Double = {
+    val m = cbs.length
+    val dsub = cbs(0)(0).length
+    val dim = m * dsub
+    if (q.numElements() != dim || enc.numElements() != 1 + m) return 0.0
+    var d = 0
+    while (d < dim) { if (q.isNullAt(d)) return 0.0; d += 1 }
+    val list = enc.getLong(0).toInt
+    if (list < 0 || list >= coarse.length) return 0.0
+    var s = 0.0
+    val ct = coarse(list)
+    var i = 0
+    while (i < dim) { s += q.getDouble(i) * ct(i); i += 1 }
+    var sm = 0
+    while (sm < m) {
+      val code = enc.getLong(1 + sm).toInt
+      if (code >= 0 && code < cbs(sm).length) {
+        val cw = cbs(sm)(code)
+        val base = sm * dsub
+        var j = 0
+        while (j < dsub) { s += q.getDouble(base + j) * cw(j); j += 1 }
+      }
+      sm += 1
+    }
+    s
+  }
+
+  def residual(arr: ArrayData, coarse: Array[Array[Double]]): ArrayData = {
+    val dim = if (coarse.nonEmpty) coarse(0).length else 0
+    var degenerate = arr.numElements() != dim
+    var d = 0
+    while (!degenerate && d < dim) { degenerate = arr.isNullAt(d); d += 1 }
+    if (degenerate) return new GenericArrayData(new Array[Double](dim))
+    val v = new Array[Double](dim)
+    d = 0
+    while (d < dim) { v(d) = arr.getDouble(d); d += 1 }
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < coarse.length) {
+      val ct = coarse(c)
+      var s = 0.0
+      var i = 0
+      while (i < dim) { val df = v(i) - ct(i); s += df * df; i += 1 }
+      if (s < bestD) { best = c; bestD = s }
+      c += 1
+    }
+    val ct = coarse(best)
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { out(i) = v(i) - ct(i); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_pq_residual(v) -> ARRAY<DOUBLE>`: v minus its nearest coarse
+  * centroid — the PQ TRAINING input (codebooks are trained on residuals).
+  * Coarse matrix rides the plan as one reference object (IvfNearestExpr's
+  * rationale). */
+case class PqResidualExpr(child: Expression, coarse: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    coarse.map(_.toArray).toArray
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<DOUBLE>, got $other")
+  }
+  override def prettyName: String = "graft_pq_residual"
+
+  override def nullSafeEval(input: Any): Any =
+    PqKernel.residual(input.asInstanceOf[ArrayData], matrix)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("pqCoarse", matrix, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.expressions.PqKernel.residual($c, $m)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqResidualExpr =
+    copy(child = newChild)
+}
+
+/** `graft_pq_encode(v) -> ARRAY<BIGINT>` of length 1+M:
+  * [coarse list id, M residual codeword ids]. Coarse matrix + codebooks ride
+  * the plan as reference objects. */
+case class PqEncodeExpr(child: Expression, coarse: Seq[Seq[Double]],
+                        codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    coarse.map(_.toArray).toArray
+  @transient private lazy val cbs: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<DOUBLE>, got $other")
+  }
+  override def prettyName: String = "graft_pq_encode"
+
+  override def nullSafeEval(input: Any): Any =
+    PqKernel.encode(input.asInstanceOf[ArrayData], matrix, cbs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("pqCoarse", matrix, "double[][]")
+    val b = ctx.addReferenceObj("pqCodebooks", cbs, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.expressions.PqKernel.encode($c, $m, $b)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** `graft_pq_score(q, enc) -> DOUBLE`: asymmetric-distance (ADC) inner
+  * product of a raw query against an encoded vector —
+  * dot(q, c_list) + Σ_m dot(q_m, codeword_m). */
+case class PqScoreExpr(left: Expression, right: Expression,
+                       coarse: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]])
+    extends BinaryExpression {
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    coarse.map(_.toArray).toArray
+  @transient private lazy val cbs: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<DOUBLE>, ARRAY<BIGINT>), got $other")
+  }
+  override def prettyName: String = "graft_pq_score"
+
+  override def nullSafeEval(q: Any, enc: Any): Any =
+    PqKernel.score(q.asInstanceOf[ArrayData], enc.asInstanceOf[ArrayData], matrix, cbs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("pqCoarse", matrix, "double[][]")
+    val b = ctx.addReferenceObj("pqCodebooks", cbs, "double[][][]")
+    defineCodeGen(ctx, ev,
+      (q, e) => s"graft.expressions.PqKernel.score($q, $e, $m, $b)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqScoreExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftExpressions {
   import org.apache.spark.sql.graftshim.ColumnBridge
 
@@ -482,6 +700,15 @@ object GraftExpressions {
     * expressible SQL literal. */
   def ivfNearest(c: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
     ColumnBridge.column(IvfNearestExpr(ColumnBridge.expression(c), centroids, nProbe))
+  def pqResidual(c: Column, coarse: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(PqResidualExpr(ColumnBridge.expression(c), coarse))
+  def pqEncode(c: Column, coarse: Seq[Seq[Double]],
+               codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(c), coarse, codebooks))
+  def pqScore(q: Column, enc: Column, coarse: Seq[Seq[Double]],
+              codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(PqScoreExpr(ColumnBridge.expression(q),
+      ColumnBridge.expression(enc), coarse, codebooks))
 
   /** Register all as SQL functions on the session. */
   def register(spark: SparkSession): Unit = {

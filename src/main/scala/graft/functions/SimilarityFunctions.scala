@@ -216,4 +216,70 @@ object SimilarityFunctions {
         col("vec_id"), col("score"))
       .orderBy("query_id", "rank")
   }
+
+  /** PQ codebook training: coarse-quantize (reusing [[ivfCentroids]]), then
+    * per subspace run the SAME DECIMAL-exact Lloyd over the residual
+    * subvectors (`graft_pq_residual` keeps the residual computation a
+    * codegen'd kernel — the coarse matrix is a plan reference object, never
+    * k×dim literals). Returns (coarse, codebooks[m][ksub][dsub]). Codebook
+    * state is control-plane (M·ksub·dsub doubles); at 10^12 rows training
+    * runs on a sample — the standard PQ recipe — while ENCODE stays a
+    * one-pass row-local kernel over the full corpus. */
+  def pqTrain(emb: DataFrame, k: Int, m: Int, ksub: Int, iters: Int, dim: Int)
+      : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val dsub = dim / m
+    val coarse = ivfCentroids(emb, k, iters, dim)
+    val res = emb.select(col("vec_id"),
+      graft.expressions.GraftExpressions.pqResidual(
+        col("embedding").cast("array<double>"), coarse).as("res"))
+    val cbs = (0 until m).map { s =>
+      ivfCentroids(
+        res.select(col("vec_id"), slice(col("res"), s * dsub + 1, dsub).as("embedding")),
+        ksub, iters, dsub)
+    }
+    (coarse, cbs)
+  }
+
+  /** IVF-PQ ANN search — the compressed-corpus scale path (Jégou et al. 2011)
+    * next to IVF-Flat ([[ivfSearch]]) and SRP-LSH ([[annBucketed]]): the
+    * corpus is stored as (list_id, M codes) — 1+M small ints per vector, the
+    * shape that fits 10^12 vectors in cluster memory — queries probe their
+    * nProbe nearest lists (equi-join on list_id, never all-pairs), ADC-score
+    * candidates straight from the codes (`graft_pq_score`, codegen'd, no
+    * reconstruction materialized), keep the top `refine`×kNN per query, and
+    * exact-re-rank ONLY those by joining their raw embeddings back by id —
+    * the standard refine step, touching refine·kNN vectors per query instead
+    * of a list's worth. Returned scores are exact dots (same contract as
+    * ivfSearch/knnBrute). */
+  def pqSearch(emb: DataFrame, nQueries: Int, kNN: Int, k: Int = 16,
+               m: Int = 8, ksub: Int = 16, iters: Int = 3, nProbe: Int = 4,
+               refine: Int = 4, dim: Int = 64): DataFrame = {
+    import graft.expressions.GraftExpressions.{ivfNearest, pqEncode, pqScore}
+    val (coarse, cbs) = pqTrain(emb, k, m, ksub, iters, dim)
+    val v = col("embedding").cast("array<double>")
+    val enc = emb.select(col("vec_id"), pqEncode(v, coarse, cbs).as("enc"))
+      .withColumn("list_id", element_at(col("enc"), 1))
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), v.as("q"),
+        explode(ivfNearest(v, coarse, nProbe)).as("list_id"))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    val shortlist = enc.join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("q"),
+        pqScore(col("q"), col("enc"), coarse, cbs).as("approx"))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= kNN * refine)
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    shortlist.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (round(dot(col("q"), col("embedding")), 4) + lit(0.0)).as("score"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= kNN)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
 }

@@ -199,6 +199,47 @@ class DedupSimilaritySpec extends AnyFunSuite {
       r.getDouble(3) == 1.0), withTwin.mkString(";"))
   }
 
+  test("IVF-PQ: codebooks bit-deterministic; recall vs brute; exact twin found") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // training is DECIMAL-exact Lloyd end-to-end: a different partitioning
+    // must yield the identical coarse matrix AND all 8 subspace codebooks
+    val (c1, b1) = SimilarityFunctions.pqTrain(emb, k = 16, m = 8, ksub = 16,
+      iters = 2, dim = 64)
+    val (c2, b2) = SimilarityFunctions.pqTrain(emb.repartition(7), k = 16,
+      m = 8, ksub = 16, iters = 2, dim = 64)
+    assert(c1 == c2 && b1 == b2, "PQ training drifts across partitioning")
+    // recall vs brute: ADC shortlist + exact re-rank over refine×kNN
+    val brute = SimilarityFunctions.knnBrute(emb, 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = SimilarityFunctions.pqSearch(emb, 10, 5, k = 16, m = 8,
+      ksub = 16, iters = 2, nProbe = 4, refine = 4, dim = 64).collect()
+    val pqSet = pq.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.count(pqSet.contains).toDouble / brute.size
+    assert(recall >= 0.4, s"IVF-PQ recall too low: $recall")
+    // returned scores are EXACT dots (the refine join re-ranks on raw
+    // embeddings — same contract as ivfSearch)
+    val bruteScores = SimilarityFunctions.knnBrute(emb, 10, 500)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    pq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(bruteScores(key) == r.getDouble(3), s"score mismatch at $key")
+    }
+    // an exact twin encodes to the query's own list with the query's own
+    // codes — its ADC score ties the maximum, so it survives the shortlist
+    // and exact re-rank puts it at rank 1 with score 1.0
+    val v0 = emb.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0).toArray
+    val planted = Seq((9001L, 0L, v0.toSeq)).toDF("vec_id", "label", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+    val withTwin = SimilarityFunctions.pqSearch(
+      emb.select("vec_id", "embedding", "label").union(planted), 1, 1,
+      k = 16, m = 8, ksub = 16, iters = 2, nProbe = 1, refine = 4,
+      dim = 64).collect()
+    assert(withTwin.exists(r => r.getLong(0) == 0L && r.getLong(2) == 9001L &&
+      r.getDouble(3) == 1.0), withTwin.mkString(";"))
+  }
+
   test("ANN wider-planes setting keeps recall via more tables (scale knob)") {
     // at scale nPlanes grows with log(n) (smaller buckets) and nTables grows
     // to recover recall — verify the trade holds on this corpus: planes 2→4

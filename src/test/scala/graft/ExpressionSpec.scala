@@ -187,6 +187,55 @@ class ExpressionSpec extends AnyFunSuite {
     assert(plan.contains("graft_ivf_nearest"), plan)
   }
 
+  test("graft_pq_encode/graft_pq_score: scala oracle, degenerate inputs, codegen") {
+    import spark.implicits._
+    val embDf = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (coarse, cbs) = SimilarityFunctions.pqTrain(
+      embDf, k = 8, m = 8, ksub = 16, iters = 2, dim = 64)
+    val v = col("embedding").cast("array<double>")
+    val got = embDf.filter(col("vec_id") < 50)
+      .select(col("vec_id"), GraftExpressions.pqEncode(v, coarse, cbs).as("enc"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // independent oracle: coarse argmin then per-subspace residual argmin
+    val rows = embDf.filter(col("vec_id") < 50)
+      .select(col("vec_id"), v.as("e")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    rows.foreach { case (id, vec) =>
+      val list = coarse.indices.minBy { c =>
+        (vec.indices.map(i => { val d = vec(i) - coarse(c)(i); d * d }).sum, c)
+      }
+      val res = vec.indices.map(i => vec(i) - coarse(list)(i))
+      val codes = (0 until 8).map { s =>
+        cbs(s).indices.minBy { w =>
+          ((0 until 8).map(i => { val d = res(s * 8 + i) - cbs(s)(w)(i); d * d }).sum, w)
+        }.toLong
+      }
+      assert(got(id) == list.toLong +: codes, s"vec $id")
+      // ADC score oracle: dot(q, c_list) + sum_m dot(q_m, codeword_m)
+      val q = rows.head._2
+      val want = q.indices.map(i => q(i) * coarse(list)(i)).sum +
+        (0 until 8).flatMap(s => (0 until 8).map(i =>
+          q(s * 8 + i) * cbs(s)(codes(s).toInt)(i))).sum
+      val gotScore = Seq((q.toSeq, got(id))).toDF("q", "enc")
+        .select(GraftExpressions.pqScore(col("q"), col("enc"), coarse, cbs))
+        .head.getDouble(0)
+      assert(math.abs(gotScore - want) < 1e-12, s"vec $id score")
+    }
+    // degenerate: wrong input length → list 0, all codes 0; score 0.0
+    val weird = Seq(Seq(0.5, -0.5)).toDF("v")
+      .select(GraftExpressions.pqEncode(col("v"), coarse, cbs).as("e"))
+      .head.getSeq[Long](0)
+    assert(weird == Seq.fill(9)(0L), weird.toString)
+    // codegen: both kernels fuse into a WholeStageCodegen span with the
+    // codebooks as plan reference objects, never literal arrays
+    val plan = embDf.select(GraftExpressions.pqEncode(v, coarse, cbs).as("e"))
+      .select(GraftExpressions.pqScore(lit(null).cast("array<double>"), col("e"),
+        coarse, cbs))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"no codegen span in:\n$plan")
+    assert(plan.contains("graft_pq_encode") && plan.contains("graft_pq_score"), plan)
+  }
+
   test("token counter runs inside WholeStageCodegen") {
     GraftExpressions.register(spark)
     val df = spark.range(100)
