@@ -403,6 +403,14 @@ object SparkEntry {
     // top-bigram fractions — the boilerplate/spam gate of a web-text
     // training-data pipeline)
     "d14_repetition" -> ((s, dir) => TextFunctions.repetitionSignals(docs(s, dir))),
+    // benchmark decontamination: docs with doc_id < 20 act as the eval set,
+    // the rest as corpus — shared distinct 3-gram counts per corpus doc
+    // (broadcast bench grams; the GPT-3 appendix-C overlap filter)
+    "d15_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      DedupFunctions.contamination(
+        d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20), n = 3)
+    }),
     // RTL segment reversal (pred_reverse analog) — row-local, fully pushable
     "d12_pred_reverse" -> ((s, dir) =>
       docs(s, dir).filter(col("doc_id") < 200)
@@ -771,6 +779,16 @@ object SparkEntry {
         |       coalesce(round(mb::DOUBLE / n_bigrams, 4), 0.0) AS top_bigram_frac
         |FROM ta LEFT JOIN ba ON ta.doc_id = ba.doc_id
         |ORDER BY ta.doc_id""".stripMargin,
+    "d15_decontam" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ls FROM documents),
+        |g AS (SELECT doc_id, ls[i] || ' ' || ls[i + 1] || ' ' || ls[i + 2] AS g
+        |      FROM (SELECT doc_id, ls, unnest(range(1, len(ls) - 1)) AS i FROM ws)),
+        |bg AS (SELECT DISTINCT g FROM g WHERE doc_id < 20),
+        |hits AS (SELECT g.doc_id, count(DISTINCT g.g) AS n_overlap
+        |         FROM g JOIN bg USING (g) WHERE g.doc_id >= 20 GROUP BY 1)
+        |SELECT d.doc_id AS doc_id, coalesce(n_overlap, 0)::BIGINT AS n_overlap
+        |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+        |WHERE d.doc_id >= 20 ORDER BY d.doc_id""".stripMargin,
     "d12_pred_reverse" ->
       """SELECT doc_id,
         |       array_to_string(list_reverse(regexp_extract_all(text,

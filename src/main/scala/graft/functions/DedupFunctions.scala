@@ -18,6 +18,31 @@ import org.apache.spark.sql.functions._
   */
 object DedupFunctions {
 
+  /** Benchmark decontamination — the n-gram overlap filter of the GPT-3
+    * training-set construction (Brown et al. 2020, appendix C: drop training
+    * documents sharing a 13-gram with any eval example; public methodology).
+    * Per corpus document: how many DISTINCT word n-grams it shares with the
+    * benchmark set (0 = clean; a pipeline drops or flags n_overlap > 0).
+    *
+    * Scale shape: the benchmark side is eval suites — tiny versus a 10^12-row
+    * corpus — so its distinct n-gram set is BROADCAST and the probe is a
+    * map-side hash join against the exploded corpus n-grams: zero shuffle of
+    * corpus text, one narrow (doc_id, gram) aggregation for the counts.
+    * Docs shorter than n tokens have no n-grams and report 0. */
+  def contamination(corpus: DataFrame, bench: DataFrame, n: Int): DataFrame = {
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(TextFunctions.shinglesN(TextFunctions.tokens(col("text")), n)).as("g"))
+    val benchGrams = grams(bench).select("g").distinct()
+    val hits = grams(corpus).join(broadcast(benchGrams), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("g")).as("n_overlap"))
+    corpus.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).cast("long").as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
   /** Exact dedup by content digest: groups of identical texts, keeper = min
     * doc_id (deterministic). Shuffles the 16-byte digest, not the document. */
   def exactGroups(docs: DataFrame): DataFrame =

@@ -226,6 +226,14 @@ object TextFunctions {
         i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))
       .otherwise(array().cast("array<string>"))
 
+  /** Word n-shingles for any n ≥ 1 (empty when the doc has fewer than n
+    * tokens) — generalizes [[shingles3]] for the decontamination n-gram. */
+  def shinglesN(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
   /** MinHash signature, k hash functions realized as md5 with a seed prefix
     * (min over hex strings — total order, engine-independent). Docs with <3
     * tokens get null signature slots. SURVEY.md training-data dedup op.

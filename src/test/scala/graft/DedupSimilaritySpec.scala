@@ -327,6 +327,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!sig(1).isNullAt(1))
   }
 
+  test("contamination counts shared distinct n-grams; clean docs report 0") {
+    import spark.implicits._
+    val bench = Seq((1L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "a quick brown fox appears"),      // shares "quick brown fox"
+      (11L, "totally unrelated text here"),    // clean
+      (12L, "the quick brown fox jumps high")) // shares all three bench 3-grams
+      .toDF("doc_id", "text")
+    val r = DedupFunctions.contamination(corpus, bench, 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r == Seq((10L, 1L), (11L, 0L), (12L, 3L)))
+  }
+
   test("repetitionSignals: hand-computed Gopher-rule fractions") {
     import spark.implicits._
     val docs = Seq(
