@@ -233,10 +233,40 @@ object SimilarityFunctions {
     val res = emb.select(col("vec_id"),
       graft.expressions.GraftExpressions.pqResidual(
         col("embedding").cast("array<double>"), coarse).as("res"))
-    val cbs = (0 until m).map { s =>
-      ivfCentroids(
-        res.select(col("vec_id"), slice(col("res"), s * dsub + 1, dsub).as("embedding")),
-        ksub, iters, dsub)
+    // init per subspace = the residual subvectors of vec_id 0..ksub-1 (the
+    // ivfCentroids init rule applied to each slice — data-defined, order-free)
+    val initRows = res.filter(col("vec_id") < ksub).orderBy("vec_id")
+      .select(col("res")).collect().map(_.getSeq[Double](0).toIndexedSeq)
+    require(initRows.length == ksub, s"init needs vec_ids 0..${ksub - 1} present")
+    var cbs: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      initRows.toIndexedSeq.map(r => r.slice(s * dsub, s * dsub + dsub))
+    }
+    // ALL M subspaces train in ONE aggregation job per Lloyd round (a
+    // per-subspace loop costs M× the job overhead for identical results):
+    // each row computes its M codeword assignments row-locally, the residual
+    // explodes to (subspace, codeword, position, value) and the per-cell
+    // DECIMAL mean updates every codebook at once — bit-identical to
+    // training each subspace separately, M× fewer jobs.
+    for (_ <- 0 until iters) {
+      val codeCols = array((0 until m).map { s =>
+        element_at(graft.expressions.GraftExpressions.ivfNearest(
+          slice(col("res"), s * dsub + 1, dsub), cbs(s), 1), 1)
+      }: _*)
+      val upd = res.select(col("res"), codeCols.as("codes"))
+        .select(posexplode(col("res")).as(Seq("pos", "vd")), col("codes"))
+        .select((col("pos") / lit(dsub)).cast("int").as("sub"),
+          (col("pos") % lit(dsub)).as("spos"),
+          element_at(col("codes"), (col("pos") / lit(dsub)).cast("int") + 1).as("code"),
+          col("vd"))
+        .groupBy(col("sub"), col("code"), col("spos"))
+        .agg((sum(col("vd").cast("decimal(38,18)")) / count(lit(1)))
+          .cast("double").as("c"))
+        .collect()
+      val next = Array.tabulate(m)(s => cbs(s).map(_.toArray.clone()).toArray)
+      upd.foreach { r =>
+        next(r.getInt(0))(r.getLong(1).toInt)(r.getInt(2)) = r.getDouble(3)
+      }
+      cbs = next.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq
     }
     (coarse, cbs)
   }

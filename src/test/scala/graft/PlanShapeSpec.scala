@@ -106,6 +106,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("0.0078125"), plan)
   }
 
+  test("e07: PQ candidates equi-join on list_id; codebooks ride as references; raw vectors only in the refine join") {
+    val plan = planOf("e07_pq_ann")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan) // probes × encoded lists
+    // encode + ADC scoring are kernel expressions with codebooks as plan
+    // reference objects — no literal-array flood
+    assert(plan.contains("graft_pq_encode") && plan.contains("graft_pq_score"), plan)
+    assert(!plan.contains("0.0078125"), plan)
+  }
+
+  test("d15: benchmark gram set broadcasts; corpus probe is map-side") {
+    val plan = planOf("d15_decontam")
+    // the gram equi-join must be a broadcast hash join (bench side is tiny
+    // by nature — eval suites vs a 10^12-doc corpus); corpus text must
+    // never reach a sort-merge exchange on the gram key
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("x17: image mining is a shuffle-free row-local scan") {
+    val plan = graft.functions.PdfImages
+      .imageTable(CorpusSource.pdfImagePages(spark, 8))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("e01: query side broadcasts; no cartesian product materializes") {
     val plan = planOf("e01_knn_brute")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
