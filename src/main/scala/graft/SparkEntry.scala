@@ -23,6 +23,11 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+  /** d17 data-mixture keep rates — the Spark query and the DuckDB oracle
+    * both derive from THIS map (thresholds via TextFunctions.hexThreshold),
+    * so the two sides can never drift. Unlisted languages keep everything. */
+  private val mixtureRates: Map[String, Double] =
+    Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.8)
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
   private def events(s: SparkSession, dir: String): DataFrame =
@@ -411,6 +416,14 @@ object SparkEntry {
       DedupFunctions.contamination(
         d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20), n = 3)
     }),
+    // context-window chunking with overlap (sample packing): 64-token
+    // windows, stride 48 — documents become training examples
+    "d16_token_windows" -> ((s, dir) =>
+      TextFunctions.tokenWindows(docs(s, dir), window = 64, stride = 48)),
+    // deterministic data-mixture sampling: per-language keep rates through a
+    // content-stable hash (resumable/auditable — never rand())
+    "d17_mixture_sample" -> ((s, dir) =>
+      TextFunctions.mixtureSample(docs(s, dir), mixtureRates)),
     // RTL segment reversal (pred_reverse analog) — row-local, fully pushable
     "d12_pred_reverse" -> ((s, dir) =>
       docs(s, dir).filter(col("doc_id") < 200)
@@ -779,6 +792,24 @@ object SparkEntry {
         |       coalesce(round(mb::DOUBLE / n_bigrams, 4), 0.0) AS top_bigram_frac
         |FROM ta LEFT JOIN ba ON ta.doc_id = ba.doc_id
         |ORDER BY ta.doc_id""".stripMargin,
+    "d16_token_windows" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ls FROM documents),
+        |w AS (SELECT doc_id, ls,
+        |        unnest(range(0, CASE WHEN len(ls) <= 64 THEN 1
+        |                             ELSE CAST(ceil((len(ls) - 64)::DOUBLE / 48) AS INT) + 1
+        |                        END)) AS i
+        |      FROM ws)
+        |SELECT doc_id, i::BIGINT AS window_idx, (i * 48)::BIGINT AS start_tok,
+        |       least(64, len(ls) - i * 48)::BIGINT AS n_window_tokens,
+        |       array_to_string(ls[i * 48 + 1 : i * 48 + 64], ' ') AS window_text
+        |FROM w ORDER BY doc_id, window_idx""".stripMargin,
+    "d17_mixture_sample" -> {
+      val cases = mixtureRates.map { case (lang, r) =>
+        s"WHEN lang = '$lang' THEN substr(md5('mix:' || doc_id), 1, 8) < '${TextFunctions.hexThreshold(r)}'"
+      }.mkString(" ")
+      s"""SELECT doc_id, lang, CASE $cases ELSE TRUE END AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "d15_decontam" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ls FROM documents),
         |g AS (SELECT doc_id, ls[i] || ' ' || ls[i + 1] || ' ' || ls[i + 2] AS g

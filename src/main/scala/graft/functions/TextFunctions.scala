@@ -170,6 +170,56 @@ object TextFunctions {
       .orderBy("doc_id")
   }
 
+  /** Fixed-size token windows with stride — the sample-packing op that turns
+    * variable-length documents into training examples (context-window
+    * chunking with overlap; public methodology in every LM data pipeline).
+    * Docs with ≤ `window` tokens yield ONE (possibly short) window; otherwise
+    * ceil((n − window)/stride) + 1 windows, the last one truncated. Pure
+    * row-local explode — zero shuffle beyond the presentation sort; window
+    * arithmetic is integer-exact and SQL-expressible (oracle-checked). */
+  def tokenWindows(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("ws"))
+    val nWin = when(size(col("ws")) <= window, lit(1))
+      .otherwise(ceil((size(col("ws")) - window).cast("double") / stride)
+        .cast("int") + 1)
+    base.select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), nWin - 1)).as("wi"))
+      .select(col("doc_id"),
+        col("wi").cast("long").as("window_idx"),
+        (col("wi") * stride).cast("long").as("start_tok"),
+        least(lit(window), size(col("ws")) - col("wi") * stride)
+          .cast("long").as("n_window_tokens"),
+        concat_ws(" ", slice(col("ws"), col("wi") * stride + 1, lit(window)))
+          .as("window_text"))
+      .orderBy("doc_id", "window_idx")
+  }
+
+  /** Deterministic mixture sampling — per-language keep rates applied through
+    * a CONTENT-STABLE hash, never rand(): md5 of a salted doc id compared
+    * against the rate's hex threshold. The same doc gets the same verdict on
+    * every run, engine, and partitioning — the property that makes sampling
+    * resumable and auditable at 10^12 rows (the data-mixture step of corpus
+    * construction: up-weight/down-weight sources by keep rate). Languages
+    * absent from `rates` keep everything (rate 1.0). Zero shuffle. */
+  def mixtureSample(docs: DataFrame, rates: Map[String, Double]): DataFrame = {
+    val h = md5(concat(lit("mix:"), col("doc_id").cast("string")).cast("binary"))
+    // lexicographic compare of the first 8 lowercase hex chars == numeric
+    // compare of the top 32 bits — identical in Spark and DuckDB (d04's md5
+    // parity), no hex→int conversion needed on either side
+    val keep = rates.foldLeft(when(lit(false), lit(false))) { case (acc, (lang, r)) =>
+      acc.when(col("lang") === lang, substring(h, 1, 8) < lit(hexThreshold(r)))
+    }.otherwise(lit(true))
+    docs.select(col("doc_id"), col("lang"), keep.as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** 8-hex-digit threshold for a keep rate in [0, 1]. */
+  def hexThreshold(rate: Double): String = {
+    val t = math.min(math.max((rate * 4294967296.0).toLong, 0L), 4294967295L)
+    String.format(java.util.Locale.ROOT, "%08x", java.lang.Long.valueOf(t))
+  }
+
   /** Document fingerprinting: content hash + structural summary — the graft of
     * the reference's golden-compare identity per input
     * (test_tipc/compare_results.py:11-60). md5 is the cross-engine-exact hash.

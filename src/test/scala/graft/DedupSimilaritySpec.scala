@@ -340,6 +340,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(r == Seq((10L, 1L), (11L, 0L), (12L, 3L)))
   }
 
+  test("tokenWindows: exact window arithmetic incl. short docs and truncated tails") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 toks, W=4 S=3 → windows at 0,3,6 (exact fit)
+      (2L, "a b c d e f g h i j k"), // 11 toks → 0,3,6,9 (tail of 2)
+      (3L, "x y"))                   // 2 toks ≤ W → one short window
+      .toDF("doc_id", "text")
+    val r = TextFunctions.tokenWindows(docs, window = 4, stride = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4)))
+    assert(r.toSeq == Seq(
+      (1L, 0L, 0L, 4L, "a b c d"), (1L, 1L, 3L, 4L, "d e f g"),
+      (1L, 2L, 6L, 4L, "g h i j"),
+      (2L, 0L, 0L, 4L, "a b c d"), (2L, 1L, 3L, 4L, "d e f g"),
+      (2L, 2L, 6L, 4L, "g h i j"), (2L, 3L, 9L, 2L, "j k"),
+      (3L, 0L, 0L, 2L, "x y")))
+  }
+
+  test("mixtureSample: content-stable verdicts, rate-proportional keeps, unlisted langs kept") {
+    import spark.implicits._
+    val docs = (0L until 2000L).map(i =>
+      (i, if (i % 2 == 0) "en" else "xx", "t")).toDF("doc_id", "lang", "text")
+    val r = TextFunctions.mixtureSample(docs, Map("en" -> 0.25)).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getBoolean(2)))
+    // unlisted language keeps everything
+    assert(r.filter(_._2 == "xx").forall(_._3))
+    // keep fraction ≈ rate (hash-uniform; 1000 trials, generous band)
+    val en = r.filter(_._2 == "en")
+    val frac = en.count(_._3).toDouble / en.length
+    assert(frac > 0.17 && frac < 0.33, s"keep fraction $frac")
+    // content-stable: a second run (different partitioning) agrees row-for-row
+    val again = TextFunctions.mixtureSample(docs.repartition(7), Map("en" -> 0.25))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getBoolean(2)))
+    assert(r.toSeq == again.toSeq)
+  }
+
   test("repetitionSignals: hand-computed Gopher-rule fractions") {
     import spark.implicits._
     val docs = Seq(
