@@ -424,6 +424,36 @@ object SparkEntry {
     // content-stable hash (resumable/auditable — never rand())
     "d17_mixture_sample" -> ((s, dir) =>
       TextFunctions.mixtureSample(docs(s, dir), mixtureRates)),
+    // the FULL corpus-construction pipeline, end-to-end ORACLE-CHECKED (x13
+    // is the extraction-fed composition, rows-only; this one runs over the
+    // documents table so every stage is SQL-expressible): quality gate →
+    // Gopher repetition gate → exact dedup → MinHash-LSH + Jaccard near-dup
+    // removal → 4-gram benchmark decontamination → deterministic mixture
+    // sampling → 64/48 token windows. One DuckDB query replays the whole
+    // chain and the window set must hash-match bit-for-bit.
+    "d18_corpus_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") < 20)
+      val corpus = d.filter(col("doc_id") >= 20)
+      val gateIds = TextFunctions.repetitionSignals(corpus)
+        .filter(col("n_tokens") >= 5 && col("top_token_frac") <= 0.2)
+        .select("doc_id")
+      val gated = corpus.join(gateIds, Seq("doc_id"))
+      val wDedup = Window.partitionBy(md5(col("text").cast("binary")))
+        .orderBy(col("doc_id"))
+      val exact = gated.withColumn("rn", row_number().over(wDedup))
+        .filter(col("rn") === 1).drop("rn")
+      val nearDup = DedupFunctions.jaccardPairs(exact, 0.9)
+        .select(col("doc_b").as("doc_id"))
+      val deduped = exact.join(nearDup, Seq("doc_id"), "left_anti")
+      val contaminated = DedupFunctions.contamination(deduped, bench, n = 4)
+        .filter(col("n_overlap") > 0).select("doc_id")
+      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      val sampled = clean.join(
+        TextFunctions.mixtureSample(clean, mixtureRates)
+          .filter(col("keep")).select("doc_id"), Seq("doc_id"))
+      TextFunctions.tokenWindows(sampled, window = 64, stride = 48)
+    }),
     // RTL segment reversal (pred_reverse analog) — row-local, fully pushable
     "d12_pred_reverse" -> ((s, dir) =>
       docs(s, dir).filter(col("doc_id") < 200)
@@ -792,6 +822,61 @@ object SparkEntry {
         |       coalesce(round(mb::DOUBLE / n_bigrams, 4), 0.0) AS top_bigram_frac
         |FROM ta LEFT JOIN ba ON ta.doc_id = ba.doc_id
         |ORDER BY ta.doc_id""".stripMargin,
+    "d18_corpus_pipeline" -> {
+      val cases = mixtureRates.map { case (lang, r) =>
+        s"WHEN lang = '$lang' THEN substr(md5('mix:' || doc_id), 1, 8) < '${TextFunctions.hexThreshold(r)}'"
+      }.mkString(" ")
+      s"""WITH corpus AS (SELECT doc_id, lang, text FROM documents WHERE doc_id >= 20),
+         |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus),
+         |tc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+         |rep AS (SELECT doc_id FROM (SELECT doc_id, sum(c) AS n, max(c) AS m FROM tc GROUP BY 1)
+         |        WHERE n >= 5 AND round(m::DOUBLE / n, 4) <= 0.2),
+         |gated AS (SELECT c.* FROM corpus c JOIN rep USING (doc_id)),
+         |exact AS (SELECT doc_id, lang, text FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM gated) WHERE rn = 1),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM exact),
+         |sh AS (SELECT doc_id,
+         |              unnest(list_transform(range(len(ws) - 2),
+         |                     i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS s
+         |       FROM t WHERE len(ws) >= 3),
+         |sig AS (SELECT doc_id,
+         |               min(md5('0:' || s)) AS mh0, min(md5('1:' || s)) AS mh1,
+         |               min(md5('2:' || s)) AS mh2, min(md5('3:' || s)) AS mh3
+         |        FROM sh GROUP BY doc_id),
+         |bands AS (SELECT doc_id, unnest([mh0, mh1, mh2, mh3]) AS band FROM sig),
+         |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |u AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM exact),
+         |nd AS (SELECT DISTINCT doc_b AS doc_id FROM (
+         |    SELECT doc_a, doc_b,
+         |           round(len(list_intersect(ua.ws, ub.ws))::DOUBLE
+         |                 / (len(ua.ws) + len(ub.ws) - len(list_intersect(ua.ws, ub.ws))), 4) AS j
+         |    FROM cands JOIN u ua ON doc_a = ua.doc_id JOIN u ub ON doc_b = ub.doc_id) p
+         |    WHERE j >= 0.9),
+         |deduped AS (SELECT e.* FROM exact e LEFT JOIN nd ON e.doc_id = nd.doc_id
+         |            WHERE nd.doc_id IS NULL),
+         |bws AS (SELECT doc_id, string_split(text, ' ') AS ls FROM documents WHERE doc_id < 20),
+         |bg AS (SELECT DISTINCT ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2] || ' ' || ls[i+3] AS g
+         |       FROM (SELECT doc_id, ls, unnest(range(1, len(ls) - 2)) AS i FROM bws)),
+         |dws AS (SELECT doc_id, string_split(text, ' ') AS ls FROM deduped),
+         |dg AS (SELECT doc_id, ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2] || ' ' || ls[i+3] AS g
+         |       FROM (SELECT doc_id, ls, unnest(range(1, len(ls) - 2)) AS i FROM dws)),
+         |cont AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (g)),
+         |clean AS (SELECT d.* FROM deduped d LEFT JOIN cont ON d.doc_id = cont.doc_id
+         |          WHERE cont.doc_id IS NULL),
+         |sampled AS (SELECT * FROM clean WHERE CASE $cases ELSE TRUE END),
+         |ws2 AS (SELECT doc_id, string_split(text, ' ') AS ls FROM sampled),
+         |w2 AS (SELECT doc_id, ls,
+         |        unnest(range(0, CASE WHEN len(ls) <= 64 THEN 1
+         |                             ELSE CAST(ceil((len(ls) - 64)::DOUBLE / 48) AS INT) + 1
+         |                        END)) AS i
+         |       FROM ws2)
+         |SELECT doc_id, i::BIGINT AS window_idx, (i * 48)::BIGINT AS start_tok,
+         |       least(64, len(ls) - i * 48)::BIGINT AS n_window_tokens,
+         |       array_to_string(ls[i * 48 + 1 : i * 48 + 64], ' ') AS window_text
+         |FROM w2 ORDER BY doc_id, window_idx""".stripMargin
+    },
     "d16_token_windows" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ls FROM documents),
         |w AS (SELECT doc_id, ls,
