@@ -424,6 +424,10 @@ object SparkEntry {
     // content-stable hash (resumable/auditable — never rand())
     "d17_mixture_sample" -> ((s, dir) =>
       TextFunctions.mixtureSample(docs(s, dir), mixtureRates)),
+    // per-source scorecard: doc counts, duplication ratio, token mass — the
+    // source-level weighting/drop decision of a web-corpus build
+    "d19_source_scorecard" -> ((s, dir) =>
+      TextFunctions.sourceScorecard(docs(s, dir))),
     // the FULL corpus-construction pipeline, end-to-end ORACLE-CHECKED (x13
     // is the extraction-fed composition, rows-only; this one runs over the
     // documents table so every stage is SQL-expressible): quality gate →
@@ -832,6 +836,13 @@ object SparkEntry {
         |       coalesce(round(mb::DOUBLE / n_bigrams, 4), 0.0) AS top_bigram_frac
         |FROM ta LEFT JOIN ba ON ta.doc_id = ba.doc_id
         |ORDER BY ta.doc_id""".stripMargin,
+    "d19_source_scorecard" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |       count(DISTINCT md5(text))::BIGINT AS n_distinct,
+        |       round(1.0 - count(DISTINCT md5(text))::DOUBLE / count(*), 4) AS dup_ratio,
+        |       sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+        |       round(sum(len(string_split(text, ' ')))::DOUBLE / count(*), 4) AS avg_doc_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "d18_corpus_pipeline" -> {
       val cases = mixtureRates.map { case (lang, r) =>
         s"WHEN lang = '$lang' THEN substr(md5('mix:' || doc_id), 1, 8) < '${TextFunctions.hexThreshold(r)}'"

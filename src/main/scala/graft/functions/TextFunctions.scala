@@ -220,6 +220,29 @@ object TextFunctions {
     String.format(java.util.Locale.ROOT, "%08x", java.lang.Long.valueOf(t))
   }
 
+  /** Per-source scorecard — the source-level weighting/drop decision of a
+    * web-corpus build (C4/RefinedWeb drop or down-weight whole sources by
+    * their measured quality; public methodology): per source, document count,
+    * distinct-content count (md5), duplication ratio, and token mass. One
+    * aggregation keyed by source (tiny cardinality — a broadcast-joinable
+    * scorecard at any corpus size); the distinct count shuffles the 16-byte
+    * digest, never the text. */
+  def sourceScorecard(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        md5(col("text").cast("binary")).as("h"),
+        size(tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        count_distinct(col("h")).cast("long").as("n_distinct"),
+        sum(col("nt")).cast("long").as("total_tokens"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 4)
+          .as("dup_ratio"),
+        col("total_tokens"),
+        round(col("total_tokens").cast("double") / col("n_docs"), 4)
+          .as("avg_doc_tokens"))
+      .orderBy("source")
+
   /** Document fingerprinting: content hash + structural summary — the graft of
     * the reference's golden-compare identity per input
     * (test_tipc/compare_results.py:11-60). md5 is the cross-engine-exact hash.

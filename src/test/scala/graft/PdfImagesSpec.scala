@@ -118,6 +118,38 @@ class PdfImagesSpec extends AnyFunSuite {
     assert(rows.map(_.img_md5).toSeq == again.map(_.img_md5).toSeq)
   }
 
+  test("fuzz: mutated and random payloads never crash image mining, and are deterministic") {
+    // crash-safety at 10^12 docs: hostile/corrupt PDFs must yield rows or
+    // nothing — never a throw, and identically on every run
+    val rng = new java.util.Random(20260817L)
+    val base = fixture(5)
+    val payloads = (0 until 150).map { i =>
+      if (i % 3 == 0) { // byte-flip mutations of a valid image PDF
+        val b = base.clone()
+        (0 until 1 + rng.nextInt(8)).foreach { _ =>
+          b(rng.nextInt(b.length)) = (rng.nextInt(256) - 128).toByte
+        }
+        b
+      } else if (i % 3 == 1) { // truncations
+        java.util.Arrays.copyOf(base, 1 + rng.nextInt(base.length))
+      } else { // random bytes with a %PDF magic prefix
+        val b = new Array[Byte](64 + rng.nextInt(2048))
+        rng.nextBytes(b)
+        System.arraycopy("%PDF-1.4\n".getBytes("ISO-8859-1"), 0, b, 0, 9)
+        b
+      }
+    }
+    def mine(): Seq[(Int, String)] = payloads.zipWithIndex.flatMap { case (p, i) =>
+      graft.pdf.RealPdf.parse(p, 50).toSeq.flatMap(_.images).map(im =>
+        (i, s"${im.name}:${im.width}x${im.height}:${im.filter}:${im.data.length}"))
+    }
+    val a = mine()
+    val b = mine()
+    assert(a == b, "image mining is not deterministic under corruption")
+    // the valid-base mutations should still surface SOME images overall
+    assert(a.nonEmpty)
+  }
+
   test("body text above a figure is never stolen as its caption") {
     val page = CorpusSource.pdfImagePages(spark, 1).collect().head
     val parsed = RealPdf.parse(page.html, maxPages = 50).get
