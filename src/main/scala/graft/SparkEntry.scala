@@ -28,6 +28,13 @@ object SparkEntry {
     * so the two sides can never drift. Unlisted languages keep everything. */
   private val mixtureRates: Map[String, Double] =
     Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.8)
+  /** One WHEN branch of the oracle's mixture CASE — mirrors mixtureSample's
+    * rate-boundary short-circuits (≥1.0 → TRUE, ≤0.0 → FALSE) so the Spark
+    * query and the DuckDB oracle cannot drift at the boundaries either. */
+  private def mixtureCaseSql(lang: String, r: Double): String =
+    if (r >= 1.0) s"WHEN lang = '$lang' THEN TRUE"
+    else if (r <= 0.0) s"WHEN lang = '$lang' THEN FALSE"
+    else s"WHEN lang = '$lang' THEN substr(md5('mix:' || doc_id), 1, 8) < '${TextFunctions.hexThreshold(r)}'"
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
   private def events(s: SparkSession, dir: String): DataFrame =
@@ -209,7 +216,10 @@ object SparkEntry {
     "x17_pdf_images" -> ((s, _) =>
       graft.functions.PdfImages.imageTable(CorpusSource.pdfImagePages(s, 60)).toDF()
         .drop("img")
-        .orderBy("url", "page", "img_name")),
+        // y_top/x disambiguate a page drawing the SAME XObject several times
+        // (one row per Do occurrence) — (url, page, name) alone is not a
+        // total order for those, and equal-key rows may swap across runs
+        .orderBy("url", "page", "img_name", "y_top", "x")),
 
     // ================= relational recasts (oracle-checked) =================
     // score/size filter + projection (≡ drop_score gate + KeepKeys,
@@ -439,7 +449,7 @@ object SparkEntry {
       val d = docs(s, dir)
       val bench = d.filter(col("doc_id") < 20)
       val corpus = d.filter(col("doc_id") >= 20)
-      val gateIds = TextFunctions.repetitionSignals(corpus)
+      val gateIds = TextFunctions.tokenRepetition(corpus)
         .filter(col("n_tokens") >= 5 && col("top_token_frac") <= 0.2)
         .select("doc_id")
       val gated = corpus.join(gateIds, Seq("doc_id"))
@@ -845,7 +855,7 @@ object SparkEntry {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "d18_corpus_pipeline" -> {
       val cases = mixtureRates.map { case (lang, r) =>
-        s"WHEN lang = '$lang' THEN substr(md5('mix:' || doc_id), 1, 8) < '${TextFunctions.hexThreshold(r)}'"
+        mixtureCaseSql(lang, r)
       }.mkString(" ")
       s"""WITH corpus AS (SELECT doc_id, lang, text FROM documents WHERE doc_id >= 20),
          |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus),
@@ -911,7 +921,7 @@ object SparkEntry {
         |FROM w ORDER BY doc_id, window_idx""".stripMargin,
     "d17_mixture_sample" -> {
       val cases = mixtureRates.map { case (lang, r) =>
-        s"WHEN lang = '$lang' THEN substr(md5('mix:' || doc_id), 1, 8) < '${TextFunctions.hexThreshold(r)}'"
+        mixtureCaseSql(lang, r)
       }.mkString(" ")
       s"""SELECT doc_id, lang, CASE $cases ELSE TRUE END AS keep
          |FROM documents ORDER BY doc_id""".stripMargin

@@ -535,19 +535,24 @@ object PqKernel {
     while (d < dim) { if (q.isNullAt(d)) return 0.0; d += 1 }
     val list = enc.getLong(0).toInt
     if (list < 0 || list >= coarse.length) return 0.0
+    // any out-of-range codeword id makes the WHOLE encoding degenerate —
+    // a partial sum would be a plausible-looking but wrong score
+    var sm = 0
+    while (sm < m) {
+      val code = enc.getLong(1 + sm)
+      if (code < 0 || code >= cbs(sm).length) return 0.0
+      sm += 1
+    }
     var s = 0.0
     val ct = coarse(list)
     var i = 0
     while (i < dim) { s += q.getDouble(i) * ct(i); i += 1 }
-    var sm = 0
+    sm = 0
     while (sm < m) {
-      val code = enc.getLong(1 + sm).toInt
-      if (code >= 0 && code < cbs(sm).length) {
-        val cw = cbs(sm)(code)
-        val base = sm * dsub
-        var j = 0
-        while (j < dsub) { s += q.getDouble(base + j) * cw(j); j += 1 }
-      }
+      val cw = cbs(sm)(enc.getLong(1 + sm).toInt)
+      val base = sm * dsub
+      var j = 0
+      while (j < dsub) { s += q.getDouble(base + j) * cw(j); j += 1 }
       sm += 1
     }
     s

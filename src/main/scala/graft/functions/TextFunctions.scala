@@ -128,11 +128,7 @@ object TextFunctions {
   }
 
   /** Word bigrams of a token array column (empty when <2 tokens). */
-  def bigrams(ws: Column): Column =
-    when(size(ws) >= 2,
-      transform(sequence(lit(0), size(ws) - 2),
-        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
-      .otherwise(array().cast("array<string>"))
+  def bigrams(ws: Column): Column = shinglesN(ws, 2)
 
   /** Token-repetition quality signals — the Gopher-rule repetition family
     * (Rae et al. 2021, "Scaling Language Models: ... Gopher", §A1.1: pages
@@ -145,25 +141,32 @@ object TextFunctions {
     * combine (the d06 shape — grams, never text, cross the exchange), then a
     * doc_id equi-join of the two small aggregated sides. No UDFs; scales as
     * token count, not document size squared. */
-  def repetitionSignals(docs: DataFrame): DataFrame = {
-    val ws = tokens(col("text"))
-    val toks = docs.select(col("doc_id"), explode(ws).as("tok"))
-    val tokAgg = toks.groupBy(col("doc_id"), col("tok"))
+  /** Token-side repetition stats only — one gram aggregation, no bigram
+    * pass. This IS the repetition gate's input (d18): a composition that
+    * filters on token-side columns alone should not pay for the bigram
+    * explode [[repetitionSignals]] adds for the full d14 signal set. */
+  def tokenRepetition(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).cast("long").as("n_tokens"),
         count(lit(1)).cast("long").as("n_distinct"),
         max(col("c")).as("m"))
-    val bg = docs.select(col("doc_id"), explode(bigrams(ws)).as("bg"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 4).as("distinct_ratio"),
+        round(col("m").cast("double") / col("n_tokens"), 4).as("top_token_frac"))
+
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val bg = docs.select(col("doc_id"), explode(bigrams(tokens(col("text")))).as("bg"))
     val bgAgg = bg.groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).cast("long").as("n_bigrams"), max(col("c")).as("mb"))
-    tokAgg.join(bgAgg, Seq("doc_id"), "left")
+    tokenRepetition(docs).join(bgAgg, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        col("n_tokens"), col("n_distinct"),
-        round(col("n_distinct").cast("double") / col("n_tokens"), 4).as("distinct_ratio"),
-        round(col("m").cast("double") / col("n_tokens"), 4).as("top_token_frac"),
+        col("n_tokens"), col("n_distinct"), col("distinct_ratio"),
+        col("top_token_frac"),
         coalesce(col("n_bigrams"), lit(0L)).cast("long").as("n_bigrams"),
         coalesce(round(col("mb").cast("double") / col("n_bigrams"), 4), lit(0.0))
           .as("top_bigram_frac"))
@@ -179,6 +182,10 @@ object TextFunctions {
     * arithmetic is integer-exact and SQL-expressible (oracle-checked). */
   def tokenWindows(docs: DataFrame, window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0, "window and stride must be positive")
+    // stride > window would make the nWin formula emit phantom windows whose
+    // start lies past the end of the doc (negative n_window_tokens); gap
+    // sampling is a different op — this one tiles with overlap or adjacency
+    require(stride <= window, s"stride $stride must not exceed window $window")
     val base = docs.select(col("doc_id"), tokens(col("text")).as("ws"))
     val nWin = when(size(col("ws")) <= window, lit(1))
       .otherwise(ceil((size(col("ws")) - window).cast("double") / stride)
@@ -207,8 +214,16 @@ object TextFunctions {
     // lexicographic compare of the first 8 lowercase hex chars == numeric
     // compare of the top 32 bits — identical in Spark and DuckDB (d04's md5
     // parity), no hex→int conversion needed on either side
+    // rate boundaries short-circuit: ≥1.0 keeps ALL (the strict < against a
+    // clamped "ffffffff" threshold would drop the 1-in-2^32 docs hashing to
+    // exactly that prefix — at 10^12 rows a real, silent loss) and ≤0.0
+    // drops all; the oracle builder mirrors these cases (TRUE/FALSE)
     val keep = rates.foldLeft(when(lit(false), lit(false))) { case (acc, (lang, r)) =>
-      acc.when(col("lang") === lang, substring(h, 1, 8) < lit(hexThreshold(r)))
+      val verdict =
+        if (r >= 1.0) lit(true)
+        else if (r <= 0.0) lit(false)
+        else substring(h, 1, 8) < lit(hexThreshold(r))
+      acc.when(col("lang") === lang, verdict)
     }.otherwise(lit(true))
     docs.select(col("doc_id"), col("lang"), keep.as("keep"))
       .orderBy("doc_id")

@@ -1094,13 +1094,21 @@ object RealPdf {
         // the sequential scan (a substring re-search could match "4 0 obj"
         // inside "14 0 obj" or inside compressed stream bytes)
         val off = contentRefs.headOption.flatMap(objs.get).map(_.offset).getOrElse(0)
-        val places = Vector.newBuilder[ImagePlace]
-        val chunks = datas.flatMap { d =>
-          val scan = extractChunks(d, fonts)
-          unmappedShows += scan.unmapped
-          places ++= scan.places
-          scan.chunks
-        }.toVector
+        // ISO 32000 §7.8.2: a page's /Contents array behaves as ONE stream —
+        // graphics/text state (CTM, q/Q depth, current font) legally spans
+        // stream boundaries, so parse the CONCATENATION (writers routinely
+        // split 'cm' and the 'Do' it governs across streams). Tokens cannot
+        // span boundaries, so a whitespace byte joins them safely.
+        val joined =
+          if (datas.length <= 1) datas.headOption.getOrElse(Array.emptyByteArray)
+          else {
+            val out = new java.io.ByteArrayOutputStream(datas.map(_.length).sum + datas.length)
+            datas.foreach { d => out.write(d); out.write('\n') }
+            out.toByteArray
+          }
+        val scan = extractChunks(joined, fonts)
+        unmappedShows += scan.unmapped
+        val chunks = scan.chunks
         // embedded images: every /Resources /XObject image, with a placement
         // rect per Do occurrence (top-down coords, like PBlock) — an image the
         // content stream never drew still carries its payload (placed=false)
@@ -1122,7 +1130,7 @@ object RealPdf {
               pl.map(q => q.y1 - q.y0).getOrElse(0.0),
               placed = pl.isDefined)
           }
-          for (pl <- places.result(); o <- byName.get(pl.name)) {
+          for (pl <- scan.places; o <- byName.get(pl.name)) {
             drawn += pl.name
             images += mk(pl.name, o, Some(pl))
           }

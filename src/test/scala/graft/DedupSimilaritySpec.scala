@@ -373,6 +373,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val again = TextFunctions.mixtureSample(docs.repartition(7), Map("en" -> 0.25))
       .collect().map(x => (x.getLong(0), x.getString(1), x.getBoolean(2)))
     assert(r.toSeq == again.toSeq)
+    // rate boundaries: 1.0 keeps ALL (no 1-in-2^32 hash-boundary loss), 0.0 drops all
+    val bounds = TextFunctions.mixtureSample(docs,
+      Map("en" -> 1.0, "xx" -> 0.0)).collect()
+      .map(x => (x.getString(1), x.getBoolean(2)))
+    assert(bounds.filter(_._1 == "en").forall(_._2))
+    assert(bounds.filter(_._1 == "xx").forall(!_._2))
+    // stride > window is a contract violation, not silent phantom windows
+    intercept[IllegalArgumentException] {
+      TextFunctions.tokenWindows(docs, window = 4, stride = 10)
+    }
   }
 
   test("repetitionSignals: hand-computed Gopher-rule fractions") {

@@ -118,6 +118,33 @@ class PdfImagesSpec extends AnyFunSuite {
     assert(rows.map(_.img_md5).toSeq == again.map(_.img_md5).toSeq)
   }
 
+  test("graphics state spans a page's multiple content streams (ISO 32000 §7.8.2)") {
+    // writers routinely split `cm` and the `Do` it governs across streams in
+    // a /Contents array — the page must parse as ONE concatenated stream
+    val jpeg = MediaFixtures.jpeg(20, 10, 7)
+    val a = "q\n200 0 0 150 50 400 cm\n"
+    val b = "/Im0 Do\nQ\n"
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    put("%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    put("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    put("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents [4 0 R 5 0 R] /Resources << /XObject << /Im0 6 0 R >> >> >>\nendobj\n")
+    put(s"4 0 obj\n<< /Length ${a.length} >>\nstream\n$a\nendstream\nendobj\n")
+    put(s"5 0 obj\n<< /Length ${b.length} >>\nstream\n$b\nendstream\nendobj\n")
+    put(s"6 0 obj\n<< /Type /XObject /Subtype /Image /Width 20 /Height 10 " +
+      s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode " +
+      s"/Length ${jpeg.length} >>\nstream\n")
+    out.write(jpeg)
+    put("\nendstream\nendobj\n%%EOF\n")
+    val parsed = RealPdf.parse(out.toByteArray, maxPages = 50).get
+    assert(parsed.images.length == 1)
+    val im = parsed.images.head
+    assert(im.placed, "Do in the second stream lost the first stream's CTM")
+    assert(im.x == 50.0 && im.drawW == 200.0 && im.drawH == 150.0,
+      s"(${im.x}, ${im.yTop}, ${im.drawW}, ${im.drawH})")
+  }
+
   test("fuzz: mutated and random payloads never crash image mining, and are deterministic") {
     // crash-safety at 10^12 docs: hostile/corrupt PDFs must yield rows or
     // nothing — never a throw, and identically on every run
