@@ -168,7 +168,10 @@ object SparkEntry {
     // rollup with map-side partial aggregation — no join to recover the date.
     "x16_partitioned_ingest" -> ((s, _) => {
       val out = java.nio.file.Files.createTempDirectory("graft_dtpart").toFile
-      out.deleteOnExit()
+      // deleteOnExit cannot remove a non-empty directory — the partitioned
+      // dt=*/part-* tree needs a recursive delete at JVM exit
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(out): Unit))
       CorpusSource.pages(s, 280).toDF()
         .withColumn("dt", to_date(col("warc_ts")))
         .write.partitionBy("dt").mode("overwrite").parquet(out.getAbsolutePath)

@@ -417,6 +417,14 @@ object IvfKernel {
           if (!taken(c) && dist(c) < bestD) { best = c; bestD = dist(c) }
           c += 1
         }
+        if (best < 0) {
+          // all remaining distances NaN/Infinity (a NaN coordinate passes the
+          // shape check; huge values overflow the squared sum) — fall back to
+          // the lowest untaken id, deterministic like the degenerate path
+          c = 0
+          while (taken(c)) c += 1
+          best = c
+        }
         taken(best) = true
         out(j) = best.toLong
         j += 1
@@ -726,9 +734,18 @@ object GraftExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_lang_best", exprs => LangBestExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_srp_buckets", exprs => SrpBucketsExpr(exprs.head,
-        exprs(1).eval(InternalRow.empty).asInstanceOf[Number].intValue,
-        exprs(2).eval(InternalRow.empty).asInstanceOf[Number].intValue,
-        exprs(3).eval(InternalRow.empty).asInstanceOf[Number].intValue), "scala_udf")
+      "graft_srp_buckets", exprs => {
+        // clean errors at resolution time: a raw exprs(1) on a 3-arg call
+        // would throw IndexOutOfBounds, and eval of a non-foldable arg on an
+        // empty row an obscure eval-time error instead of this message
+        require(exprs.length == 4,
+          s"graft_srp_buckets(v, nTables, nPlanes, dim) takes 4 arguments, got ${exprs.length}")
+        def intArg(i: Int, name: String): Int = {
+          require(exprs(i).foldable, s"graft_srp_buckets: $name must be a literal")
+          exprs(i).eval(InternalRow.empty).asInstanceOf[Number].intValue
+        }
+        SrpBucketsExpr(exprs.head,
+          intArg(1, "nTables"), intArg(2, "nPlanes"), intArg(3, "dim"))
+      }, "scala_udf")
   }
 }

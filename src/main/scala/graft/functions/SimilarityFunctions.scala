@@ -164,21 +164,31 @@ object SimilarityFunctions {
     * one-pass row-local kernel. */
   def ivfCentroids(emb: DataFrame, k: Int, iters: Int, dim: Int): Seq[Seq[Double]] = {
     val v = col("embedding").cast("array<double>")
-    var cents: Seq[Seq[Double]] = emb.filter(col("vec_id") < k)
+    // wrong-shape embeddings are excluded from TRAINING entirely: the
+    // assignment kernel routes them to list 0 (degenerate path) but their
+    // posexplode rows would index past the centroid dims or skew real cells
+    val clean = emb.filter(size(col("embedding")) === dim)
+    var cents: Seq[Seq[Double]] = clean.filter(col("vec_id") < k)
       .orderBy("vec_id").select(v.as("e")).collect()
       .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
     require(cents.length == k, s"init needs vec_ids 0..${k - 1} present, got ${cents.length}")
     for (_ <- 0 until iters) {
       val assign = element_at(
         graft.expressions.GraftExpressions.ivfNearest(v, cents, 1), 1).as("list_id")
-      val upd = emb.select(assign, posexplode(v).as(Seq("pos", "vd")))
+      val upd = clean.select(assign, posexplode(v).as(Seq("pos", "vd")))
         .groupBy(col("list_id"), col("pos"))
         .agg((sum(col("vd").cast("decimal(38,18)")) / count(lit(1)))
           .cast("double").as("c"))
         .collect()
       val next = Array.tabulate(k)(i => cents(i).toArray.clone())
       upd.foreach { r =>
-        next(r.getLong(0).toInt)(r.getInt(1)) = r.getDouble(2)
+        val li = r.getLong(0).toInt
+        val pos = r.getInt(1)
+        // rows from wrong-length embeddings (posexplode runs on the raw
+        // array even when the assignment kernel took its degenerate path)
+        // must not index past the centroid dims or skew a real cell
+        if (li >= 0 && li < k && pos >= 0 && pos < next(li).length)
+          next(li)(pos) = r.getDouble(2)
       }
       cents = next.map(_.toIndexedSeq).toIndexedSeq
     }
@@ -230,9 +240,12 @@ object SimilarityFunctions {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val dsub = dim / m
     val coarse = ivfCentroids(emb, k, iters, dim)
-    val res = emb.select(col("vec_id"),
-      graft.expressions.GraftExpressions.pqResidual(
-        col("embedding").cast("array<double>"), coarse).as("res"))
+    // same training-hygiene filter as ivfCentroids: dirty rows would feed
+    // all-zero residuals (the kernel's degenerate output) into the codebooks
+    val res = emb.filter(size(col("embedding")) === dim)
+      .select(col("vec_id"),
+        graft.expressions.GraftExpressions.pqResidual(
+          col("embedding").cast("array<double>"), coarse).as("res"))
     // init per subspace = the residual subvectors of vec_id 0..ksub-1 (the
     // ivfCentroids init rule applied to each slice — data-defined, order-free)
     val initRows = res.filter(col("vec_id") < ksub).orderBy("vec_id")
@@ -264,7 +277,9 @@ object SimilarityFunctions {
         .collect()
       val next = Array.tabulate(m)(s => cbs(s).map(_.toArray.clone()).toArray)
       upd.foreach { r =>
-        next(r.getInt(0))(r.getLong(1).toInt)(r.getInt(2)) = r.getDouble(3)
+        val sub = r.getInt(0); val code = r.getLong(1).toInt; val spos = r.getInt(2)
+        if (sub >= 0 && sub < m && code >= 0 && code < ksub && spos >= 0 && spos < dsub)
+          next(sub)(code)(spos) = r.getDouble(3)
       }
       cbs = next.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq
     }
