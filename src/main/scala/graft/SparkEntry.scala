@@ -441,6 +441,13 @@ object SparkEntry {
     // source-level weighting/drop decision of a web-corpus build
     "d19_source_scorecard" -> ((s, dir) =>
       TextFunctions.sourceScorecard(docs(s, dir))),
+    // connected-components clustering of the near-dup graph (min-label
+    // propagation to fixpoint): one keeper per duplicate CLUSTER, not per
+    // pair — near-dup is not transitive, so chains A–B–C must collapse to
+    // one component. Oracle = DuckDB recursive CTE (transitive closure over
+    // the same verified pair set).
+    "d20_dedup_components" -> ((s, dir) =>
+      DedupFunctions.dedupComponents(docs(s, dir), 0.5)),
     // the FULL corpus-construction pipeline, end-to-end ORACLE-CHECKED (x13
     // is the extraction-fed composition, rows-only; this one runs over the
     // documents table so every stage is SQL-expressible): quality gate →
@@ -856,6 +863,36 @@ object SparkEntry {
         |       sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
         |       round(sum(len(string_split(text, ' ')))::DOUBLE / count(*), 4) AS avg_doc_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "d20_dedup_components" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |              unnest(list_transform(range(len(ws) - 2),
+        |                     i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS s
+        |       FROM t WHERE len(ws) >= 3),
+        |sig AS (SELECT doc_id,
+        |               min(md5('0:' || s)) AS mh0, min(md5('1:' || s)) AS mh1,
+        |               min(md5('2:' || s)) AS mh2, min(md5('3:' || s)) AS mh3
+        |        FROM sh GROUP BY doc_id),
+        |bands AS (SELECT doc_id, unnest([mh0, mh1, mh2, mh3]) AS band FROM sig),
+        |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |u AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT doc_a, doc_b,
+        |           round(len(list_intersect(ua.ws, ub.ws))::DOUBLE
+        |                 / (len(ua.ws) + len(ub.ws) - len(list_intersect(ua.ws, ub.ws))), 4) AS jaccard
+        |    FROM cands JOIN u ua ON doc_a = ua.doc_id JOIN u ub ON doc_b = ub.doc_id) p
+        |  WHERE jaccard >= 0.5),
+        |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT reach.id, e.d AS r FROM reach JOIN edges e ON e.s = reach.r
+        |)
+        |SELECT id AS doc_id, min(r) AS component_id, min(r) = id AS is_keeper
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "d18_corpus_pipeline" -> {
       val cases = mixtureRates.map { case (lang, r) =>
         mixtureCaseSql(lang, r)

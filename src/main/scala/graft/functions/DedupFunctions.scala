@@ -81,7 +81,15 @@ object DedupFunctions {
     * Scale shape: two narrow equi-joins of (candidate pair) × (doc token set)
     * — O(|candidates|) work, vs the previous (lang, size-bucket) blocking
     * whose within-block join was quadratic in the hottest block. */
-  def jaccardPairs(docs: DataFrame, minJaccard: Double, k: Int = 4): DataFrame = {
+  def jaccardPairs(docs: DataFrame, minJaccard: Double, k: Int = 4): DataFrame =
+    jaccardPairsRaw(docs, minJaccard, k).orderBy("doc_a", "doc_b")
+
+  /** [[jaccardPairs]] without the presentation sort (composition surface:
+    * dedupComponents consumes the pair set as an edge list — a global sort
+    * there would be a wasted exchange, same rationale as
+    * [[lshCandidatePairsRaw]]). */
+  private[graft] def jaccardPairsRaw(docs: DataFrame, minJaccard: Double,
+                                     k: Int = 4): DataFrame = {
     val cands = lshCandidatePairsRaw(docs, k)
     val t = docs.select(col("doc_id"),
       array_distinct(TextFunctions.tokens(col("text"))).as("ws"))
@@ -98,7 +106,69 @@ object DedupFunctions {
       .select(col("doc_a"), col("doc_b"),
         round(col("inter") / (col("sizes") - col("inter")), 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Connected-components clustering of the near-dup graph — the "keep ONE
+    * doc per duplicate CLUSTER" step a production dedup needs after pairwise
+    * verification, because near-duplication is NOT transitive: A~B and B~C
+    * does not imply A~C, yet all three are one duplicate cluster and pairwise
+    * removal (drop the higher id of each pair) can drop B for A and C for B
+    * while a chain A–B–C–D keeps both A and C. Standard methodology in
+    * corpus builds (The Pile / RefinedWeb dedup cluster their MinHash pair
+    * graph with union-find before choosing keepers; public methodology).
+    *
+    * Algorithm: min-label propagation to a fixpoint — every doc starts
+    * labeled with its own id; each round a doc's label becomes the min of its
+    * own and its neighbors' labels. Converges in O(longest shortest path from
+    * a component's min-id node) rounds; the result is independent of
+    * iteration order and parallelism (min is commutative/associative), so the
+    * output is deterministic: component_id = min doc_id of the cluster, and
+    * `is_keeper` marks exactly one doc per component (singletons keep
+    * themselves).
+    *
+    * Scale shape: the edge list (verified near-dup pairs — linear in true
+    * near-dups, from the banded LSH join) is localCheckpoint'd once and
+    * reused every round; each round is ONE equi-join of (src,dst)×(id,comp)
+    * plus ONE min-aggregation keyed by id — all rows are two longs, no text
+    * ever crosses an exchange, and the per-round labels are checkpointed so
+    * lineage stays O(1). Convergence is detected with a driver-side scalar
+    * count (control plane, like ExtractPipeline's bucket probe). Real dedup
+    * clusters are shallow (near-dup graphs are dense within a cluster —
+    * bands connect most members to the min directly), so rounds ≈ 2-4; for
+    * adversarial long-chain graphs the large-star/small-star algorithm
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond" —
+    * public) drops rounds to O(log n) with the same per-round join shape. */
+  def dedupComponents(docs: DataFrame, minJaccard: Double, k: Int = 4,
+                      maxRounds: Int = 64): DataFrame = {
+    val pairs = jaccardPairsRaw(docs, minJaccard, k).select(col("doc_a"), col("doc_b"))
+    // undirected: propagate both ways
+    val edges = pairs.union(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("comp"))
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0) {
+      round += 1
+      require(round <= maxRounds,
+        s"dedupComponents did not converge in $maxRounds rounds — " +
+          "pathological chain graph; use large-star/small-star for this input")
+      val viaNeighbors = edges.join(labels, edges("dst") === labels("id"))
+        .select(col("src").as("id"), col("comp"))
+      val next = labels.union(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      // labels only ever decrease, so "anything changed?" is one scalar
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.comp") < col("o.comp")).count()
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("comp").as("component_id"),
+        (col("id") === col("comp")).as("is_keeper"))
+      .orderBy("doc_id")
   }
 
   /** 64-bit SimHash over whitespace tokens using xxhash64 semantics: per bit

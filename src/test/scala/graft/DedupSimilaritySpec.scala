@@ -439,4 +439,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(expectNext - 1 == text.length, s"doc $docId spans don't cover the text")
     }
   }
+
+  test("dedupComponents: chain A~B~C collapses to ONE cluster though A!~C") {
+    import spark.implicits._
+    // 24 distinct tokens per doc; B replaces A's last 8, C replaces B's first
+    // 8 — so jaccard(A,B) = jaccard(B,C) = 16/32 = 0.5 (pairs at the 0.5 bar)
+    // but jaccard(A,C) = 8/40 = 0.2 (NOT a pair): only transitive closure
+    // puts all three in one component
+    def words(prefix: String, n: Int) = (0 until n).map(i => s"$prefix$i")
+    val aw = words("alpha", 24)
+    val bw = aw.take(16) ++ words("beta", 8)
+    val cw = words("gamma", 8) ++ bw.drop(8)
+    val docs = Seq(
+      (10L, aw.mkString(" ")), (20L, bw.mkString(" ")), (30L, cw.mkString(" ")),
+      (40L, words("delta", 24).mkString(" ")), // singleton
+      (50L, words("epsi", 24).mkString(" "))   // singleton
+    ).toDF("doc_id", "text")
+    // precondition: the verified pair set is exactly the chain
+    val pairs = DedupFunctions.jaccardPairs(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs((10L, 20L)) && pairs((20L, 30L)), s"chain pairs missing: $pairs")
+    assert(!pairs((10L, 30L)), "A~C must NOT be a direct pair (jaccard 0.2)")
+    val comps = DedupFunctions.dedupComponents(docs, 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(comps(10L) == ((10L, true)), "min-id doc is the keeper")
+    assert(comps(20L) == ((10L, false)))
+    assert(comps(30L) == ((10L, false)), "C joins A's component only transitively")
+    assert(comps(40L) == ((40L, true)) && comps(50L) == ((50L, true)),
+      "singletons keep themselves")
+  }
 }
