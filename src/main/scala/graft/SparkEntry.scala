@@ -158,6 +158,21 @@ object SparkEntry {
       java.nio.file.Files.write(p, graft.corpus.PubTab.sampleJsonl(40).getBytes("UTF-8"))
       graft.corpus.PubTab.tableText(s, p.toString)
     }),
+    // WARC/1.0 crawl-segment ingestion (ISO 28500 — the Common-Crawl wire
+    // format): a gzipped multi-record segment (warcinfo + request + response
+    // per page, per-record gzip members) is parsed by Content-Length framing,
+    // non-response records skipped, and the HTTP bodies flow through the SAME
+    // extraction kernel as direct page rows — WarcSpec pins byte-identity of
+    // both the parsed html and the extracted text against the golden corpus.
+    "x18_warc_ingest" -> ((s, _) => {
+      val p = java.nio.file.Files.createTempFile("graft_verify_warc", ".warc.gz")
+      p.toFile.deleteOnExit()
+      java.nio.file.Files.write(p, graft.corpus.Warc.sampleFile(42L, 280, gzip = true))
+      Extract.run(graft.corpus.Warc.pages(s, p.toString)).toDF()
+        .select(col("url"), col("text"), col("nSpans").as("n_spans"),
+          col("charset"), col("truncated"))
+        .orderBy("url")
+    }),
     // Iceberg-style date-partitioned ingest (north star: "partition pruning
     // on warc_ts date partitions"): the corpus commits partitioned by
     // dt=date(warc_ts) — the Common-Crawl crawl-day layout — and the

@@ -1,0 +1,244 @@
+package graft.corpus
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets
+import java.sql.Timestamp
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.model.PageRow
+
+/** WARC/1.0 ingestion — the wire format Common-Crawl pages actually arrive
+  * in (ISO 28500, public spec; the reference's corpus loaders read image
+  * folders and label files, ppocr/data/simple_dataset.py:28-41 — a web-scale
+  * engine's analog input is the crawl archive itself).
+  *
+  * A WARC file is a concatenation of records; each record is a header block
+  * (`WARC/1.0` version line + `Name: value` lines, CRLF, blank-line
+  * terminated) followed by exactly `Content-Length` payload bytes and a
+  * CRLF CRLF separator. Response records carry an HTTP message whose body is
+  * the page payload; request/warcinfo/metadata records interleave and must
+  * be skipped. Common-Crawl serves `.warc.gz` with EACH record as its own
+  * gzip member so a reader can seek to a CDX offset and inflate one record.
+  *
+  * Parser contract:
+  *  - framing is by Content-Length only (never by scanning for "WARC/" —
+  *    payloads may contain that string);
+  *  - header names are case-insensitive; values are trimmed;
+  *  - non-response records are skipped; a response's page bytes are the HTTP
+  *    body (after the first CRLF CRLF in the block) — charset is NOT decoded
+  *    here, the extraction kernel sniffs it from the raw bytes (F10 path);
+  *  - a truncated final record (mid-header or short block) is DROPPED, never
+  *    thrown on — crawl archives end mid-record when a fetch died;
+  *  - multi-member gzip is inflated transparently (JDK GZIPInputStream reads
+  *    concatenated members).
+  *
+  * Scale shape: one task per WARC file via the binaryFile source (a CC crawl
+  * is ~64k segment files of ~1 GB — natural parallelism at any cluster
+  * size); the parser is record-local and single-pass, so a seekable variant
+  * can split ONE file at CDX offsets (each gzip member inflates alone) —
+  * the record loop is the same either way. No shuffle: parse is a flatMap;
+  * downstream extraction stays in the same stage.
+  */
+object Warc {
+
+  final case class Record(
+      warcType: String,
+      targetUri: String,
+      date: String,
+      block: Array[Byte])
+
+  private val CRLF = "\r\n"
+  private val dateFmt =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+      .withZone(ZoneOffset.UTC)
+
+  def formatDate(ts: Timestamp): String = dateFmt.format(ts.toInstant)
+  def parseDate(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  // ======================== record serialization =========================
+
+  private def record(headers: Seq[(String, String)], block: Array[Byte]): Array[Byte] = {
+    val h = new StringBuilder("WARC/1.0").append(CRLF)
+    headers.foreach { case (k, v) => h.append(k).append(": ").append(v).append(CRLF) }
+    h.append("Content-Length: ").append(block.length).append(CRLF).append(CRLF)
+    val head = h.toString.getBytes(StandardCharsets.UTF_8)
+    val tail = (CRLF + CRLF).getBytes(StandardCharsets.UTF_8)
+    val out = new Array[Byte](head.length + block.length + tail.length)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(block, 0, out, head.length, block.length)
+    System.arraycopy(tail, 0, out, head.length + block.length, tail.length)
+    out
+  }
+
+  /** HTTP response message wrapping page bytes (status + minimal headers —
+    * no charset parameter: the extractor's sniffer owns charset detection). */
+  private def httpResponse(body: Array[Byte]): Array[Byte] = {
+    val head = ("HTTP/1.1 200 OK" + CRLF +
+      "Content-Type: text/html" + CRLF +
+      "Content-Length: " + body.length + CRLF + CRLF)
+      .getBytes(StandardCharsets.UTF_8)
+    val out = new Array[Byte](head.length + body.length)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(body, 0, out, head.length, body.length)
+    out
+  }
+
+  def responseRecord(url: String, date: String, html: Array[Byte]): Array[Byte] =
+    record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> url,
+      "WARC-Date" -> date,
+      "Content-Type" -> "application/http; msgtype=response"), httpResponse(html))
+
+  def requestRecord(url: String, date: String): Array[Byte] =
+    record(Seq(
+      "WARC-Type" -> "request",
+      "WARC-Target-URI" -> url,
+      "WARC-Date" -> date,
+      "Content-Type" -> "application/http; msgtype=request"),
+      ("GET / HTTP/1.1" + CRLF + "Host: example" + CRLF + CRLF)
+        .getBytes(StandardCharsets.UTF_8))
+
+  def warcinfoRecord(date: String): Array[Byte] =
+    record(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Date" -> date,
+      "Content-Type" -> "application/warc-fields"),
+      ("software: graft-fixtures" + CRLF).getBytes(StandardCharsets.UTF_8))
+
+  private def gzipMember(b: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(b.length / 2 + 64)
+    val gz = new GZIPOutputStream(bos)
+    gz.write(b); gz.finish(); gz.close()
+    bos.toByteArray
+  }
+
+  /** A deterministic crawl-segment fixture over the golden corpus: warcinfo
+    * leader, then request+response per page (the CC layout). `gzip` emits
+    * per-record gzip members, the seekable CC convention. */
+  def sampleFile(seed: Long, n: Int, gzip: Boolean): Array[Byte] = {
+    val out = new ByteArrayOutputStream(1 << 20)
+    def emit(rec: Array[Byte]): Unit =
+      out.write(if (gzip) gzipMember(rec) else rec)
+    val infoDate = formatDate(Corpus.page(seed, 0).row.warc_ts)
+    emit(warcinfoRecord(infoDate))
+    (0 until n).foreach { i =>
+      val p = Corpus.page(seed, i).row
+      val d = formatDate(p.warc_ts)
+      emit(requestRecord(p.url, d))
+      emit(responseRecord(p.url, d, p.html))
+    }
+    out.toByteArray
+  }
+
+  // ============================== parsing ================================
+
+  private def isGzip(b: Array[Byte]): Boolean =
+    b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
+
+  /** Inflate every gzip member (JDK GZIPInputStream walks concatenated
+    * members); pass-through for plain WARC. */
+  def inflate(bytes: Array[Byte]): Array[Byte] =
+    if (!isGzip(bytes)) bytes
+    else {
+      val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 1 << 16)
+      val out = new ByteArrayOutputStream(bytes.length * 4)
+      val buf = new Array[Byte](1 << 16)
+      var k = in.read(buf)
+      while (k >= 0) { out.write(buf, 0, k); k = in.read(buf) }
+      out.toByteArray
+    }
+
+  /** Frame all records. Malformed/truncated tails drop the partial record. */
+  def parseRecords(raw: Array[Byte]): Vector[Record] = {
+    val bytes = inflate(raw)
+    val recs = Vector.newBuilder[Record]
+    var pos = 0
+    var ok = true
+    while (ok && pos < bytes.length) {
+      // skip inter-record CRLFs (tolerates sloppy writers with extra blanks)
+      while (pos < bytes.length && (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
+      if (pos >= bytes.length) ok = false
+      else {
+        val headEnd = indexOfBlankLine(bytes, pos)
+        if (headEnd < 0) ok = false // truncated mid-header
+        else {
+          val head = new String(bytes, pos, headEnd - pos, StandardCharsets.UTF_8)
+          val lines = head.split("\r\n").toSeq
+          if (lines.isEmpty || !lines.head.startsWith("WARC/")) ok = false
+          else {
+            var wtype = ""; var uri = ""; var date = ""; var clen = -1L
+            lines.tail.foreach { ln =>
+              val i = ln.indexOf(':')
+              if (i > 0) {
+                val k = ln.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
+                val v = ln.substring(i + 1).trim
+                k match {
+                  case "warc-type" => wtype = v
+                  case "warc-target-uri" => uri = v
+                  case "warc-date" => date = v
+                  case "content-length" =>
+                    clen = try v.toLong catch { case _: NumberFormatException => -1L }
+                  case _ => ()
+                }
+              }
+            }
+            val blockStart = headEnd + 4 // past CRLF CRLF
+            if (clen < 0 || blockStart + clen > bytes.length) ok = false // truncated block
+            else {
+              recs += Record(wtype, uri, date,
+                java.util.Arrays.copyOfRange(bytes, blockStart, (blockStart + clen).toInt))
+              pos = (blockStart + clen).toInt
+            }
+          }
+        }
+      }
+    }
+    recs.result()
+  }
+
+  private def indexOfBlankLine(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** HTTP body of a response block = bytes after the first CRLF CRLF (the
+    * status/header section is not otherwise interpreted — charset and
+    * content semantics belong to the extraction kernel). A block with no
+    * header/body split yields the whole block (bare-payload tolerance). */
+  def httpBody(block: Array[Byte]): Array[Byte] = {
+    val i = indexOfBlankLine(block, 0)
+    if (i < 0) block else java.util.Arrays.copyOfRange(block, i + 4, block.length)
+  }
+
+  /** Response records of parsed WARC bytes as corpus page rows (text/lang
+    * empty — they are extraction OUTPUTS, not crawl inputs). Dates that fail
+    * to parse keep the record with epoch ts (a real crawl's malformed-date
+    * rows are flagged downstream, not dropped silently). */
+  def pageRows(raw: Array[Byte]): Iterator[PageRow] =
+    parseRecords(raw).iterator
+      .filter(_.warcType.equalsIgnoreCase("response"))
+      .map { r =>
+        val ts = try parseDate(r.date) catch {
+          case _: RuntimeException => new Timestamp(0L)
+        }
+        PageRow(r.targetUri, ts, httpBody(r.block), "", "")
+      }
+
+  /** Scan a directory/glob of `.warc` / `.warc.gz` files into page rows —
+    * one task per file (binaryFile source), flatMap parse, no shuffle. */
+  def pages(spark: SparkSession, path: String): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select("content").as[Array[Byte]]
+      .flatMap(pageRows _)
+  }
+}

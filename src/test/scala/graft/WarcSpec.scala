@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.{Corpus, Warc}
+import graft.pipeline.{CorpusSource, Extract}
+
+/** WARC/1.0 ingestion contract: Content-Length framing, non-response
+  * skipping, gzip members, truncation tolerance — and byte-identity of the
+  * parsed pages (and their extractions) against the golden corpus.
+  */
+class WarcSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val N = 48
+
+  test("plain WARC round-trips url/ts/html byte-identically; skips non-response") {
+    val bytes = Warc.sampleFile(42L, N, gzip = false)
+    val all = Warc.parseRecords(bytes)
+    // warcinfo + (request + response) per page, all framed correctly
+    assert(all.length == 1 + 2 * N)
+    assert(all.head.warcType == "warcinfo")
+    val rows = Warc.pageRows(bytes).toVector
+    assert(rows.length == N, "exactly the response records survive")
+    val golden = (0 until N).map(i => Corpus.page(42L, i).row)
+    rows.zip(golden).foreach { case (got, want) =>
+      assert(got.url == want.url)
+      assert(got.warc_ts == want.warc_ts, s"ts must survive WARC-Date round-trip (${want.url})")
+      assert(java.util.Arrays.equals(got.html, want.html),
+        s"html must be byte-identical through HTTP framing (${want.url})")
+    }
+  }
+
+  test("per-record gzip members parse identically to the plain file") {
+    val plain = Warc.pageRows(Warc.sampleFile(42L, N, gzip = false)).toVector
+    val gz = Warc.pageRows(Warc.sampleFile(42L, N, gzip = true)).toVector
+    assert(gz.length == plain.length)
+    gz.zip(plain).foreach { case (a, b) =>
+      assert(a.url == b.url && a.warc_ts == b.warc_ts)
+      assert(java.util.Arrays.equals(a.html, b.html))
+    }
+  }
+
+  test("truncated tail drops the partial record, keeps complete ones") {
+    val bytes = Warc.sampleFile(42L, 8, gzip = false)
+    val whole = Warc.parseRecords(bytes)
+    // cut mid-way through the LAST record's block
+    val lastLen = whole.last.block.length
+    val cut = java.util.Arrays.copyOfRange(bytes, 0, bytes.length - lastLen / 2 - 4)
+    val got = Warc.parseRecords(cut)
+    assert(got.length == whole.length - 1, "partial final record must be dropped")
+    got.zip(whole).foreach { case (a, b) => assert(a.targetUri == b.targetUri) }
+  }
+
+  test("header names are case-insensitive; bare payload block tolerated") {
+    val body = "<html><body><p>Case test page body here.</p></body></html>"
+    // correct version line (case-sensitive by spec) but lowercase header names
+    val manual = ("WARC/1.0\r\n" +
+      "warc-type: response\r\n" +
+      "warc-target-uri: http://x.example/a\r\n" +
+      "warc-date: 2024-01-02T03:04:05.000000Z\r\n" +
+      s"content-length: ${body.length}\r\n" +
+      "\r\n" + body + "\r\n\r\n").getBytes("UTF-8")
+    val rows = Warc.pageRows(manual).toVector
+    assert(rows.length == 1)
+    assert(rows.head.url == "http://x.example/a")
+    // block has no CRLF CRLF header/body split → the whole block is the page
+    assert(new String(rows.head.html, "UTF-8") == body)
+  }
+
+  test("extraction over WARC ingestion equals extraction over direct rows") {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempFile("graft_warcspec", ".warc.gz")
+    p.toFile.deleteOnExit()
+    java.nio.file.Files.write(p, Warc.sampleFile(42L, N, gzip = true))
+    val viaWarc = Extract.run(Warc.pages(spark, p.toString))
+      .map(d => (d.url, d.text)).collect().toMap
+    val direct = Extract.run(CorpusSource.pages(spark, N))
+      .map(d => (d.url, d.text)).collect().toMap
+    assert(viaWarc.keySet == direct.keySet)
+    direct.foreach { case (url, text) =>
+      assert(viaWarc(url) == text, s"extracted text must be byte-identical ($url)")
+    }
+  }
+}
