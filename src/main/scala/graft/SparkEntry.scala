@@ -463,6 +463,25 @@ object SparkEntry {
     // the same verified pair set).
     "d20_dedup_components" -> ((s, dir) =>
       DedupFunctions.dedupComponents(docs(s, dir), 0.5)),
+    // PII redaction — the scrub pass of a public web-corpus build (emails →
+    // <EMAIL>, phones → <PHONE>, IPv4 → <IP>, sequentially). The corpus
+    // text is synthetic words with no PII, so the fixture PLANTS one of each
+    // per document, composed deterministically from doc_id in BOTH engines
+    // (the d10b planted-twin recipe) — counts are guaranteed nonzero and the
+    // redacted-text md5 must match bit-for-bit. Pure regexp_replace chain:
+    // codegen'd, zero shuffle, RE2-compatible patterns (d13 precedent).
+    "d21_pii_redact" -> ((s, dir) =>
+      TextFunctions.piiRedact(docs(s, dir), t =>
+        concat(t,
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@site"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com tel 555-"),
+          (col("doc_id") % 900 + 100).cast("string"), lit("-"),
+          (col("doc_id") % 9000 + 1000).cast("string"),
+          lit(" from 10."),
+          (col("doc_id") % 256).cast("string"), lit("."),
+          ((col("doc_id") * 7) % 256).cast("string"), lit("."),
+          (col("doc_id") % 250).cast("string")))),
     // the FULL corpus-construction pipeline, end-to-end ORACLE-CHECKED (x13
     // is the extraction-fed composition, rows-only; this one runs over the
     // documents table so every stage is SQL-expressible): quality gate →
@@ -908,6 +927,28 @@ object SparkEntry {
         |)
         |SELECT id AS doc_id, min(r) AS component_id, min(r) = id AS is_keeper
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "d21_pii_redact" -> {
+      val e = graft.functions.TextFunctions.emailPattern
+      val p = graft.functions.TextFunctions.phonePattern
+      val i = graft.functions.TextFunctions.ipPattern
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || doc_id || '@site' || (doc_id % 7)
+         |              || '.example.com tel 555-' || (doc_id % 900 + 100)
+         |              || '-' || (doc_id % 9000 + 1000)
+         |              || ' from 10.' || (doc_id % 256) || '.'
+         |              || ((doc_id * 7) % 256) || '.' || (doc_id % 250) AS t0
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, t0, regexp_replace(t0, '$e', '<EMAIL>', 'g') AS t1 FROM planted),
+         |s2 AS (SELECT doc_id, t0, t1, regexp_replace(t1, '$p', '<PHONE>', 'g') AS t2 FROM s1),
+         |s3 AS (SELECT doc_id, t0, t1, t2, regexp_replace(t2, '$i', '<IP>', 'g') AS t3 FROM s2)
+         |SELECT doc_id,
+         |       len(regexp_extract_all(t0, '$e'))::BIGINT AS n_emails,
+         |       len(regexp_extract_all(t1, '$p'))::BIGINT AS n_phones,
+         |       len(regexp_extract_all(t2, '$i'))::BIGINT AS n_ips,
+         |       md5(t3) AS redacted_md5
+         |FROM s3 ORDER BY doc_id""".stripMargin
+    },
     "d18_corpus_pipeline" -> {
       val cases = mixtureRates.map { case (lang, r) =>
         mixtureCaseSql(lang, r)

@@ -307,6 +307,51 @@ object TextFunctions {
         lit("[a-zA-Z0-9 :*./%+-]+|[^a-zA-Z0-9 :*./%+-]"), lit(0))),
       "")
 
+  /** PII patterns for redaction — the scrub pass every public web-corpus
+    * build runs before training (C4 removed lines with bad words; RefinedWeb
+    * and the Pile scrub emails/phones/IPs — public methodology). Patterns are
+    * deliberately lookahead-free with explicit char classes (no `\d`/`\w`)
+    * so the SAME string compiles identically under Java regex and DuckDB's
+    * RE2 — the d13 bpePattern precedent. */
+  val emailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+  val phonePattern: String = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val ipPattern: String =
+    "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+  /** Sequential PII scrub of a text column: emails → `<EMAIL>`, then phone
+    * numbers → `<PHONE>`, then IPv4 literals → `<IP>`. Order matters and is
+    * part of the contract: each later pattern sees the earlier redactions
+    * (an email's digits can never double-count as a phone). Pure codegen'd
+    * `regexp_replace` chain — one pass per pattern, no UDFs, no shuffle;
+    * at 10^12 rows this stays fully inside WholeStageCodegen next to the
+    * extraction kernel. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailPattern, "<EMAIL>"),
+        phonePattern, "<PHONE>"),
+      ipPattern, "<IP>")
+
+  /** Per-document PII scrub report: counts per category (counted on the
+    * partially-redacted text, matching [[redactPii]]'s sequential contract)
+    * plus the md5 of the fully redacted text — the audit row a corpus build
+    * logs per document. `withText` lets callers inject planted PII for
+    * fixtures; production passes identity. */
+  def piiRedact(docs: DataFrame, withText: Column => Column = identity): DataFrame = {
+    val t0 = withText(col("text"))
+    val t1 = regexp_replace(t0, emailPattern, "<EMAIL>")
+    val t2 = regexp_replace(t1, phonePattern, "<PHONE>")
+    val t3 = regexp_replace(t2, ipPattern, "<IP>")
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(t0, lit(emailPattern), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t1, lit(phonePattern), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(t2, lit(ipPattern), lit(0))).cast("long").as("n_ips"),
+      md5(t3.cast("binary")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Word 3-shingles of a token array column (empty when <3 tokens). */
   def shingles3(ws: Column): Column =
     when(size(ws) >= 3,

@@ -468,4 +468,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(comps(40L) == ((40L, true)) && comps(50L) == ((50L, true)),
       "singletons keep themselves")
   }
+
+  test("piiRedact: hand-authored PII is scrubbed; sequential contract holds") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "write me at a.b@x.co or 555-123-4567 from 1.2.3.4"),
+      // an email whose local part LOOKS like a phone: the sequential contract
+      // says the email redaction consumes it, so n_phones must be 0
+      (2L, "billing 555-123-4567@pay.example.com only"),
+      (3L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val r = TextFunctions.piiRedact(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == ((1L, 1L, 1L)))
+    assert(r(2L) == ((1L, 0L, 0L)), "phone digits inside an email must not double-count")
+    assert(r(3L) == ((0L, 0L, 0L)))
+    // the column function and the report agree on the redacted text
+    val red = docs.select(col("doc_id"), TextFunctions.redactPii(col("text")).as("t"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(red(1L) == "write me at <EMAIL> or <PHONE> from <IP>")
+    assert(red(2L) == "billing <EMAIL> only")
+    assert(red(3L) == "no pii here at all")
+  }
 }
