@@ -173,6 +173,28 @@ object SparkEntry {
           col("charset"), col("truncated"))
         .orderBy("url")
     }),
+    // URL-level dedup — the FIRST dedup stage of a public crawl pipeline
+    // (CDX canonical keys; RefinedWeb's url-normalized dedup before any
+    // content pass): each golden-corpus url is exploded into five raw
+    // variants (fragment, tracking params, reordered query) that the
+    // RFC 3986 canonicalization kernel must collapse back to exactly TWO
+    // canonical groups per page (plain, and with the a=1&b=2 payload) —
+    // counts are structural, so rows-only + UrlSpec pin the contract.
+    // graft_url_canon is codegen'd; dedup is one groupBy on the short key.
+    "x19_url_dedup" -> ((s, _) => {
+      val urls = CorpusSource.pages(s, 280).toDF().select(col("url"))
+      val raw = urls.select(explode(array(
+        col("url"),
+        concat(col("url"), lit("#frag")),
+        concat(col("url"), lit("?utm_source=feed&utm_medium=rss")),
+        concat(col("url"), lit("?b=2&a=1")),
+        concat(col("url"), lit("?a=1&b=2&gclid=xyz")))).as("raw_url"))
+      raw.groupBy(graft.expressions.GraftExpressions.urlCanon(col("raw_url"))
+          .as("canonical_url"))
+        .agg(count(lit(1)).cast("long").as("n_raw"),
+          min(col("raw_url")).as("first_raw"))
+        .orderBy("canonical_url")
+    }),
     // Iceberg-style date-partitioned ingest (north star: "partition pruning
     // on warc_ts date partitions"): the corpus commits partitioned by
     // dt=date(warc_ts) — the Common-Crawl crawl-day layout — and the

@@ -693,6 +693,137 @@ case class PqScoreExpr(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** RFC 3986 §6 URL normalization — the key function of URL-level dedup, the
+  * FIRST dedup stage of a public crawl pipeline (Common-Crawl CDX indexes by
+  * canonicalized SURT key; RefinedWeb dedups by normalized url before any
+  * content pass — public methodology). Pure static kernel so codegen calls
+  * it without virtual dispatch.
+  *
+  * Contract (documented, spec-pinned):
+  *  - trim, strip the `#fragment` (always, any scheme);
+  *  - only http/https URLs are further normalized (others pass through);
+  *  - scheme and host lowercase; a trailing-dot FQDN host loses the dot;
+  *  - default ports (`:80` http, `:443` https) removed ([ipv6]:port safe);
+  *  - empty path → `/`; a trailing `/` on a non-root path is dropped (the
+  *    crawl-dedup convention: /a/ and /a are one fetch target);
+  *  - percent-escapes: hex uppercased (§6.2.2.1), unreserved octets decoded
+  *    (§6.2.2.2) in path and query;
+  *  - query params: tracking keys dropped (utm_* prefix + the public click-id
+  *    set), remainder sorted bytewise (stable for equal keys), empty query
+  *    dropped. `+` is left as-is (form-encoding is an application layer, not
+  *    RFC 3986).
+  */
+object UrlKernel {
+  private val dropKeys: java.util.Set[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("fbclid", "gclid", "msclkid", "dclid", "mc_eid", "igshid").foreach(s.add)
+    s
+  }
+
+  private def isUnreserved(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+      (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' || c == '~'
+
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  /** Uppercase %XX hex; decode unreserved octets. Malformed escapes copied. */
+  private def normPct(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          hexVal(s.charAt(i + 1)) >= 0 && hexVal(s.charAt(i + 2)) >= 0) {
+        val v = (hexVal(s.charAt(i + 1)) << 4) | hexVal(s.charAt(i + 2))
+        if (v < 128 && isUnreserved(v.toChar)) b.append(v.toChar)
+        else b.append('%')
+          .append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  private def keep(param: String): Boolean = {
+    val eq = param.indexOf('=')
+    val key = (if (eq >= 0) param.substring(0, eq) else param)
+      .toLowerCase(java.util.Locale.ROOT)
+    key.nonEmpty && !key.startsWith("utm_") && !dropKeys.contains(key)
+  }
+
+  private def normQuery(q: String): String = {
+    val parts = q.split("&", -1).filter(_.nonEmpty).filter(keep).map(normPct)
+    java.util.Arrays.sort(parts.asInstanceOf[Array[AnyRef]]) // bytewise-stable for ASCII
+    parts.mkString("&")
+  }
+
+  def canonical(u: UTF8String): UTF8String = UTF8String.fromString(canonical(u.toString))
+
+  def canonical(raw: String): String = {
+    val s0 = raw.trim
+    val h = s0.indexOf('#')
+    val s = if (h >= 0) s0.substring(0, h) else s0
+    val se = s.indexOf("://")
+    if (se <= 0) return s
+    val scheme = s.substring(0, se).toLowerCase(java.util.Locale.ROOT)
+    if (scheme != "http" && scheme != "https") return s
+    val rest = s.substring(se + 3)
+    var aEnd = 0
+    while (aEnd < rest.length && rest.charAt(aEnd) != '/' && rest.charAt(aEnd) != '?') aEnd += 1
+    val auth = rest.substring(0, aEnd)
+    val tail = rest.substring(aEnd)
+    val at = auth.lastIndexOf('@')
+    val userinfo = if (at >= 0) auth.substring(0, at + 1) else ""
+    var host = if (at >= 0) auth.substring(at + 1) else auth
+    val bracket = host.lastIndexOf(']')
+    val colon = host.lastIndexOf(':')
+    var port = ""
+    if (colon > bracket) { port = host.substring(colon); host = host.substring(0, colon) }
+    host = host.toLowerCase(java.util.Locale.ROOT)
+    if (host.length > 1 && host.charAt(host.length - 1) == '.')
+      host = host.substring(0, host.length - 1)
+    if ((scheme == "http" && port == ":80") || (scheme == "https" && port == ":443"))
+      port = ""
+    val qIdx = tail.indexOf('?')
+    var path = normPct(if (qIdx >= 0) tail.substring(0, qIdx) else tail)
+    if (path.isEmpty) path = "/"
+    else if (path.length > 1 && path.charAt(path.length - 1) == '/')
+      path = path.substring(0, path.length - 1)
+    val query = if (qIdx >= 0) normQuery(tail.substring(qIdx + 1)) else ""
+    val b = new java.lang.StringBuilder(s.length)
+    b.append(scheme).append("://").append(userinfo).append(host).append(port).append(path)
+    if (query.nonEmpty) b.append('?').append(query)
+    b.toString
+  }
+}
+
+/** `graft_url_canon(url STRING) -> STRING`: [[UrlKernel.canonical]] as a
+  * codegen'd scalar expression — stays inside the WholeStageCodegen span of
+  * the ingest scan, zero shuffle; URL-level dedup is then an ordinary
+  * groupBy on the canonical key. */
+case class UrlCanonExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType}")
+  override def prettyName: String = "graft_url_canon"
+
+  override def nullSafeEval(input: Any): Any =
+    UrlKernel.canonical(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.UrlKernel.canonical($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): UrlCanonExpr =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
   import org.apache.spark.sql.graftshim.ColumnBridge
 
@@ -707,6 +838,8 @@ object GraftExpressions {
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(c), SimHash64Kernel.HI_SEED))
   def langBest(c: Column): Column =
     ColumnBridge.column(LangBestExpr(ColumnBridge.expression(c)))
+  def urlCanon(c: Column): Column =
+    ColumnBridge.column(UrlCanonExpr(ColumnBridge.expression(c)))
   def srpBuckets(c: Column, nTables: Int, nPlanes: Int, dim: Int): Column =
     ColumnBridge.column(SrpBucketsExpr(ColumnBridge.expression(c), nTables, nPlanes, dim))
   /** No SQL registration: the centroid matrix is a plan-side object, not an
@@ -733,6 +866,8 @@ object GraftExpressions {
       "graft_simhash64", exprs => SimHash64Expr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_lang_best", exprs => LangBestExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_url_canon", exprs => UrlCanonExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_srp_buckets", exprs => {
         // clean errors at resolution time: a raw exprs(1) on a 3-arg call

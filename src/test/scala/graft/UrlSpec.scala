@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expressions.{GraftExpressions, UrlKernel}
+
+/** Contract tests for RFC 3986 URL canonicalization ([[UrlKernel]]) — the
+  * url-level-dedup key function — and the x19 collapse invariant over the
+  * golden corpus.
+  */
+class UrlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def c(s: String): String = UrlKernel.canonical(s)
+
+  test("scheme/host lowercase, default port strip, fragment strip") {
+    assert(c("HTTPS://Example.ORG:443/A/b#sec-2") == "https://example.org/A/b")
+    assert(c("http://example.org:80/") == "http://example.org/")
+    assert(c("http://example.org:8080/x") == "http://example.org:8080/x")
+    assert(c("https://example.org:80/x") == "https://example.org:80/x",
+      "80 is not the https default")
+  }
+
+  test("path normalization: empty -> /, trailing slash dropped off-root") {
+    assert(c("https://example.org") == "https://example.org/")
+    assert(c("https://example.org/") == "https://example.org/")
+    assert(c("https://example.org/a/") == "https://example.org/a")
+    assert(c("https://example.org/a/b/") == "https://example.org/a/b")
+  }
+
+  test("percent-escapes: hex uppercased, unreserved decoded, malformed kept") {
+    assert(c("https://example.org/a%2fb") == "https://example.org/a%2Fb")
+    assert(c("https://example.org/%7Euser/%41%31%2d") == "https://example.org/~user/A1-")
+    assert(c("https://example.org/x%zz") == "https://example.org/x%zz")
+    assert(c("https://example.org/trail%2") == "https://example.org/trail%2")
+  }
+
+  test("query: tracking keys dropped, params sorted, empty query removed") {
+    assert(c("https://example.org/p?b=2&a=1") == "https://example.org/p?a=1&b=2")
+    assert(c("https://example.org/p?utm_source=f&a=1&UTM_campaign=x&gclid=g")
+      == "https://example.org/p?a=1")
+    assert(c("https://example.org/p?utm_source=f") == "https://example.org/p")
+    assert(c("https://example.org/p?") == "https://example.org/p")
+    // stable for duplicate keys: original relative order survives the sort
+    assert(c("https://example.org/p?a=2&a=1") == "https://example.org/p?a=1&a=2")
+    assert(c("https://example.org/p?x=1&x=0") == "https://example.org/p?x=0&x=1")
+  }
+
+  test("authority edge cases: userinfo kept, ipv6 port, trailing-dot FQDN") {
+    assert(c("https://u:pw@Example.org/x") == "https://u:pw@example.org/x")
+    assert(c("http://[2001:DB8::1]:80/x") == "http://[2001:db8::1]/x")
+    assert(c("http://[2001:db8::1]:8080/x") == "http://[2001:db8::1]:8080/x")
+    assert(c("https://example.org./x") == "https://example.org/x")
+  }
+
+  test("non-http schemes and scheme-less strings pass through (fragment still stripped)") {
+    assert(c("ftp://Example.org/X#f") == "ftp://Example.org/X")
+    assert(c("mailto:a@b.c") == "mailto:a@b.c")
+    assert(c("example.org/x#f") == "example.org/x")
+    assert(c("  https://example.org/x  ") == "https://example.org/x")
+  }
+
+  test("x19 invariant: five raw variants collapse to exactly two canonical groups") {
+    val out = SparkEntry.queries("x19_url_dedup")(spark, "").collect()
+    assert(out.length == 560, s"280 pages x 2 canonical groups, got ${out.length}")
+    val byN = out.groupBy(_.getLong(1)).map { case (k, v) => k -> v.length }
+    assert(byN == Map(3L -> 280, 2L -> 280),
+      s"plain/fragment/tracking collapse to 3, reordered-query pair to 2: $byN")
+  }
+
+  test("graft_url_canon runs inside WholeStageCodegen and via SQL") {
+    GraftExpressions.register(spark)
+    // spark.range is a codegen'd source (a local Seq constant-folds to a
+    // LocalTableScan with no codegen span to observe)
+    val df = spark.range(1)
+      .select(concat(lit("https://Example.org:443/a/?b=2&a="), col("id"), lit("1#f")).as("u"))
+    df.createOrReplaceTempView("urls_tmp")
+    val sqlOut = spark.sql("SELECT graft_url_canon(u) AS cu FROM urls_tmp").collect()
+    assert(sqlOut.head.getString(0) == "https://example.org/a?a=01&b=2")
+    val plan = df.select(GraftExpressions.urlCanon(col("u")))
+      .queryExecution.executedPlan.toString
+    // "*(1)" is the WholeStageCodegen marker in the compact plan string
+    assert(plan.contains("*(1) Project [graft_url_canon"), s"no codegen span in:\n$plan")
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
