@@ -146,7 +146,10 @@ object Warc {
     if (!isGzip(bytes)) bytes
     else {
       val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 1 << 16)
-      val out = new ByteArrayOutputStream(bytes.length * 4)
+      // initial-size hint only — clamp, because length*4 overflows Int for
+      // segments over 512 MB (a real CC segment is ~1 GB)
+      val out = new ByteArrayOutputStream(
+        math.min(bytes.length.toLong * 4, 1L << 26).toInt)
       val buf = new Array[Byte](1 << 16)
       var k = in.read(buf)
       while (k >= 0) { out.write(buf, 0, k); k = in.read(buf) }
