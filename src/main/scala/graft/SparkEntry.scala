@@ -485,6 +485,15 @@ object SparkEntry {
     // the same verified pair set).
     "d20_dedup_components" -> ((s, dir) =>
       DedupFunctions.dedupComponents(docs(s, dir), 0.5)),
+    // vocabulary induction: corpus-wide token top-k — the tokenizer-training
+    // input table (one combining shuffle + TakeOrderedAndProject, no
+    // single-partition window)
+    "d22_vocab_topk" -> ((s, dir) =>
+      TextFunctions.vocabTopK(docs(s, dir), 100)),
+    // BPE merge-pair statistics: adjacent character pairs within tokens,
+    // counted corpus-wide — the argmax input of the first BPE merge
+    "d23_bpe_pairs" -> ((s, dir) =>
+      TextFunctions.bpePairCounts(docs(s, dir), 100)),
     // PII redaction — the scrub pass of a public web-corpus build (emails →
     // <EMAIL>, phones → <PHONE>, IPv4 → <IP>, sequentially). The corpus
     // text is synthetic words with no PII, so the fixture PLANTS one of each
@@ -949,6 +958,19 @@ object SparkEntry {
         |)
         |SELECT id AS doc_id, min(r) AS component_id, min(r) = id AS is_keeper
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "d22_vocab_topk" ->
+      """SELECT token, count(*)::BIGINT AS n_occurrences
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token
+        |ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin,
+    "d23_bpe_pairs" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |pairs AS (SELECT unnest(list_transform(range(1, len(token)),
+        |                        i -> token[i:i+1])) AS pair
+        |          FROM toks WHERE len(token) >= 2)
+        |SELECT pair, count(*)::BIGINT AS n_occurrences
+        |FROM pairs GROUP BY pair
+        |ORDER BY n_occurrences DESC, pair LIMIT 100""".stripMargin,
     "d21_pii_redact" -> {
       val e = graft.functions.TextFunctions.emailPattern
       val p = graft.functions.TextFunctions.phonePattern

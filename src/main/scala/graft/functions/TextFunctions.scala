@@ -307,6 +307,38 @@ object TextFunctions {
         lit("[a-zA-Z0-9 :*./%+-]+|[^a-zA-Z0-9 :*./%+-]"), lit(0))),
       "")
 
+  /** Corpus-wide token frequency top-k — the vocabulary-induction pass that
+    * feeds tokenizer training (BPE/WordPiece start from exactly this table;
+    * public methodology). ONE narrow (token, count) shuffle with map-side
+    * combine, then a global top-k that plans as TakeOrderedAndProject
+    * (per-partition top-k merged on the driver — never a single-partition
+    * window). Tie-break on the token string so rank boundaries are
+    * engine-deterministic. */
+  def vocabTopK(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(k)
+
+  /** Adjacent character-pair counts within tokens — the statistic the FIRST
+    * BPE merge step maximizes (Sennrich et al. 2016, public): every
+    * length-≥2 token contributes its len−1 adjacent pairs, counted
+    * corpus-wide, top-k by count. Same scale shape as [[vocabTopK]]: explode
+    * stays in the scan stage, one combining shuffle, TakeOrdered top-k.
+    * Character-based (`substring`/`length` count codepoints in both Spark
+    * and DuckDB) so multibyte letters pair correctly. */
+  def bpePairCounts(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(token) - 1), i -> substring(token, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).cast("long").as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(k)
+
   /** PII patterns for redaction — the scrub pass every public web-corpus
     * build runs before training (C4 removed lines with bad words; RefinedWeb
     * and the Pile scrub emails/phones/IPs — public methodology). Patterns are

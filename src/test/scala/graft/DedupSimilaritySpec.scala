@@ -469,6 +469,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "singletons keep themselves")
   }
 
+  test("vocabTopK / bpePairCounts: hand-computed counts, deterministic tiebreak") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab a"), (2L, "abc")).toDF("doc_id", "text")
+    val vocab = TextFunctions.vocabTopK(docs, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toList
+    assert(vocab == List(("ab", 2L), ("a", 1L), ("abc", 1L)),
+      s"count desc then token asc: $vocab")
+    val pairs = TextFunctions.bpePairCounts(docs, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toList
+    assert(pairs == List(("ab", 3L), ("bc", 1L)), s"ab from 2x'ab'+1x'abc': $pairs")
+  }
+
   test("piiRedact: hand-authored PII is scrubbed; sequential contract holds") {
     import spark.implicits._
     val docs = Seq(

@@ -188,4 +188,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!blockedP.contains("CartesianProduct"), blockedP)
     assert(!blockedP.contains("BroadcastNestedLoopJoin"), blockedP)
   }
+
+  test("d22/d23: global top-k plans as TakeOrderedAndProject, never a single-partition window") {
+    for (q <- Seq("d22_vocab_topk", "d23_bpe_pairs")) {
+      val plan = planOf(q)
+      assert(plan.contains("TakeOrderedAndProject"), s"$q:\n$plan")
+      assert(!plan.contains("Window"), s"$q must not sort globally through a window:\n$plan")
+      // one combining shuffle for the count; partial_count proves map-side combine
+      assert(plan.contains("partial_count"), s"$q:\n$plan")
+    }
+  }
 }
