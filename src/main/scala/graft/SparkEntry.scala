@@ -195,6 +195,22 @@ object SparkEntry {
           min(col("raw_url")).as("first_raw"))
         .orderBy("canonical_url")
     }),
+    // per-domain scorecard over crawl urls — the crawl-frontier / domain
+    // weighting report (d19's source scorecard keyed by HOST instead): five
+    // deterministic subdomain shards are derived per page, each written in
+    // the ugly wire form (uppercased host, explicit default port) that
+    // graft_url_host must canonicalize; counts are structural (280/5 per
+    // host), pinned in UrlSpec
+    "x20_host_stats" -> ((s, _) => {
+      val urls = CorpusSource.pages(s, 280).toDF().select(col("url"))
+      val idx = regexp_extract(col("url"), "doc([0-9]+)", 1).cast("long")
+      val raw = concat(lit("HTTPS://W"), (idx % 5).cast("string"),
+        lit(".Example.ORG:443"),
+        regexp_replace(col("url"), "^https://example\\.org", ""))
+      urls.select(graft.expressions.GraftExpressions.urlHost(raw).as("host"))
+        .groupBy("host").agg(count(lit(1)).cast("long").as("n_docs"))
+        .orderBy("host")
+    }),
     // Iceberg-style date-partitioned ingest (north star: "partition pruning
     // on warc_ts date partitions"): the corpus commits partitioned by
     // dt=date(warc_ts) — the Common-Crawl crawl-day layout — and the
@@ -494,6 +510,24 @@ object SparkEntry {
     // counted corpus-wide — the argmax input of the first BPE merge
     "d23_bpe_pairs" -> ((s, dir) =>
       TextFunctions.bpePairCounts(docs(s, dir), 100)),
+    // Unicode NFC normalization — the canonical-composition cleanup before
+    // any hashing/dedup (two byte sequences rendering identically must dedup
+    // together). The ASCII corpus is already-NFC, so combining sequences are
+    // PLANTED (e+U+0301, A+U+030A) in both engines; JDK Normalizer must
+    // agree with DuckDB's utf8proc bit-for-bit (lengths shrink by 2, md5 of
+    // the composed text matches). ascii_identity pins the no-op fast path.
+    "d24_nfc" -> ((s, dir) => {
+      val planted = concat(col("text"), lit(" cafe\u0301 A\u030A"))  // decomposed: e+COMBINING ACUTE, A+COMBINING RING
+      val n = graft.expressions.GraftExpressions.nfc(planted)
+      docs(s, dir).select(
+        col("doc_id"),
+        length(planted).cast("long").as("n_chars_raw"),
+        length(n).cast("long").as("n_chars_nfc"),
+        (graft.expressions.GraftExpressions.nfc(col("text")) === col("text"))
+          .as("ascii_identity"),
+        md5(n.cast("binary")).as("nfc_md5"))
+        .orderBy("doc_id")
+    }),
     // PII redaction — the scrub pass of a public web-corpus build (emails →
     // <EMAIL>, phones → <PHONE>, IPv4 → <IP>, sequentially). The corpus
     // text is synthetic words with no PII, so the fixture PLANTS one of each
@@ -971,6 +1005,13 @@ object SparkEntry {
         |SELECT pair, count(*)::BIGINT AS n_occurrences
         |FROM pairs GROUP BY pair
         |ORDER BY n_occurrences DESC, pair LIMIT 100""".stripMargin,
+    "d24_nfc" ->
+      """SELECT doc_id,
+        |       length(text || ' cafe' || chr(769) || ' A' || chr(778))::BIGINT AS n_chars_raw,
+        |       length(nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778)))::BIGINT AS n_chars_nfc,
+        |       nfc_normalize(text) = text AS ascii_identity,
+        |       md5(nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778))) AS nfc_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "d21_pii_redact" -> {
       val e = graft.functions.TextFunctions.emailPattern
       val p = graft.functions.TextFunctions.phonePattern

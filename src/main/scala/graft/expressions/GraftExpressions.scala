@@ -765,6 +765,33 @@ object UrlKernel {
 
   def canonical(u: UTF8String): UTF8String = UTF8String.fromString(canonical(u.toString))
 
+  def host(u: UTF8String): UTF8String = UTF8String.fromString(host(u.toString))
+
+  /** Canonical lowercase host of a URL (same rules as [[canonical]]: userinfo
+    * and port stripped, trailing-dot FQDN dot dropped). Empty string when the
+    * input has no `scheme://` authority — the per-domain aggregation key of a
+    * crawl-frontier / domain-scorecard report. */
+  def host(raw: String): String = {
+    val s0 = raw.trim
+    val h = s0.indexOf('#')
+    val s = if (h >= 0) s0.substring(0, h) else s0
+    val se = s.indexOf("://")
+    if (se <= 0) return ""
+    val rest = s.substring(se + 3)
+    var aEnd = 0
+    while (aEnd < rest.length && rest.charAt(aEnd) != '/' && rest.charAt(aEnd) != '?') aEnd += 1
+    val auth = rest.substring(0, aEnd)
+    val at = auth.lastIndexOf('@')
+    var hst = if (at >= 0) auth.substring(at + 1) else auth
+    val bracket = hst.lastIndexOf(']')
+    val colon = hst.lastIndexOf(':')
+    if (colon > bracket) hst = hst.substring(0, colon)
+    hst = hst.toLowerCase(java.util.Locale.ROOT)
+    if (hst.length > 1 && hst.charAt(hst.length - 1) == '.')
+      hst = hst.substring(0, hst.length - 1)
+    hst
+  }
+
   def canonical(raw: String): String = {
     val s0 = raw.trim
     val h = s0.indexOf('#')
@@ -803,6 +830,40 @@ object UrlKernel {
   }
 }
 
+/** Unicode NFC normalization kernel — the canonical-composition cleanup pass
+  * a web corpus runs before hashing/dedup (two byte sequences rendering the
+  * same text must dedup together; NFC is the W3C-recommended form). Backed
+  * by the JDK's `java.text.Normalizer` (Unicode-spec NFC — agrees with
+  * DuckDB's utf8proc `nfc_normalize`, which is the oracle). The fast path
+  * skips allocation entirely: `Normalizer.isNormalized` is O(n) with no
+  * copy, and real web text is overwhelmingly already-NFC. */
+object NfcKernel {
+  def nfc(u: UTF8String): UTF8String = {
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** `graft_nfc(s STRING) -> STRING`: codegen'd scalar NFC normalization. */
+case class NfcExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType}")
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(input: Any): Any =
+    NfcKernel.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.NfcKernel.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcExpr =
+    copy(child = newChild)
+}
+
 /** `graft_url_canon(url STRING) -> STRING`: [[UrlKernel.canonical]] as a
   * codegen'd scalar expression — stays inside the WholeStageCodegen span of
   * the ingest scan, zero shuffle; URL-level dedup is then an ordinary
@@ -824,6 +885,25 @@ case class UrlCanonExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_url_host(url STRING) -> STRING`: canonical lowercase host (empty
+  * for authority-less inputs) — the per-domain aggregation key. */
+case class UrlHostExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType}")
+  override def prettyName: String = "graft_url_host"
+
+  override def nullSafeEval(input: Any): Any =
+    UrlKernel.host(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.UrlKernel.host($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): UrlHostExpr =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
   import org.apache.spark.sql.graftshim.ColumnBridge
 
@@ -840,6 +920,10 @@ object GraftExpressions {
     ColumnBridge.column(LangBestExpr(ColumnBridge.expression(c)))
   def urlCanon(c: Column): Column =
     ColumnBridge.column(UrlCanonExpr(ColumnBridge.expression(c)))
+  def urlHost(c: Column): Column =
+    ColumnBridge.column(UrlHostExpr(ColumnBridge.expression(c)))
+  def nfc(c: Column): Column =
+    ColumnBridge.column(NfcExpr(ColumnBridge.expression(c)))
   def srpBuckets(c: Column, nTables: Int, nPlanes: Int, dim: Int): Column =
     ColumnBridge.column(SrpBucketsExpr(ColumnBridge.expression(c), nTables, nPlanes, dim))
   /** No SQL registration: the centroid matrix is a plan-side object, not an
@@ -868,6 +952,10 @@ object GraftExpressions {
       "graft_lang_best", exprs => LangBestExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_url_canon", exprs => UrlCanonExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_url_host", exprs => UrlHostExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", exprs => NfcExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_srp_buckets", exprs => {
         // clean errors at resolution time: a raw exprs(1) on a 3-arg call

@@ -75,6 +75,42 @@ class UrlSpec extends AnyFunSuite {
       s"plain/fragment/tracking collapse to 3, reordered-query pair to 2: $byN")
   }
 
+  test("host(): canonical lowercase host; empty for authority-less inputs") {
+    assert(UrlKernel.host("HTTPS://W3.Example.ORG:443/f01/doc3") == "w3.example.org")
+    assert(UrlKernel.host("http://u:pw@Example.org.:8080/x?q#f") == "example.org")
+    assert(UrlKernel.host("http://[2001:DB8::1]:8080/x") == "[2001:db8::1]")
+    assert(UrlKernel.host("mailto:a@b.c") == "")
+    assert(UrlKernel.host("example.org/x") == "")
+  }
+
+  test("x20: five subdomain shards, 56 docs each, hosts canonicalized") {
+    val out = SparkEntry.queries("x20_host_stats")(spark, "").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toList
+    assert(out == (0 until 5).map(i => s"w$i.example.org" -> 56L).toList, out.toString)
+  }
+
+  test("graft_nfc: combining sequences compose; already-NFC text returns unchanged") {
+    import graft.expressions.NfcKernel
+    import org.apache.spark.unsafe.types.UTF8String
+    val dec = "cafe\u0301 A\u030A"                  // DECOMPOSED combining sequences
+    val comp = NfcKernel.nfc(UTF8String.fromString(dec)).toString
+    assert(comp == "caf\u00E9 \u00C5" && comp.length == dec.length - 2,
+      s"expected precomposed e-acute and A-ring: $comp")
+    // fast path: an already-normalized UTF8String comes back reference-equal
+    val ascii = UTF8String.fromString("plain ascii")
+    assert(NfcKernel.nfc(ascii) eq ascii)
+    // SQL + codegen surface
+    GraftExpressions.register(spark)
+    val df = spark.range(1)
+      .select(concat(lit("x"), col("id"), lit(" e\u0301")).as("t"))
+    df.createOrReplaceTempView("nfc_tmp")
+    val r = spark.sql("SELECT graft_nfc(t) AS n, length(graft_nfc(t)) AS l FROM nfc_tmp").collect()
+    assert(r.head.getString(0) == "x0 \u00E9" && r.head.getInt(1) == 4)
+    val plan = df.select(GraftExpressions.nfc(col("t")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_nfc"), s"no codegen span in:\n$plan")
+  }
+
   test("graft_url_canon runs inside WholeStageCodegen and via SQL") {
     GraftExpressions.register(spark)
     // spark.range is a codegen'd source (a local Seq constant-folds to a
