@@ -510,6 +510,12 @@ object SparkEntry {
     // counted corpus-wide — the argmax input of the first BPE merge
     "d23_bpe_pairs" -> ((s, dir) =>
       TextFunctions.bpePairCounts(docs(s, dir), 100)),
+    // cross-document repeated-span statistics (Lee et al. 2021 exact
+    // substring dedup signal): per doc, the fraction of 8-token shingle
+    // positions whose shingle also occurs in another document — catches
+    // boilerplate spans doc-level dedup misses. Digest-keyed throughout.
+    "d25_crossdoc_spans" -> ((s, dir) =>
+      DedupFunctions.crossDocSpans(docs(s, dir), 8)),
     // Unicode NFC normalization — the canonical-composition cleanup before
     // any hashing/dedup (two byte sequences rendering identically must dedup
     // together). The ASCII corpus is already-NFC, so combining sequences are
@@ -1005,6 +1011,20 @@ object SparkEntry {
         |SELECT pair, count(*)::BIGINT AS n_occurrences
         |FROM pairs GROUP BY pair
         |ORDER BY n_occurrences DESC, pair LIMIT 100""".stripMargin,
+    "d25_crossdoc_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |              unnest(list_transform(range(len(ws) - 7),
+        |                     i -> md5(array_to_string(ws[i+1:i+8], ' ')))) AS h
+        |       FROM t WHERE len(ws) >= 8),
+        |g AS (SELECT h, count(DISTINCT doc_id) AS nd FROM sh GROUP BY h)
+        |SELECT sh.doc_id,
+        |       count(*)::BIGINT AS n_shingles,
+        |       sum(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_positions,
+        |       round(sum(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+        |         AS dup_fraction
+        |FROM sh JOIN g USING (h)
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
     "d24_nfc" ->
       """SELECT doc_id,
         |       length(text || ' cafe' || chr(769) || ' A' || chr(778))::BIGINT AS n_chars_raw,

@@ -43,6 +43,35 @@ object DedupFunctions {
       .orderBy("doc_id")
   }
 
+  /** Cross-document repeated-span statistics — the exact-substring-dedup
+    * signal of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better", public): for each document, how many of its n-token
+    * shingle POSITIONS carry a shingle that also occurs in at least one
+    * OTHER document. A high `dup_fraction` marks boilerplate/template text
+    * that doc-level dedup misses (distinct documents sharing long spans).
+    *
+    * Scale shape: shingles are hashed to a 16-byte md5 BEFORE the exchange —
+    * the global occurrence count groups by digest, and the join back to
+    * positions is digest-keyed, so no shingle text ever crosses a shuffle
+    * (the d05 digest discipline applied to spans). Docs shorter than n
+    * tokens have no spans and are excluded by construction. */
+  def crossDocSpans(docs: DataFrame, n: Int): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.shinglesN(TextFunctions.tokens(col("text")), n)).as("s"))
+      .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
+    val global = sh.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+    sh.join(global, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).cast("long").as("n_dup_positions"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup_positions"),
+        round(col("n_dup_positions").cast("double") / col("n_shingles"), 4)
+          .as("dup_fraction"))
+      .orderBy("doc_id")
+  }
+
   /** Exact dedup by content digest: groups of identical texts, keeper = min
     * doc_id (deterministic). Shuffles the 16-byte digest, not the document. */
   def exactGroups(docs: DataFrame): DataFrame =

@@ -469,6 +469,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "singletons keep themselves")
   }
 
+  test("crossDocSpans: shared span positions counted; short docs excluded") {
+    import spark.implicits._
+    def words(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val shared = words("sh", 10) // 10 tokens -> three 8-shingles when embedded
+    val docs = Seq(
+      (1L, shared + " " + words("a", 12)),  // shares the leading 10 tokens with doc 2
+      (2L, shared + " " + words("b", 12)),
+      (3L, words("c", 20)),                  // no shared spans
+      (4L, words("d", 5))                    // < 8 tokens: excluded entirely
+    ).toDF("doc_id", "text")
+    val r = DedupFunctions.crossDocSpans(docs, 8).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    // docs 1/2: 22 tokens -> 15 shingle positions; positions 0..2 lie fully
+    // inside the shared 10-token prefix -> 3 duplicated positions
+    assert(r(1L) == ((15L, 3L, 0.2)), r.toString)
+    assert(r(2L) == ((15L, 3L, 0.2)), r.toString)
+    assert(r(3L) == ((13L, 0L, 0.0)), r.toString)
+    assert(!r.contains(4L), "sub-n docs have no spans")
+  }
+
   test("vocabTopK / bpePairCounts: hand-computed counts, deterministic tiebreak") {
     import spark.implicits._
     val docs = Seq((1L, "ab ab a"), (2L, "abc")).toDF("doc_id", "text")
