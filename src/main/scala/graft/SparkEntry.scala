@@ -516,6 +516,15 @@ object SparkEntry {
     // boilerplate spans doc-level dedup misses. Digest-keyed throughout.
     "d25_crossdoc_spans" -> ((s, dir) =>
       DedupFunctions.crossDocSpans(docs(s, dir), 8)),
+    // incremental dedup — the recurring-crawl shape: odd doc_ids play the
+    // NEW batch, even doc_ids the standing corpus; the batch is anti-joined
+    // against the standing digest set, then deduped within itself. Only
+    // 16-byte digests cross the shuffle on either side.
+    "d26_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      DedupFunctions.incrementalDedup(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+    }),
     // Unicode NFC normalization — the canonical-composition cleanup before
     // any hashing/dedup (two byte sequences rendering identically must dedup
     // together). The ASCII corpus is already-NFC, so combining sequences are
@@ -1025,6 +1034,15 @@ object SparkEntry {
         |         AS dup_fraction
         |FROM sh JOIN g USING (h)
         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+    "d26_incremental_dedup" ->
+      """WITH ex AS (SELECT DISTINCT md5(text) AS content_md5
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |ba AS (SELECT doc_id, md5(text) AS content_md5
+        |       FROM documents WHERE doc_id % 2 = 1)
+        |SELECT min(ba.doc_id) AS doc_id, ba.content_md5
+        |FROM ba LEFT JOIN ex ON ba.content_md5 = ex.content_md5
+        |WHERE ex.content_md5 IS NULL
+        |GROUP BY ba.content_md5 ORDER BY doc_id""".stripMargin,
     "d24_nfc" ->
       """SELECT doc_id,
         |       length(text || ' cafe' || chr(769) || ' A' || chr(778))::BIGINT AS n_chars_raw,

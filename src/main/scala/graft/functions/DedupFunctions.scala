@@ -327,4 +327,27 @@ object DedupFunctions {
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Incremental exact dedup — the recurring-crawl shape: a NEW batch of
+    * pages is deduped against the corpus already ingested, keeping one row
+    * per novel content digest (min doc_id within the batch). Doc-level dedup
+    * (d05) re-groups the whole corpus; a 10^12-row corpus cannot afford that
+    * per crawl — the standing corpus contributes only its 16-byte digest set
+    * (in production a persisted digest index, here derived), the batch is
+    * LEFT ANTI-joined against it, and only then deduped within itself.
+    *
+    * Scale shape: both sides shuffle digests, never text; the anti-join and
+    * the within-batch group share the digest hash partitioning, so the
+    * second exchange is elided. The standing side is the big one but carries
+    * 16 bytes/row; the batch (a single crawl) is orders smaller. */
+  def incrementalDedup(existing: DataFrame, batch: DataFrame): DataFrame = {
+    val digest = md5(col("text").cast("binary"))
+    val seen = existing.select(digest.as("content_md5")).distinct()
+    batch.select(col("doc_id"), digest.as("content_md5"))
+      .join(seen, Seq("content_md5"), "left_anti")
+      .groupBy(col("content_md5"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("content_md5"))
+      .orderBy("doc_id")
+  }
 }

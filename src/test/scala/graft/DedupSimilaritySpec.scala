@@ -489,6 +489,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!r.contains(4L), "sub-n docs have no spans")
   }
 
+  test("incrementalDedup: batch anti-joined on standing digests, then self-deduped") {
+    import spark.implicits._
+    val existing = Seq(
+      (2L, "standing corpus page"),
+      (4L, "another standing page")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "standing corpus page"),  // exact dup of standing content: dropped
+      (3L, "fresh page alpha"),      // novel: kept
+      (5L, "fresh page beta"),       // novel, intra-batch dup pair with 7
+      (7L, "fresh page beta"),       //   -> one keeper (min doc_id = 5)
+      (9L, "fresh page alpha")       // intra-batch dup of 3: dropped
+    ).toDF("doc_id", "text")
+    val kept = DedupFunctions.incrementalDedup(existing, batch).collect()
+      .map(_.getLong(0)).toList
+    assert(kept == List(3L, 5L), s"novel keepers only, min-id wins: $kept")
+  }
+
   test("vocabTopK / bpePairCounts: hand-computed counts, deterministic tiebreak") {
     import spark.implicits._
     val docs = Seq((1L, "ab ab a"), (2L, "abc")).toDF("doc_id", "text")
