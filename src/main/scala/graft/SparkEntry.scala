@@ -525,6 +525,11 @@ object SparkEntry {
       DedupFunctions.incrementalDedup(
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
     }),
+    // dictionary hit-rate (C4-style OOV-fraction quality signal): the
+    // dictionary is the corpus's own top-500 tokens — top-K capped, so the
+    // probe side broadcasts regardless of vocabulary growth.
+    "d27_dict_hit_rate" -> ((s, dir) =>
+      TextFunctions.dictionaryHitRate(docs(s, dir), 500)),
     // Unicode NFC normalization — the canonical-composition cleanup before
     // any hashing/dedup (two byte sequences rendering identically must dedup
     // together). The ASCII corpus is already-NFC, so combining sequences are
@@ -1043,6 +1048,21 @@ object SparkEntry {
         |FROM ba LEFT JOIN ex ON ba.content_md5 = ex.content_md5
         |WHERE ex.content_md5 IS NULL
         |GROUP BY ba.content_md5 ORDER BY doc_id""".stripMargin,
+    "d27_dict_hit_rate" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |              FROM documents),
+        |d AS (SELECT token FROM (SELECT token, count(*) AS c FROM toks
+        |                         GROUP BY token ORDER BY c DESC, token
+        |                         LIMIT 500) z),
+        |h AS (SELECT doc_id, count(*)::BIGINT AS n_in_dict
+        |      FROM toks JOIN d USING (token) GROUP BY doc_id),
+        |t AS (SELECT doc_id, count(*)::BIGINT AS n_tokens
+        |      FROM toks GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_tokens,
+        |       coalesce(h.n_in_dict, 0)::BIGINT AS n_in_dict,
+        |       round((t.n_tokens - coalesce(h.n_in_dict, 0))::DOUBLE
+        |             / t.n_tokens, 4) AS oov_fraction
+        |FROM t LEFT JOIN h USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "d24_nfc" ->
       """SELECT doc_id,
         |       length(text || ' cafe' || chr(769) || ' A' || chr(778))::BIGINT AS n_chars_raw,

@@ -321,6 +321,31 @@ object TextFunctions {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
 
+  /** Dictionary hit-rate quality signal — the C4/Gopher-style "fraction of
+    * words in a reference dictionary" filter, with the dictionary induced
+    * from the corpus itself: its top-k tokens by frequency (the [[vocabTopK]]
+    * kernel). Per doc: token count, in-dictionary count, and the OOV
+    * fraction a quality cascade thresholds on.
+    *
+    * Scale shape: the dictionary is top-K CAPPED, so the probe is a
+    * broadcast hash join no matter how large the corpus vocabulary grows —
+    * the rare tail (the unboundedly-large side of any frequency split)
+    * never ships. Tokens stay in the scan stage via explode; both per-doc
+    * counts combine map-side before their one narrow exchange. */
+  def dictionaryHitRate(docs: DataFrame, k: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val dict = vocabTopK(docs, k).select(col("token"))
+    val hits = toks.join(broadcast(dict), Seq("token"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("n_in_dict"))
+    val nid = coalesce(col("n_in_dict"), lit(0L)).cast("long")
+    toks.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("n_tokens"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), nid.as("n_in_dict"),
+        round((col("n_tokens") - nid).cast("double") / col("n_tokens"), 4)
+          .as("oov_fraction"))
+      .orderBy("doc_id")
+  }
+
   /** Adjacent character-pair counts within tokens — the statistic the FIRST
     * BPE merge step maximizes (Sennrich et al. 2016, public): every
     * length-≥2 token contributes its len−1 adjacent pairs, counted

@@ -507,6 +507,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kept == List(3L, 5L), s"novel keepers only, min-id wins: $kept")
   }
 
+  test("dictionaryHitRate: top-k dictionary, hand-computed OOV fractions") {
+    import spark.implicits._
+    // counts: a=2 c=2 d=2 b=1 -> top-2 by (count desc, token asc) = {a, c}
+    val docs = Seq((1L, "a a b c"), (2L, "c d d")).toDF("doc_id", "text")
+    val r = TextFunctions.dictionaryHitRate(docs, 2).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((4L, 3L, 0.25)), r.toString)   // a,a,c in dict; b OOV
+    assert(r(2L) == ((3L, 1L, 0.6667)), r.toString) // c in dict; d,d OOV
+  }
+
   test("vocabTopK / bpePairCounts: hand-computed counts, deterministic tiebreak") {
     import spark.implicits._
     val docs = Seq((1L, "ab ab a"), (2L, "abc")).toDF("doc_id", "text")
