@@ -198,4 +198,22 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(plan.contains("partial_count"), s"$q:\n$plan")
     }
   }
+
+  test("d26: standing-corpus probe is a digest anti-join; no text column crosses it") {
+    val plan = planOf("d26_incremental_dedup")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the anti-join keys on the md5 digest, not the text — text may feed the
+    // digest projection but must not BE a join key
+    val joinLine = plan.linesIterator.find(_.contains("LeftAnti")).getOrElse("")
+    assert(joinLine.contains("content_md5") || joinLine.contains("md5"), joinLine)
+  }
+
+  test("d27: top-K dictionary broadcasts; the token probe never sort-merges") {
+    val plan = planOf("d27_dict_hit_rate")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan) // the dictionary top-K itself
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
