@@ -731,7 +731,16 @@ object SparkEntry {
     // planted-twin guarantee are spec-pinned (DedupSimilaritySpec).
     "e07_pq_ann" -> ((s, dir) =>
       SimilarityFunctions.pqSearch(emb(s, dir), nQueries = 5, kNN = 5,
-        k = 16, m = 8, ksub = 16, iters = 3, nProbe = 4, refine = 4, dim = 64))
+        k = 16, m = 8, ksub = 16, iters = 3, nProbe = 4, refine = 4, dim = 64)),
+    // SemDeDup (Abbas et al. 2023): semantic dedup — IVF-cluster the
+    // embedding space, compare only within a cluster (equi-join on list_id,
+    // never all-pairs), drop vectors with a smaller-id in-cluster neighbor
+    // at cosine >= 0.95. No SQL oracle (the quantizer is the same
+    // DuckDB-irreproducible Lloyd as e06); planted-dup keep/drop behavior
+    // is spec-pinned (DedupSimilaritySpec).
+    "e08_semantic_dedup" -> ((s, dir) =>
+      SimilarityFunctions.semanticDedup(emb(s, dir), minCos = 0.95,
+        k = 16, iters = 3, dim = 64))
   )
 
   def oracleSql: Map[String, String] = Map(

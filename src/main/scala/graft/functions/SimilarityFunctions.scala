@@ -327,4 +327,37 @@ object SimilarityFunctions {
         col("vec_id"), col("score"))
       .orderBy("query_id", "rank")
   }
+
+  /** SemDeDup (Abbas et al. 2023, public): semantic dedup over embeddings —
+    * cluster the space with the IVF coarse quantizer (the DECIMAL-exact
+    * Lloyd of [[ivfCentroids]]), compare vectors ONLY within their cluster,
+    * and drop every vector with a smaller-id in-cluster neighbor at cosine
+    * ≥ `minCos` (keep-first: one representative per ε-ball). Catches
+    * paraphrase/near-translation duplicates that token-level MinHash and
+    * SimHash miss. Returns (vec_id, list_id, kept).
+    *
+    * Scale shape: assignment is the row-local codegen'd kernel (zero
+    * shuffle); the candidate join is an equi-join on `list_id` — never
+    * all-pairs. Within-cluster comparison is quadratic IN THE CLUSTER, which
+    * is the SemDeDup recipe itself: k grows with the corpus (clusters stay
+    * bounded ~corpus/k), training runs on a sample, and a hot cluster is
+    * AQE-skew-split since the join key is the cluster id. */
+  def semanticDedup(emb: DataFrame, minCos: Double, k: Int = 16,
+                    iters: Int = 3, dim: Int = 64): DataFrame = {
+    import graft.expressions.GraftExpressions.ivfNearest
+    val cents = ivfCentroids(emb, k, iters, dim)
+    val v = col("embedding").cast("array<double>")
+    val lists = emb.select(col("vec_id"), col("embedding"),
+      element_at(ivfNearest(v, cents, 1), 1).as("list_id"))
+    val dropped = lists.as("a").join(lists.as("b"),
+        col("a.list_id") === col("b.list_id") &&
+          col("b.vec_id") < col("a.vec_id"))
+      .filter((round(dot(col("a.embedding"), col("b.embedding")), 4) +
+        lit(0.0)) >= minCos)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+    lists.join(dropped.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id").cast("long").as("list_id"),
+        coalesce(col("is_dup"), lit(false)) === lit(false) as "kept")
+      .orderBy("vec_id")
+  }
 }

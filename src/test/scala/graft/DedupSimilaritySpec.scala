@@ -240,6 +240,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
       r.getDouble(3) == 1.0), withTwin.mkString(";"))
   }
 
+  test("semanticDedup: planted twin dropped, keeper kept, coverage total") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = emb.count()
+    // an exact twin of vec 0 (cosine 1.0) assigns to vec 0's own cluster by
+    // construction -> keep-first drops the larger id, keeps vec 0
+    val v0 = emb.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0).toArray
+    val planted = Seq((9001L, 0L, v0.toSeq)).toDF("vec_id", "label", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+    val r = SimilarityFunctions.semanticDedup(
+      emb.select("vec_id", "embedding", "label").union(planted),
+      minCos = 0.95, k = 16, iters = 3, dim = 64).collect()
+    assert(r.length == n + 1, s"every vector gets a verdict: ${r.length} vs ${n + 1}")
+    val byId = r.map(x => x.getLong(0) -> ((x.getLong(1), x.getBoolean(2)))).toMap
+    assert(!byId(9001L)._2, "the planted twin must be dropped")
+    assert(byId(0L)._2, "the smaller-id original must be the keeper")
+    assert(byId(9001L)._1 == byId(0L)._1, "twin and original share a cluster")
+    // the natural corpus has no 0.95-cosine pairs -> everything else kept
+    assert(r.count(x => !x.getBoolean(2)) == 1, "only the twin drops")
+  }
+
   test("ANN wider-planes setting keeps recall via more tables (scale knob)") {
     // at scale nPlanes grows with log(n) (smaller buckets) and nTables grows
     // to recover recall — verify the trade holds on this corpus: planes 2→4

@@ -199,6 +199,13 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("e08: within-cluster comparison is a list_id equi-join, never all-pairs") {
+    val plan = planOf("e08_semantic_dedup")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("list_id"), plan)
+  }
+
   test("d26: standing-corpus probe is a digest anti-join; no text column crosses it") {
     val plan = planOf("d26_incremental_dedup")
     assert(plan.contains("LeftAnti"), plan)
