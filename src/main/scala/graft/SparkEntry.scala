@@ -530,6 +530,12 @@ object SparkEntry {
     // probe side broadcasts regardless of vocabulary growth.
     "d27_dict_hit_rate" -> ((s, dir) =>
       TextFunctions.dictionaryHitRate(docs(s, dir), 500)),
+    // C4 repeated-span REMOVAL (Raffel et al. 2020 §2.2): segments occurring
+    // in >= 2 distinct docs are dropped from the text itself — the rewrite
+    // counterpart of d25's statistics. 4-token segments stand in for C4's
+    // three-sentence spans (this corpus has no sentence boundaries).
+    "d28_line_dedup" -> ((s, dir) =>
+      DedupFunctions.lineDedup(docs(s, dir), segTokens = 4, minDocs = 2)),
     // Unicode NFC normalization — the canonical-composition cleanup before
     // any hashing/dedup (two byte sequences rendering identically must dedup
     // together). The ASCII corpus is already-NFC, so combining sequences are
@@ -1072,6 +1078,24 @@ object SparkEntry {
         |       round((t.n_tokens - coalesce(h.n_in_dict, 0))::DOUBLE
         |             / t.n_tokens, 4) AS oov_fraction
         |FROM t LEFT JOIN h USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    "d28_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |seg AS (SELECT doc_id,
+        |               unnest(range(0, CAST(ceil(len(ws)::DOUBLE / 4) AS INT))) AS i,
+        |               ws
+        |        FROM t),
+        |s2 AS (SELECT doc_id, i,
+        |              array_to_string(ws[i*4+1 : i*4+4], ' ') AS st,
+        |              md5(array_to_string(ws[i*4+1 : i*4+4], ' ')) AS h
+        |       FROM seg),
+        |g AS (SELECT h FROM s2 GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT s2.doc_id,
+        |       count(*)::BIGINT AS n_segs,
+        |       sum(CASE WHEN g.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+        |       COALESCE(string_agg(CASE WHEN g.h IS NULL THEN st END, ' '
+        |                           ORDER BY s2.i), '') AS clean_text
+        |FROM s2 LEFT JOIN g ON s2.h = g.h
+        |GROUP BY s2.doc_id ORDER BY s2.doc_id""".stripMargin,
     "d24_nfc" ->
       """SELECT doc_id,
         |       length(text || ' cafe' || chr(769) || ' A' || chr(778))::BIGINT AS n_chars_raw,

@@ -350,4 +350,48 @@ object DedupFunctions {
       .select(col("doc_id"), col("content_md5"))
       .orderBy("doc_id")
   }
+
+  /** Line-level dedup — the C4 repeated-span REMOVAL transform (Raffel et
+    * al. 2020 §2.2, public: "we discarded any three-sentence span occurring
+    * more than once in the data set"). d25 measures the repeated-span
+    * signal; this op REWRITES the text: each document is cut into
+    * non-overlapping `segTokens`-token segments (the deterministic analog of
+    * C4's sentence spans — this corpus has no sentence boundaries), a
+    * segment occurring in ≥ `minDocs` distinct documents is boilerplate, and
+    * `clean_text` is the document with those segments dropped (original
+    * order preserved; empty string when everything drops). Returns
+    * (doc_id, n_segs, n_removed, clean_text).
+    *
+    * Scale shape: the exploded frame carries (doc_id, seg_idx, 16-byte
+    * digest) — segment TEXT never crosses an exchange. The global occurrence
+    * count groups by digest; the removal list joins back digest-keyed and
+    * collapses to one (doc_id, removed-idx array) row per AFFECTED doc —
+    * bounded by the boilerplate mass, orders smaller than the corpus. The
+    * rewrite itself is a doc_id equi-join of docs against that small side
+    * plus a row-local re-segmentation (higher-order functions, no UDF). */
+  def lineDedup(docs: DataFrame, segTokens: Int = 4, minDocs: Int = 2): DataFrame = {
+    require(segTokens >= 1 && minDocs >= 2, s"segTokens=$segTokens minDocs=$minDocs")
+    val ws = split(col("text"), " ")
+    val nSegs = ceil(size(ws).cast("double") / segTokens).cast("int")
+    val segs = transform(sequence(lit(0), nSegs - 1), i => struct(
+      i.cast("long").as("seg_idx"),
+      concat_ws(" ", slice(ws, i * segTokens + 1, lit(segTokens))).as("seg")))
+    val exploded = docs.select(col("doc_id"), explode(segs).as("s"))
+      .select(col("doc_id"), col("s.seg_idx").as("seg_idx"), md5(col("s.seg")).as("h"))
+    val dup = exploded.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs).select("h")
+    val removed = exploded.join(dup, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("seg_idx")).as("rm"), count(lit(1)).as("n_rm"))
+    docs.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        nSegs.cast("long").as("n_segs"),
+        coalesce(col("n_rm"), lit(0L)).cast("long").as("n_removed"),
+        array_join(transform(
+          filter(segs, s =>
+            !coalesce(array_contains(col("rm"), s("seg_idx")), lit(false))),
+          s => s("seg")), " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
 }

@@ -240,6 +240,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
       r.getDouble(3) == 1.0), withTwin.mkString(";"))
   }
 
+  test("lineDedup: planted cross-doc segment removed from both docs, unique text intact") {
+    import spark.implicits._
+    // two docs share an 8-token boilerplate prefix (two 4-token segments);
+    // their tails are unique; a third doc is entirely unique
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"$boiler one two three four"),
+      (2L, s"$boiler five six seven eight"),
+      (3L, "nine ten eleven twelve thirteen fourteen fifteen sixteen")
+    ).toDF("doc_id", "text")
+    val r = DedupFunctions.lineDedup(docs, segTokens = 4, minDocs = 2)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) == ((3L, 2L, "one two three four")), r(1L).toString)
+    assert(r(2L) == ((3L, 2L, "five six seven eight")), r(2L).toString)
+    assert(r(3L) == ((2L, 0L,
+      "nine ten eleven twelve thirteen fourteen fifteen sixteen")), r(3L).toString)
+    // everything-boilerplate doc -> empty clean_text, not a dropped row
+    val allBoiler = Seq((1L, boiler), (2L, boiler)).toDF("doc_id", "text")
+    val r2 = DedupFunctions.lineDedup(allBoiler, segTokens = 4, minDocs = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(2), x.getString(3)))
+    assert(r2.toSet == Set((1L, 2L, ""), (2L, 2L, "")), r2.mkString(";"))
+  }
+
   test("semanticDedup: planted twin dropped, keeper kept, coverage total") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -206,6 +206,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("list_id"), plan)
   }
 
+  test("d28: segment-count exchanges carry digests, never segment text") {
+    val plan = planOf("d28_line_dedup")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // every exchange below the occurrence count must ship (doc_id, seg_idx, h)
+    // — the segment string feeds the md5 projection but never a partitioning
+    for (l <- plan.linesIterator if l.contains("hashpartitioning"))
+      assert(!l.contains("seg#") && !l.contains("clean_text"), l)
+  }
+
   test("d26: standing-corpus probe is a digest anti-join; no text column crosses it") {
     val plan = planOf("d26_incremental_dedup")
     assert(plan.contains("LeftAnti"), plan)
