@@ -530,6 +530,13 @@ object SparkEntry {
     // probe side broadcasts regardless of vocabulary growth.
     "d27_dict_hit_rate" -> ((s, dir) =>
       TextFunctions.dictionaryHitRate(docs(s, dir), 500)),
+    // token-offset shard packing: the corpus laid out into 1024-token
+    // training shards via a two-level distributed prefix sum (bucket
+    // partials + tiny bucket-offset table + per-bucket parallel windows) —
+    // never a single-partition window over the doc table. bucketDocs=64 so
+    // the sandbox corpus exercises multiple buckets.
+    "d29_shard_pack" -> ((s, dir) =>
+      TextFunctions.shardPack(docs(s, dir), shardTokens = 1024L, bucketDocs = 64L)),
     // C4 repeated-span REMOVAL (Raffel et al. 2020 §2.2): segments occurring
     // in >= 2 distinct docs are dropped from the text itself — the rewrite
     // counterpart of d25's statistics. 4-token segments stand in for C4's
@@ -746,7 +753,13 @@ object SparkEntry {
     // is spec-pinned (DedupSimilaritySpec).
     "e08_semantic_dedup" -> ((s, dir) =>
       SimilarityFunctions.semanticDedup(emb(s, dir), minCos = 0.95,
-        k = 16, iters = 3, dim = 64))
+        k = 16, iters = 3, dim = 64)),
+    // SQ8 scalar quantization (FAISS QT_8bit shape): per-dim max-abs scales,
+    // round(127*v/scale) codes, worst-component reconstruction error.
+    // Oracle-exact — every arithmetic step is the same IEEE double op in
+    // both engines, and max is order-independent (never a float SUM).
+    "e09_sq8" -> ((s, dir) =>
+      SimilarityFunctions.sq8Quantize(emb(s, dir), dim = 64))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1078,6 +1091,33 @@ object SparkEntry {
         |       round((t.n_tokens - coalesce(h.n_in_dict, 0))::DOUBLE
         |             / t.n_tokens, 4) AS oov_fraction
         |FROM t LEFT JOIN h USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    "e09_sq8" ->
+      """WITH d AS (SELECT vec_id,
+        |                  unnest(embedding::DOUBLE[]) AS v,
+        |                  generate_subscripts(embedding, 1) AS pos
+        |           FROM embeddings),
+        |s AS (SELECT pos, max(abs(v)) AS scale FROM d GROUP BY pos),
+        |q AS (SELECT d.vec_id, d.pos, d.v, s.scale,
+        |             CASE WHEN s.scale = 0 THEN 0
+        |                  ELSE CAST(round(127.0 * d.v / s.scale) AS BIGINT)
+        |             END AS code
+        |      FROM d JOIN s USING (pos))
+        |SELECT vec_id,
+        |       list(code ORDER BY pos) AS codes,
+        |       max(CASE WHEN scale = 0 THEN abs(v)
+        |                ELSE abs(v - code * scale / 127.0) END) AS max_abs_err
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "d29_shard_pack" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+        |           FROM documents),
+        |o AS (SELECT doc_id, n_tokens,
+        |             COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                      0)::BIGINT AS start_tok
+        |      FROM t)
+        |SELECT doc_id, n_tokens, start_tok,
+        |       (start_tok // 1024)::BIGINT AS shard_id
+        |FROM o ORDER BY doc_id""".stripMargin,
     "d28_line_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |seg AS (SELECT doc_id,

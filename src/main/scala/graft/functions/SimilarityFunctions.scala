@@ -328,6 +328,41 @@ object SimilarityFunctions {
       .orderBy("query_id", "rank")
   }
 
+  /** SQ8 scalar quantization — the int8 embedding storage shape (FAISS
+    * ScalarQuantizer QT_8bit recipe, public): per-dimension symmetric
+    * max-abs scales over the corpus, `code = round(127·v/scale)` per
+    * component. Next to e07's PQ (sub-vector codebooks) this is the
+    * cheap-decode variant: 4× smaller than float32 with exact per-component
+    * reconstruction bounds. Returns (vec_id, codes, max_abs_err) where
+    * `max_abs_err` is the vector's worst component reconstruction error —
+    * bounded by scale/254 per dimension by construction.
+    *
+    * Scale shape: the per-dimension max is ONE narrow (pos, partial-max)
+    * aggregation with map-side combine, collected as O(dim) control-plane
+    * state (the ivfCentroids discipline); quantization itself is row-local
+    * (zero shuffle). Codes are emitted as longs for oracle parity — a
+    * production sink casts to TINYINT. The scales ride the plan as a literal
+    * array: fine at dim 64; at production dims (768–1536) move them into a
+    * kernel expression exactly as `graft_srp_buckets` did for plane weights. */
+  def sq8Quantize(emb: DataFrame, dim: Int = 64): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val scales = emb.select(posexplode(v).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(max(abs(col("x"))).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    require(scales.size == dim, s"expected $dim dims, saw ${scales.size}")
+    val sArr = array((0 until dim).map(i => lit(scales(i))): _*)
+    def code(x: Column, s: Column): Column =
+      when(s === 0d, lit(0L)).otherwise(round(lit(127.0) * x / s).cast("long"))
+    val codes = transform(v, (x, i) => code(x, element_at(sArr, i + 1)))
+    val errs = transform(v, (x, i) => {
+      val s = element_at(sArr, i + 1)
+      when(s === 0d, abs(x))
+        .otherwise(abs(x - code(x, s) * s / lit(127.0)))
+    })
+    emb.select(col("vec_id"), codes.as("codes"), array_max(errs).as("max_abs_err"))
+      .orderBy("vec_id")
+  }
+
   /** SemDeDup (Abbas et al. 2023, public): semantic dedup over embeddings —
     * cluster the space with the IVF coarse quantizer (the DECIMAL-exact
     * Lloyd of [[ivfCentroids]]), compare vectors ONLY within their cluster,

@@ -469,4 +469,39 @@ object TextFunctions {
     }.reduce(_ + _)
     votes.select(col("doc_id"), sim.cast("long").as("simhash16")).orderBy("doc_id")
   }
+
+  /** Token-offset shard packing — lay the corpus out (doc_id order) into
+    * fixed-token-budget training shards: each document gets its global start
+    * token offset and `shard_id = start_tok div shardTokens`, i.e. shard k
+    * holds the documents whose packed text begins in [k·B, (k+1)·B). The
+    * deterministic write-layout step between d16's window chunking and the
+    * actual shard writer. Returns (doc_id, n_tokens, start_tok, shard_id).
+    *
+    * Scale shape: a global running sum ordered by doc_id is the textbook
+    * single-partition-window scale-killer, so this is the two-level
+    * distributed prefix sum instead — (1) per-bucket token sums via one
+    * narrow groupBy on `bkt = doc_id div bucketDocs` (map-side combine);
+    * (2) bucket prefix offsets on the BUCKET table, n_docs/bucketDocs rows —
+    * control-plane sized, the only unpartitioned window runs there;
+    * (3) offsets broadcast back and the per-doc running sum windows
+    * PARTITIONED BY bkt — parallel across buckets. No doc-table exchange is
+    * ever single-partition. */
+  def shardPack(docs: DataFrame, shardTokens: Long,
+                bucketDocs: Long = 4096L): DataFrame = {
+    require(shardTokens >= 1 && bucketDocs >= 1, s"$shardTokens/$bucketDocs")
+    val t = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      expr(s"doc_id div $bucketDocs").as("bkt"))
+    val wBkt = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("bkt_tokens"))
+      .select(col("bkt"), coalesce(sum(col("bkt_tokens")).over(wBkt), lit(0L)).as("bkt_off"))
+    val wDoc = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(offsets), Seq("bkt"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("bkt_off") + coalesce(sum(col("n_tokens")).over(wDoc), lit(0L)))
+          .as("start_tok"))
+      .withColumn("shard_id", expr(s"start_tok div $shardTokens"))
+      .orderBy("doc_id")
+  }
 }

@@ -240,6 +240,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
       r.getDouble(3) == 1.0), withTwin.mkString(";"))
   }
 
+  test("sq8Quantize: codes bounded, reconstruction within the half-step bound") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val scales = emb.select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("pos", "x")))
+      .groupBy("pos").agg(max(abs(col("x"))).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val halfStep = (0 until 64).map(i => scales(i) / 254.0).max
+    val r = SimilarityFunctions.sq8Quantize(emb, dim = 64).collect()
+    assert(r.length == emb.count())
+    for (row <- r) {
+      val codes = row.getSeq[Long](1)
+      assert(codes.length == 64 && codes.forall(c => c >= -127 && c <= 127),
+        s"vec ${row.getLong(0)}: ${codes.mkString(",")}")
+      assert(row.getDouble(2) <= halfStep + 1e-12,
+        s"vec ${row.getLong(0)}: err ${row.getDouble(2)} > $halfStep")
+    }
+    // a max-magnitude component must hit the rail exactly
+    assert(r.exists(_.getSeq[Long](1).exists(c => math.abs(c) == 127L)))
+  }
+
+  test("shardPack: offsets are the exact prefix sum at any bucket size") {
+    import spark.implicits._
+    // token counts 3,1,4,1,5 -> starts 0,3,4,8,9; B=4 -> shards 0,0,1,2,2
+    val docs = Seq(
+      (10L, "a b c"), (11L, "d"), (12L, "e f g h"), (13L, "i"), (14L, "j k l m n")
+    ).toDF("doc_id", "text")
+    val want = Seq((10L, 3L, 0L, 0L), (11L, 1L, 3L, 0L), (12L, 4L, 4L, 1L),
+      (13L, 1L, 8L, 2L), (14L, 5L, 9L, 2L))
+    for (bkt <- Seq(1L, 2L, 100L)) { // bucket granularity must not change results
+      val got = TextFunctions.shardPack(docs, shardTokens = 4L, bucketDocs = bkt)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSeq == want, s"bucketDocs=$bkt: ${got.mkString(";")}")
+    }
+  }
+
   test("lineDedup: planted cross-doc segment removed from both docs, unique text intact") {
     import spark.implicits._
     // two docs share an 8-token boilerplate prefix (two 4-token segments);

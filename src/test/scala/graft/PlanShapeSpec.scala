@@ -206,6 +206,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("list_id"), plan)
   }
 
+  test("d29: doc-table running sum windows by bucket; only the bucket table is single-partition") {
+    val plan = planOf("d29_shard_pack")
+    // the per-doc prefix window must be PARTITIONED (parallel across buckets)
+    assert(plan.contains("windowspecdefinition(bkt"), plan)
+    // bucket offsets join back as a broadcast — never a doc-table shuffle
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("d28: segment-count exchanges carry digests, never segment text") {
     val plan = planOf("d28_line_dedup")
     assert(!plan.contains("CartesianProduct"), plan)
