@@ -530,6 +530,15 @@ object SparkEntry {
     // probe side broadcasts regardless of vocabulary growth.
     "d27_dict_hit_rate" -> ((s, dir) =>
       TextFunctions.dictionaryHitRate(docs(s, dir), 500)),
+    // CCNet perplexity filter: add-one-smoothed top-100 unigram LM induced
+    // from the corpus itself (production swaps in frozen reference counts);
+    // row-local positional fold keeps the float sum deterministic.
+    "d30_perplexity" -> ((s, dir) =>
+      TextFunctions.unigramPerplexity(docs(s, dir), vocabK = 100)),
+    // fastText-style hashed linear quality gate: md5-initialized weights
+    // (labeled stand-in for a trained table), exact integer margin.
+    "d31_quality_model" -> ((s, dir) =>
+      TextFunctions.hashedLinearScore(docs(s, dir))),
     // token-offset shard packing: the corpus laid out into 1024-token
     // training shards via a two-level distributed prefix sum (bucket
     // partials + tiny bucket-offset table + per-bucket parallel windows) —
@@ -1091,6 +1100,34 @@ object SparkEntry {
         |       round((t.n_tokens - coalesce(h.n_in_dict, 0))::DOUBLE
         |             / t.n_tokens, 4) AS oov_fraction
         |FROM t LEFT JOIN h USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    "d30_perplexity" ->
+      """WITH toks AS (SELECT doc_id,
+        |                     unnest(string_split(text, ' ')) AS token,
+        |                     generate_subscripts(string_split(text, ' '), 1) AS i
+        |              FROM documents),
+        |cnt AS (SELECT token, count(*)::BIGINT AS c FROM toks GROUP BY token),
+        |top AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 100),
+        |tot AS (SELECT sum(c)::BIGINT AS t FROM cnt),
+        |lp AS (SELECT toks.doc_id, toks.i,
+        |              ln((coalesce(top.c, 0) + 1)::DOUBLE
+        |                 / ((SELECT t FROM tot) + 101)::DOUBLE) AS lnp
+        |       FROM toks LEFT JOIN top USING (token))
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |       round(exp(-list_sum(list(lnp ORDER BY i)) / count(*)), 4)
+        |         AS perplexity
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d31_quality_model" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |              FROM documents),
+        |w AS (SELECT doc_id,
+        |             (list_sum(list_transform(range(8), i ->
+        |                (strpos('0123456789abcdef', substr(md5(t), i+1, 1)) - 1)::BIGINT
+        |                * (1::BIGINT << (4 * (7 - i))))) % 2001 - 1000)::BIGINT AS wt
+        |      FROM toks)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |       sum(wt)::BIGINT AS margin_raw,
+        |       (sum(wt) >= 0) AS keep
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "e09_sq8" ->
       """WITH d AS (SELECT vec_id,
         |                  unnest(embedding::DOUBLE[]) AS v,

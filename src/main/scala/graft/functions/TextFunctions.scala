@@ -470,6 +470,67 @@ object TextFunctions {
     votes.select(col("doc_id"), sim.cast("long").as("simhash16")).orderBy("doc_id")
   }
 
+  /** CCNet-style LM perplexity quality filter (Wenzek et al. 2020, public:
+    * score web documents by a language-model perplexity and keep the
+    * low-perplexity head). The LM here is the corpus's own add-one-smoothed
+    * top-`vocabK` unigram model — the same induced-dictionary stance as d27;
+    * a production deployment swaps in frozen counts from a reference corpus
+    * (KenLM in CCNet) without touching the scoring shape. Per document:
+    * `perplexity = exp(-1/N · Σ ln p(tok_i))` with
+    * `p(tok) = (c_tok + 1) / (T + vocabK + 1)` (OOV ⇒ c = 0).
+    *
+    * Scale shape: the model is ONE narrow token-count aggregation capped to
+    * top-K and collected as O(vocabK) control-plane state (the d27/e06
+    * discipline — the rare tail never ships); scoring is a row-local fold
+    * over the token array (zero shuffle, positional order, so the float sum
+    * is deterministic at any parallelism). */
+  def unigramPerplexity(docs: DataFrame, vocabK: Int = 100): DataFrame = {
+    val counts = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val top = counts.orderBy(col("c").desc, col("token")).limit(vocabK).collect()
+    val total = counts.agg(sum(col("c"))).head.getLong(0)
+    val denom = (total + vocabK + 1).toDouble
+    val m = map(top.flatMap(r => Seq(lit(r.getString(0)), lit(r.getLong(1)))): _*)
+    val ws = tokens(col("text"))
+    val lnSum = aggregate(ws, lit(0.0), (acc, w) =>
+      acc + log((coalesce(element_at(m, w), lit(0L)) + 1).cast("double") / lit(denom)))
+    docs.select(col("doc_id"), size(ws).cast("long").as("n_tokens"),
+        round(exp(lnSum * -1 / size(ws)), 4).as("perplexity"))
+      .orderBy("doc_id")
+  }
+
+  /** fastText-style hashed bag-of-words linear quality classifier (Joulin
+    * et al. 2017; the "Wikipedia-vs-CommonCrawl" keep/drop gate of the
+    * GPT-3/LLaMA corpus builds). Each token hashes to a signed integer
+    * weight in [-1000, 1000]; the document margin is the exact-integer
+    * weight sum and `keep = margin >= 0` (normalize by 1000·n_tokens for a
+    * [-1, 1] score downstream). The WEIGHTS
+    * here are a deterministic md5 init — an honestly-labeled stand-in for a
+    * trained table (no training data in this sandbox); the scoring plumbing
+    * (hash → weight → row-local fold, exact integer margin) is the real,
+    * production shape, and a trained table drops in as the same
+    * token→weight lookup.
+    *
+    * Scale shape: zero shuffle — hashing and the fold are row-local; the
+    * margin is an exact integer (order-independent), so results are
+    * bit-identical at any parallelism. Trained weights at production vocab
+    * sizes ride a broadcast map or a kernel expression (the
+    * graft_srp_buckets precedent). */
+  def hashedLinearScore(docs: DataFrame): DataFrame = {
+    val ws = tokens(col("text"))
+    def weight(tok: Column): Column =
+      conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % 2001 - 1000
+    val margin = aggregate(ws, lit(0L), (acc, t) => acc + weight(t))
+    // the margin and token count are exact integers; the length-normalized
+    // score margin/(1000·n) is left to the consumer — a rounded float here
+    // lands on exact .5 ties (margin multiples vs powers of ten) where
+    // HALF_UP-on-shortest-repr and raw-double rounding legitimately disagree
+    docs.select(col("doc_id"), size(ws).cast("long").as("n_tokens"),
+        margin.as("margin_raw"),
+        (margin >= 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Token-offset shard packing — lay the corpus out (doc_id order) into
     * fixed-token-budget training shards: each document gets its global start
     * token offset and `shard_id = start_tok div shardTokens`, i.e. shard k

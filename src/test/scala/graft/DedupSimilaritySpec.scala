@@ -240,6 +240,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
       r.getDouble(3) == 1.0), withTwin.mkString(";"))
   }
 
+  test("unigramPerplexity: hand-computed model, common text scores below OOV text") {
+    import spark.implicits._
+    // corpus counts: a:3, b:2, z:1; vocabK=2 -> model = {a:3, b:2} (z is
+    // OOV, c=0), T=6, denom = 6+2+1 = 9
+    val docs = Seq((1L, "a a b"), (2L, "a b z")).toDF("doc_id", "text")
+    val denom = (6 + 2 + 1).toDouble
+    def p(c: Long) = (c + 1).toDouble / denom
+    def ppl(ps: Seq[Double]) =
+      BigDecimal(math.exp(-ps.map(math.log).sum / ps.length))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = Map(
+      1L -> ppl(Seq(p(3), p(3), p(2))),
+      2L -> ppl(Seq(p(3), p(2), p(0))))
+    val got = TextFunctions.unigramPerplexity(docs, vocabK = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == want, s"$got vs $want")
+    assert(got(1L) < got(2L), "the OOV-bearing doc must score higher")
+  }
+
+  test("hashedLinearScore: margin equals the sum of md5-derived token weights") {
+    import spark.implicits._
+    def w(tok: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(4)
+        .foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+      h % 2001 - 1000
+    }
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val got = TextFunctions.hashedLinearScore(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val m1 = w("alpha") + w("beta")
+    assert(got(1L) == ((2L, m1, m1 >= 0)), got(1L).toString)
+    assert(got(2L) == ((1L, w("gamma"), w("gamma") >= 0)), got(2L).toString)
+  }
+
   test("sq8Quantize: codes bounded, reconstruction within the half-step bound") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
