@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.expressions.GraftExpressions
-import graft.functions.{DedupFunctions, MultimodalFunctions, SimilarityFunctions, TextFunctions}
+import graft.functions.{DedupFunctions, GraphFunctions, MultimodalFunctions, SimilarityFunctions, TextFunctions}
 import graft.pipeline.{CorpusSource, Extract, ExtractPipeline, PipelineConf}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
@@ -210,6 +210,26 @@ object SparkEntry {
       urls.select(graft.expressions.GraftExpressions.urlHost(raw).as("host"))
         .groupBy("host").agg(count(lit(1)).cast("long").as("n_docs"))
         .orderBy("host")
+    }),
+    // host-level link graph — the crawl WAT-records build: real href
+    // extraction through the SAME tokenizer as text extraction (script-body
+    // fake anchors provably skipped), entity-decoded values, absolute /
+    // protocol-relative / relative resolution against the page host, then
+    // one (src_host, dst_host) aggregation. Edge counts are closed-form
+    // functions of the corpus size (LinkGraphSpec pins them).
+    "x21_link_graph" -> ((s, _) => {
+      val gx = graft.expressions.GraftExpressions
+      val pages = CorpusSource.linkPages(s, 280).toDF()
+      val links = pages.select(col("url"),
+          explode(gx.extractLinks(col("html"))).as("href"))
+      val dst = when(col("href").rlike("^https?://"), gx.urlHost(col("href")))
+        .when(col("href").startsWith("//"),
+          gx.urlHost(concat(lit("https:"), col("href"))))
+        .otherwise(gx.urlHost(col("url")))
+      links.select(gx.urlHost(col("url")).as("src_host"), dst.as("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(count(lit(1)).cast("long").as("n_links"))
+        .orderBy("src_host", "dst_host")
     }),
     // Iceberg-style date-partitioned ingest (north star: "partition pruning
     // on warc_ts date partitions"): the corpus commits partitioned by
@@ -530,6 +550,12 @@ object SparkEntry {
     // probe side broadcasts regardless of vocabulary growth.
     "d27_dict_hit_rate" -> ((s, dir) =>
       TextFunctions.dictionaryHitRate(docs(s, dir), 500)),
+    // PageRank over the event-type navigation graph (the clickstream Markov
+    // graph): 3 damped power iterations with source-ordered contribution
+    // folds so raw-double ranks hash-match the oracle's unrolled CTEs.
+    "d32_pagerank" -> ((s, dir) =>
+      GraphFunctions.pageRank(GraphFunctions.eventTransitions(events(s, dir)),
+        iters = 3, damping = 0.85)),
     // CCNet perplexity filter: add-one-smoothed top-100 unigram LM induced
     // from the corpus itself (production swaps in frozen reference counts);
     // row-local positional fold keeps the float sum deterministic.
@@ -1100,6 +1126,43 @@ object SparkEntry {
         |       round((t.n_tokens - coalesce(h.n_in_dict, 0))::DOUBLE
         |             / t.n_tokens, 4) AS oov_fraction
         |FROM t LEFT JOIN h USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    "d32_pagerank" ->
+      """WITH tr AS (SELECT user_id, ts, event_id, event_type,
+        |                   lag(event_type) OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS prev
+        |            FROM events),
+        |e0 AS (SELECT prev AS src, event_type AS dst, count(*)::BIGINT AS cnt
+        |       FROM tr WHERE prev IS NOT NULL GROUP BY prev, event_type),
+        |nodes AS (SELECT DISTINCT node
+        |          FROM (SELECT src AS node FROM e0
+        |                UNION ALL SELECT dst FROM e0)),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+        |ow AS (SELECT src, sum(cnt)::BIGINT AS w FROM e0 GROUP BY src),
+        |e AS (SELECT e0.src, e0.dst, e0.cnt::DOUBLE / ow.w AS p
+        |      FROM e0 JOIN ow USING (src)),
+        |r0 AS (SELECT node, 1::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes),
+        |c1 AS (SELECT e.dst, e.src, r0.rank * e.p AS c
+        |       FROM e JOIN r0 ON r0.node = e.src),
+        |s1 AS (SELECT dst, list_sum(list(c ORDER BY src)) AS s FROM c1 GROUP BY dst),
+        |r1 AS (SELECT nodes.node,
+        |              (1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+        |              + 0.85::DOUBLE * coalesce(s1.s, 0::DOUBLE) AS rank
+        |       FROM nodes LEFT JOIN s1 ON s1.dst = nodes.node),
+        |c2 AS (SELECT e.dst, e.src, r1.rank * e.p AS c
+        |       FROM e JOIN r1 ON r1.node = e.src),
+        |s2 AS (SELECT dst, list_sum(list(c ORDER BY src)) AS s FROM c2 GROUP BY dst),
+        |r2 AS (SELECT nodes.node,
+        |              (1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+        |              + 0.85::DOUBLE * coalesce(s2.s, 0::DOUBLE) AS rank
+        |       FROM nodes LEFT JOIN s2 ON s2.dst = nodes.node),
+        |c3 AS (SELECT e.dst, e.src, r2.rank * e.p AS c
+        |       FROM e JOIN r2 ON r2.node = e.src),
+        |s3 AS (SELECT dst, list_sum(list(c ORDER BY src)) AS s FROM c3 GROUP BY dst),
+        |r3 AS (SELECT nodes.node,
+        |              (1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+        |              + 0.85::DOUBLE * coalesce(s3.s, 0::DOUBLE) AS rank
+        |       FROM nodes LEFT JOIN s3 ON s3.dst = nodes.node)
+        |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
     "d30_perplexity" ->
       """WITH toks AS (SELECT doc_id,
         |                     unnest(string_split(text, ' ')) AS token,

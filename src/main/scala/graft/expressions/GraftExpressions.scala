@@ -904,11 +904,47 @@ case class UrlHostExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_extract_links(html BINARY) -> ARRAY<STRING>`: href values of `<a>`
+  * tags — the link-extraction pass of a crawl link-graph build (the public
+  * WAT-records shape; reference analog: the reference mines hyperlink text
+  * regions the same single-pass way it mines text). Runs the SAME tokenizer
+  * as graft_extract_text (script/comment bodies skipped — no phantom links)
+  * via a per-thread reused arena; CodegenFallback for the same reason as
+  * ExtractTextExpr (one virtual call around a large kernel — inlining the
+  * kernel body into generated Java would blow the 64KB method limit for
+  * zero measurable gain). */
+case class ExtractLinksExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires BINARY, got ${child.dataType}")
+  override def prettyName: String = "graft_extract_links"
+
+  @transient private lazy val arena =
+    new ThreadLocal[graft.htmltok.TokenArena] {
+      override def initialValue(): graft.htmltok.TokenArena =
+        new graft.htmltok.TokenArena()
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hrefs = graft.htmltok.HtmlTokenizer.anchorHrefs(
+      input.asInstanceOf[Array[Byte]], arena.get())
+    new GenericArrayData(hrefs.map(UTF8String.fromString).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ExtractLinksExpr =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
   import org.apache.spark.sql.graftshim.ColumnBridge
 
   def extract_text(c: Column): Column =
     ColumnBridge.column(ExtractTextExpr(ColumnBridge.expression(c)))
+  def extractLinks(c: Column): Column =
+    ColumnBridge.column(ExtractLinksExpr(ColumnBridge.expression(c)))
   def token_count(c: Column): Column =
     ColumnBridge.column(TokenCountExpr(ColumnBridge.expression(c)))
   def simhash64(c: Column): Column =
@@ -944,6 +980,8 @@ object GraftExpressions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_extract_text", exprs => ExtractTextExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_extract_links", exprs => ExtractLinksExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_token_count", exprs => TokenCountExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

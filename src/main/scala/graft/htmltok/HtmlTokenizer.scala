@@ -450,6 +450,77 @@ object HtmlTokenizer {
     * arena and returns the index just past '>'; returns -1 if malformed (no '>'
     * found — caller treats '<' as text). Extracts href presence and class/id hints.
     */
+  /** Href values of `<a>` start tags, in document order — the link-extraction
+    * pass of a crawl link-graph build (the WAT-records shape of Common Crawl,
+    * public format). Runs the SAME tokenizer as text extraction (comments,
+    * rawtext and script bodies correctly skipped, so no phantom links), then
+    * re-scans each href-flagged `<a>` tag's byte span with the same attribute
+    * state machine — purely additive, the hot extraction path is untouched.
+    * Values are entity-decoded (`&amp;` in query strings) and stripped of
+    * leading/trailing ASCII whitespace per the URL spec. Assumes an
+    * ASCII-compatible byte encoding (true post-transcode in the pipeline). */
+  def anchorHrefs(input: Array[Byte], arena: TokenArena): Vector[String] = {
+    arena.reset()
+    tokenize(input, arena)
+    val out = Vector.newBuilder[String]
+    var t = 0
+    while (t < arena.size) {
+      val k = arena.kinds(t)
+      if ((k == Tok.Start || k == Tok.SelfClose) &&
+          (arena.flags(t) & TokenFlags.HasHref) != 0 &&
+          arena.tagName(arena.tagIds(t)) == "a") {
+        val v = hrefValue(input, arena.starts(t), arena.ends(t))
+        if (v != null && v.nonEmpty) out += v
+      }
+      t += 1
+    }
+    out.result()
+  }
+
+  /** First href attribute value inside tag bytes [i0, end) — parseStartTag's
+    * attribute state machine with value capture instead of flag packing. */
+  private def hrefValue(input: Array[Byte], i0: Int, end: Int): String = {
+    var j = i0 + 1
+    while (j < end && (isAsciiLetter(input(j) & 0xff) ||
+        (j > i0 + 1 && { val c = input(j) & 0xff; (c >= '0' && c <= '9') || c == '-' }))) j += 1
+    while (j < end && input(j) != '>') {
+      val c = input(j) & 0xff
+      if (isAsciiLetter(c)) {
+        val anStart = j
+        while (j < end && { val cc = input(j) & 0xff
+          isAsciiLetter(cc) || (cc >= '0' && cc <= '9') || cc == '-' || cc == '_' }) j += 1
+        val anLen = j - anStart
+        while (j < end && (input(j) == ' ' || input(j) == '\t' || input(j) == '\n' || input(j) == '\r')) j += 1
+        var vStart = -1
+        var vEnd = -1
+        if (j < end && input(j) == '=') {
+          j += 1
+          while (j < end && (input(j) == ' ' || input(j) == '\t' || input(j) == '\n' || input(j) == '\r')) j += 1
+          if (j < end && (input(j) == '"' || input(j) == '\'')) {
+            val quote = input(j); j += 1
+            vStart = j
+            while (j < end && input(j) != quote) j += 1
+            vEnd = j
+            if (j < end) j += 1
+          } else {
+            vStart = j
+            while (j < end && { val cc = input(j) & 0xff; cc != ' ' && cc != '\t' && cc != '\n' && cc != '\r' && cc != '>' }) j += 1
+            vEnd = j
+          }
+        }
+        if (vStart >= 0 && nameIs(input, anStart, anLen, "href")) {
+          var a = vStart
+          var b = vEnd
+          while (a < b && (input(a) & 0xff) <= ' ') a += 1
+          while (b > a && (input(b - 1) & 0xff) <= ' ') b -= 1
+          val raw = new String(input, a, b - a, java.nio.charset.StandardCharsets.UTF_8)
+          return if (raw.indexOf('&') >= 0) graft.extract.Entities.decode(raw) else raw
+        }
+      } else j += 1
+    }
+    null
+  }
+
   private def parseStartTag(input: Array[Byte], i0: Int, n: Int, arena: TokenArena): Int = {
     var j = i0 + 1
     val nameSb = new java.lang.StringBuilder(8)

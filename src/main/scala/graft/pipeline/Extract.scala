@@ -58,6 +58,35 @@ object CorpusSource {
     })
   }
 
+  /** Deterministic link-graph corpus: page `i` lives on host `w{i%5}` and
+    * carries an authored anchor set — one relative link (self-host edge),
+    * one absolute cross-host link to `w{(i+1)%5}`, one protocol-relative
+    * link to `partner{i%3}.example.net` whose query string carries `&amp;`
+    * (entity decode exercised), plus every 7th page a hub link — and a
+    * <script> body containing a FAKE anchor that a naive regex would match
+    * but the tokenizer must skip. Pure function of the index: the expected
+    * host-graph edge counts are derivable in closed form (LinkGraphSpec). */
+  def linkPages(spark: SparkSession, n: Long): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions(_.map { i =>
+      val idx = i.toInt
+      val url = s"https://w${idx % 5}.example.org/doc$idx"
+      val hub = if (idx % 7 == 0)
+        """<p><a href="https://hub.example.org/">hub</a></p>""" else ""
+      val body =
+        s"""<h1>Page $idx</h1><p>Body text for page $idx with enough words.</p>""" +
+        s"""<p><a href="/about">about</a></p>""" +
+        s"""<p><a href="https://w${(idx + 1) % 5}.example.org/doc${idx + 7}">next</a></p>""" +
+        s"""<p><a href="//partner${idx % 3}.example.net/p?a=1&amp;b=2">partner</a></p>""" +
+        hub +
+        """<script>var s = '<a href="https://evil.example/x">phantom</a>';</script>"""
+      val html = s"<html><head><title>t</title></head><body>$body</body></html>"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      PageRow(url, new java.sql.Timestamp(1577836800000L + idx.toLong * 60000L),
+        html, null, "en")
+    })
+  }
+
   /** Authored (width, height) for media fixture `idx` — spans both sides of
     * the resize planner's 960px long-side limit. */
   def mediaDims(idx: Int): (Int, Int) =

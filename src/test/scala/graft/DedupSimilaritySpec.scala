@@ -240,6 +240,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
       r.getDouble(3) == 1.0), withTwin.mkString(";"))
   }
 
+  test("pageRank: matches a driver-side power-iteration simulation exactly") {
+    import spark.implicits._
+    val edges = Seq(("A", "B", 1L), ("A", "C", 1L), ("B", "C", 1L), ("C", "A", 2L))
+      .toDF("src", "dst", "cnt")
+    // simulate with the same op order: contribs folded by src ascending
+    val n = 3
+    val p = Map(("A","B") -> 1.0/2, ("A","C") -> 1.0/2, ("B","C") -> 1.0/1, ("C","A") -> 2.0/2)
+    var r = Map("A" -> 1.0/n, "B" -> 1.0/n, "C" -> 1.0/n)
+    for (_ <- 1 to 3) {
+      def in(v: String) = p.keys.filter(_._2 == v).toSeq.sortBy(_._1)
+        .foldLeft(0.0)((acc, k) => acc + r(k._1) * p(k))
+      r = Seq("A", "B", "C").map(v => v -> ((1 - 0.85) / n + 0.85 * in(v))).toMap
+    }
+    val got = graft.functions.GraphFunctions.pageRank(edges, iters = 3)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(got == r, s"$got vs $r")
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "no dangling nodes -> mass conserved")
+  }
+
   test("unigramPerplexity: hand-computed model, common text scores below OOV text") {
     import spark.implicits._
     // corpus counts: a:3, b:2, z:1; vocabK=2 -> model = {a:3, b:2} (z is

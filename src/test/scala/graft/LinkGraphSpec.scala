@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.htmltok.{HtmlTokenizer, TokenArena}
+
+/** Link extraction (anchorHrefs / graft_extract_links) and the x21 host
+  * link-graph query: href values must come from real tokenizer output
+  * (script/comment bodies skipped), be entity-decoded, and aggregate to the
+  * closed-form edge counts of the deterministic link corpus.
+  */
+class LinkGraphSpec extends AnyFunSuite {
+
+  lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def hrefs(html: String): Vector[String] =
+    HtmlTokenizer.anchorHrefs(html.getBytes(StandardCharsets.UTF_8), new TokenArena())
+
+  test("anchorHrefs: quoting styles, entity decode, whitespace strip") {
+    assert(hrefs("""<a href="/a">x</a>""") == Vector("/a"))
+    assert(hrefs("""<a href='/b'>x</a>""") == Vector("/b"))
+    assert(hrefs("""<a href=/c>x</a>""") == Vector("/c"))
+    assert(hrefs("""<a class="q" href="/d" id="z">x</a>""") == Vector("/d"))
+    assert(hrefs("""<a href = "/e">x</a>""") == Vector("/e"))
+    assert(hrefs("""<a href=" /f ">x</a>""") == Vector("/f"), "URL-spec ws strip")
+    assert(hrefs("""<a href="/p?a=1&amp;b=2">x</a>""") == Vector("/p?a=1&b=2"))
+    assert(hrefs("""<A HREF="/caps">x</A>""") == Vector("/caps"))
+    assert(hrefs("""<a href="/1">x</a><p>t</p><a href="/2">y</a>""")
+      == Vector("/1", "/2"))
+  }
+
+  test("anchorHrefs: script and comment bodies yield no phantom links") {
+    assert(hrefs("""<script>var s='<a href="/evil">x</a>';</script>""").isEmpty)
+    assert(hrefs("""<!-- <a href="/ghost">x</a> -->""").isEmpty)
+    assert(hrefs("""<style>a{content:'<a href="/css">'}</style>""").isEmpty)
+    // href on a non-anchor tag is not a link; area/link tags are out of scope
+    assert(hrefs("""<link href="/style.css"><div href="/nope">x</div>""").isEmpty)
+    // malformed: no value, empty value
+    assert(hrefs("""<a href>x</a><a href="">y</a>""").isEmpty)
+  }
+
+  test("x21: host-graph edge counts match the closed-form corpus definition") {
+    val got = SparkEntry.queries("x21_link_graph")(spark, "")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = scala.collection.mutable.Map[(String, String), Long]()
+    for (i <- 0 until 280) {
+      val src = s"w${i % 5}.example.org"
+      def add(d: String): Unit = want((src, d)) = want.getOrElse((src, d), 0L) + 1
+      add(src)                                   // relative /about
+      add(s"w${(i + 1) % 5}.example.org")        // absolute next
+      add(s"partner${i % 3}.example.net")        // protocol-relative
+      if (i % 7 == 0) add("hub.example.org")     // hub
+    }
+    assert(got == want.toMap, s"got ${got.size} edges, want ${want.size}")
+    assert(!got.keys.exists(_._2.contains("evil")), "script-body phantom leaked")
+  }
+}
