@@ -550,6 +550,16 @@ object SparkEntry {
     // probe side broadcasts regardless of vocabulary growth.
     "d27_dict_hit_rate" -> ((s, dir) =>
       TextFunctions.dictionaryHitRate(docs(s, dir), 500)),
+    // BM25 keyword retrieval — the corpus-probe/search capability: term
+    // filter pushed to the scan, |query|-row df table broadcast, term-order
+    // score folds so raw doubles oracle-match without rounding.
+    "d33_bm25" -> ((s, dir) =>
+      TextFunctions.bm25(docs(s, dir), "spark filter join", k = 10)),
+    // multi-dimensional corpus scorecard: (source, lang) + per-source and
+    // grand totals via ROLLUP in ONE shuffle (grouping-set expansion is
+    // map-side); exact-integer measures only.
+    "d34_rollup" -> ((s, dir) =>
+      TextFunctions.rollupScorecard(docs(s, dir))),
     // PageRank over the event-type navigation graph (the clickstream Markov
     // graph): 3 damped power iterations with source-ordered contribution
     // folds so raw-double ranks hash-match the oracle's unrolled CTEs.
@@ -1126,6 +1136,35 @@ object SparkEntry {
         |       round((t.n_tokens - coalesce(h.n_in_dict, 0))::DOUBLE
         |             / t.n_tokens, 4) AS oov_fraction
         |FROM t LEFT JOIN h USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    "d33_bm25" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |stats AS (SELECT count(*)::BIGINT AS n, sum(len(w))::BIGINT AS tot FROM ws),
+        |toks AS (SELECT doc_id, unnest(w) AS t FROM ws),
+        |tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM toks
+        |       WHERE t IN ('spark', 'filter', 'join') GROUP BY doc_id, t),
+        |dft AS (SELECT t, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY t),
+        |lens AS (SELECT doc_id, len(w)::BIGINT AS len FROM ws),
+        |sc AS (SELECT tf.doc_id, tf.t,
+        |         ln(((SELECT n FROM stats)::DOUBLE - dft.df + 0.5)
+        |            / (dft.df + 0.5) + 1.0)
+        |         * (tf.tf * (1.2::DOUBLE + 1))
+        |         / (tf.tf + 1.2::DOUBLE * ((1 - 0.75::DOUBLE)
+        |            + 0.75::DOUBLE * lens.len
+        |              / ((SELECT tot FROM stats)::DOUBLE / (SELECT n FROM stats))))
+        |           AS s
+        |       FROM tf JOIN dft USING (t) JOIN lens USING (doc_id)),
+        |pd AS (SELECT doc_id, round(list_sum(list(s ORDER BY t)), 4) AS score
+        |       FROM sc GROUP BY doc_id),
+        |r AS (SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+        |             doc_id, score
+        |      FROM pd)
+        |SELECT rank, doc_id, score FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    "d34_rollup" ->
+      """SELECT source, lang, count(*)::BIGINT AS n_docs,
+        |       sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+        |       grouping(source, lang)::BIGINT AS gid
+        |FROM documents GROUP BY ROLLUP (source, lang)
+        |ORDER BY gid, source, lang""".stripMargin,
     "d32_pagerank" ->
       """WITH tr AS (SELECT user_id, ts, event_id, event_type,
         |                   lag(event_type) OVER (PARTITION BY user_id

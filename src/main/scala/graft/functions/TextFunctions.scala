@@ -531,6 +531,64 @@ object TextFunctions {
       .orderBy("doc_id")
   }
 
+  /** BM25 keyword retrieval (Robertson/Spärck Jones; the Lucene-form idf —
+    * public) — rank documents against a keyword query: the corpus-probe
+    * capability of a curation pipeline (inspect dedup clusters, pull quality
+    * strata, find contamination neighborhoods by keyword). Returns the top-k
+    * (rank, doc_id, score).
+    *
+    * Scale shape: the term filter (`isin`) binds directly above the explode
+    * in the SAME codegen stage — no exchange sees a non-matching token, so
+    * everything past the scan stage is O(matching postings), never O(corpus
+    * tokens). (At index-serving scale the standard move is a persisted
+    * inverted index / token bloom filter to skip non-matching row groups;
+    * this is the scan-time shape.) The df table is |query| rows (broadcast);
+    * N and avgdl are O(1) control-plane aggregates. Per-doc scores fold in
+    * TERM order (sort_array) so doubles are parallelism-bit-stable; across
+    * ENGINES the idf's ln differs by 1 ulp on some inputs (JVM StrictMath vs
+    * libm), so the surfaced score is rounded to 4 decimals and ranking runs
+    * AFTER rounding with a doc_id tiebreak — rank boundaries cannot flip on
+    * sub-rounding noise. */
+  def bm25(docs: DataFrame, query: String, k: Int = 10,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = query.split(" ").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    val ws = tokens(col("text"))
+    val stats = docs.agg(count(lit(1)), sum(size(ws).cast("long"))).head
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / nDocs
+    val tf = docs.select(col("doc_id"), explode(ws).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy(col("t")).agg(count_distinct(col("doc_id")).as("df"))
+    val lens = docs.select(col("doc_id"), size(ws).cast("long").as("len"))
+    val idf = log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfNorm = (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / lit(avgdl)))
+    val scored = tf.join(broadcast(dfTab), Seq("t")).join(lens, Seq("doc_id"))
+      .select(col("doc_id"), col("t"), (idf * tfNorm).as("s"))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(round(aggregate(sort_array(collect_list(struct(col("t"), col("s")))),
+        lit(0.0), (acc, x) => acc + x("s")), 4).as("score"))
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    perDoc.select(row_number().over(w).cast("long").as("rank"),
+        col("doc_id"), col("score"))
+      .filter(col("rank") <= k)
+      .orderBy("rank")
+  }
+
+  /** Corpus scorecard with ROLLUP totals — (source, lang) token mass and doc
+    * counts plus per-source and grand totals in one multi-dimensional
+    * aggregation (one shuffle; the engine expands grouping sets map-side).
+    * Exact-integer measures only. */
+  def rollupScorecard(docs: DataFrame): DataFrame = {
+    docs.rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).cast("long").as("n_tokens"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("source"), col("lang"))
+  }
+
   /** Token-offset shard packing — lay the corpus out (doc_id order) into
     * fixed-token-budget training shards: each document gets its global start
     * token offset and `shard_id = start_tok div shardTokens`, i.e. shard k

@@ -240,6 +240,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
       r.getDouble(3) == 1.0), withTwin.mkString(";"))
   }
 
+  test("bm25: matches a driver-side formula replication exactly") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y x z"), (2L, "x q q"), (3L, "q q q")).toDF("doc_id", "text")
+    // query "x q": df(x)=2, df(q)=2, N=3, avgdl=10/3
+    val n = 3.0; val avgdl = 10L.toDouble / 3
+    // Spark's Log expression evaluates via StrictMath (1 ulp off Math.log)
+    def idf(df: Long) = StrictMath.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def tfn(tf: Long, len: Long) =
+      (tf * (1.2 + 1)) / (tf + 1.2 * ((1 - 0.75) + 0.75 * len / avgdl))
+    def score(terms: Seq[(String, Long, Long, Long)]) = // (t, tf, df, len) sorted by t
+      BigDecimal(terms.foldLeft(0.0)((a, x) => a + idf(x._3) * tfn(x._2, x._4)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = Map(
+      1L -> score(Seq(("x", 2L, 2L, 4L))),
+      2L -> score(Seq(("q", 2L, 2L, 3L), ("x", 1L, 2L, 3L))),
+      3L -> score(Seq(("q", 3L, 2L, 3L))))
+    val got = TextFunctions.bm25(docs, "x q", k = 10)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(got == want, s"$got vs $want")
+    // ranks: deterministic desc order with doc_id tiebreak
+    val ranks = TextFunctions.bm25(docs, "x q", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ranks.length == 2 && ranks(0)._1 == 1L && ranks(1)._1 == 2L)
+  }
+
+  test("rollupScorecard: grouping levels complete and totals consistent") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b", "en", "web"), (2L, "c", "en", "web"),
+      (3L, "d e f", "de", "news")).toDF("doc_id", "text", "lang", "source")
+    val r = TextFunctions.rollupScorecard(docs).collect()
+      .map(x => (Option(x.getString(0)), Option(x.getString(1)), x.getLong(2),
+        x.getLong(3), x.getLong(4))).toSet
+    assert(r == Set(
+      (Some("web"), Some("en"), 2L, 3L, 0L),
+      (Some("news"), Some("de"), 1L, 3L, 0L),
+      (Some("web"), None, 2L, 3L, 1L),
+      (Some("news"), None, 1L, 3L, 1L),
+      (None, None, 3L, 6L, 3L)), r.toString)
+  }
+
   test("pageRank: matches a driver-side power-iteration simulation exactly") {
     import spark.implicits._
     val edges = Seq(("A", "B", 1L), ("A", "C", 1L), ("B", "C", 1L), ("C", "A", 2L))
