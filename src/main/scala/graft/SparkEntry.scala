@@ -231,6 +231,21 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n_links"))
         .orderBy("src_host", "dst_host")
     }),
+    // anchor-text corpus (WAT Links+text shape): (src_host, href, anchor
+    // text) — the hyperlink-text training signal; text spans terminate at
+    // the matching </a> (or an implicit re-open), entity-decoded,
+    // whitespace-normalized. Exact rows pinned in LinkGraphSpec.
+    "x22_anchor_text" -> ((s, _) => {
+      val gx = graft.expressions.GraftExpressions
+      CorpusSource.linkPages(s, 280).toDF()
+        .select(gx.urlHost(col("url")).as("src_host"),
+          explode(gx.anchorTexts(col("html"))).as("a"))
+        .select(col("src_host"), col("a.href").as("href"),
+          col("a.text").as("anchor_text"))
+        .groupBy("src_host", "anchor_text")
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy("src_host", "anchor_text")
+    }),
     // Iceberg-style date-partitioned ingest (north star: "partition pruning
     // on warc_ts date partitions"): the corpus commits partitioned by
     // dt=date(warc_ts) — the Common-Crawl crawl-day layout — and the
@@ -550,6 +565,10 @@ object SparkEntry {
     // probe side broadcasts regardless of vocabulary growth.
     "d27_dict_hit_rate" -> ((s, dir) =>
       TextFunctions.dictionaryHitRate(docs(s, dir), 500)),
+    // exact per-source length quantiles (type-1/discrete): the distribution
+    // report behind Gopher/C4 threshold picking — integer-exact end to end.
+    "d35_quantiles" -> ((s, dir) =>
+      TextFunctions.lengthQuantiles(docs(s, dir))),
     // BM25 keyword retrieval — the corpus-probe/search capability: term
     // filter pushed to the scan, |query|-row df table broadcast, term-order
     // score folds so raw doubles oracle-match without rounding.
@@ -1136,6 +1155,20 @@ object SparkEntry {
         |       round((t.n_tokens - coalesce(h.n_in_dict, 0))::DOUBLE
         |             / t.n_tokens, 4) AS oov_fraction
         |FROM t LEFT JOIN h USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    "d35_quantiles" ->
+      """WITH c AS (SELECT source, len(string_split(text, ' '))::BIGINT AS len,
+        |                  count(*)::BIGINT AS c
+        |           FROM documents GROUP BY source, len),
+        |cum AS (SELECT source, len,
+        |               sum(c) OVER (PARTITION BY source ORDER BY len
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |               sum(c) OVER (PARTITION BY source) AS n
+        |        FROM c)
+        |SELECT source, max(n)::BIGINT AS n_docs,
+        |       min(CASE WHEN cum >= ceil(0.5::DOUBLE * n) THEN len END)::BIGINT AS p50,
+        |       min(CASE WHEN cum >= ceil(0.9::DOUBLE * n) THEN len END)::BIGINT AS p90,
+        |       min(CASE WHEN cum >= ceil(0.99::DOUBLE * n) THEN len END)::BIGINT AS p99
+        |FROM cum GROUP BY source ORDER BY source""".stripMargin,
     "d33_bm25" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |stats AS (SELECT count(*)::BIGINT AS n, sum(len(w))::BIGINT AS tot FROM ws),

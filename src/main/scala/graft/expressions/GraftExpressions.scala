@@ -938,6 +938,39 @@ case class ExtractLinksExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_anchor_texts(html BINARY) -> ARRAY<STRUCT<href, text>>`: (href,
+  * anchor text) pairs — the anchor-text corpus pass (WAT Links+text shape).
+  * Same tokenizer/arena discipline as ExtractLinksExpr. */
+case class AnchorTextsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("href", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("text", StringType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires BINARY, got ${child.dataType}")
+  override def prettyName: String = "graft_anchor_texts"
+
+  @transient private lazy val arena =
+    new ThreadLocal[graft.htmltok.TokenArena] {
+      override def initialValue(): graft.htmltok.TokenArena =
+        new graft.htmltok.TokenArena()
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val pairs = graft.htmltok.HtmlTokenizer.anchorTexts(
+      input.asInstanceOf[Array[Byte]], arena.get())
+    new GenericArrayData(pairs.map(p => InternalRow(
+      UTF8String.fromString(p._1), UTF8String.fromString(p._2))).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AnchorTextsExpr =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
   import org.apache.spark.sql.graftshim.ColumnBridge
 
@@ -945,6 +978,8 @@ object GraftExpressions {
     ColumnBridge.column(ExtractTextExpr(ColumnBridge.expression(c)))
   def extractLinks(c: Column): Column =
     ColumnBridge.column(ExtractLinksExpr(ColumnBridge.expression(c)))
+  def anchorTexts(c: Column): Column =
+    ColumnBridge.column(AnchorTextsExpr(ColumnBridge.expression(c)))
   def token_count(c: Column): Column =
     ColumnBridge.column(TokenCountExpr(ColumnBridge.expression(c)))
   def simhash64(c: Column): Column =

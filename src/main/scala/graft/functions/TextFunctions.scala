@@ -577,6 +577,35 @@ object TextFunctions {
       .orderBy("rank")
   }
 
+  /** Exact per-source token-length quantiles — the distribution report a
+    * pipeline reads before picking Gopher/C4 length thresholds. For each
+    * probability p: the SMALLEST length whose cumulative doc count reaches
+    * `ceil(p · n)` (discrete/type-1 quantile — exact integers end to end, no
+    * interpolation, so results are engine-exact).
+    *
+    * Scale shape: one (source, len) count with map-side combine collapses
+    * the corpus to O(sources × distinct lengths) rows; the cumulative window
+    * partitions BY SOURCE (parallel across sources) over that collapsed
+    * table — never a window over raw docs. */
+  def lengthQuantiles(docs: DataFrame,
+                      ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), ps.toString)
+    val cnt = docs.select(col("source"),
+        size(tokens(col("text"))).cast("long").as("len"))
+      .groupBy(col("source"), col("len")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("source").orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("source")
+    val cum = cnt.select(col("source"), col("len"),
+      sum(col("c")).over(wCum).as("cum"), sum(col("c")).over(wTot).as("n"))
+    val aggs = ps.map(p =>
+      min(when(col("cum") >= ceil(lit(p) * col("n")), col("len")))
+        .as(s"p${(p * 100).toInt}"))
+    cum.groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"), aggs: _*)
+      .orderBy("source")
+  }
+
   /** Corpus scorecard with ROLLUP totals — (source, lang) token mass and doc
     * counts plus per-source and grand totals in one multi-dimensional
     * aggregation (one shuffle; the engine expands grouping sets map-side).

@@ -477,6 +477,49 @@ object HtmlTokenizer {
     out.result()
   }
 
+  /** (href, anchor text) pairs of `<a>` tags in document order — the
+    * anchor-text corpus build (the hyperlink-text training signal; public
+    * WAT `Links`+`text` shape). Anchor text is the concatenation of Text
+    * tokens between the `<a>` start and its matching `</a>` (nested inline
+    * markup contributes its text; a nested/implicitly-closing `<a>` or EOF
+    * terminates the span, per the HTML no-nested-anchors rule),
+    * entity-decoded, whitespace-normalized to single spaces. */
+  def anchorTexts(input: Array[Byte], arena: TokenArena): Vector[(String, String)] = {
+    arena.reset()
+    tokenize(input, arena)
+    val out = Vector.newBuilder[(String, String)]
+    var t = 0
+    while (t < arena.size) {
+      val k = arena.kinds(t)
+      if ((k == Tok.Start || k == Tok.SelfClose) &&
+          (arena.flags(t) & TokenFlags.HasHref) != 0 &&
+          arena.tagName(arena.tagIds(t)) == "a") {
+        val href = hrefValue(input, arena.starts(t), arena.ends(t))
+        if (href != null && href.nonEmpty) {
+          val sb = new java.lang.StringBuilder()
+          var j = t + 1
+          var open = k == Tok.Start
+          while (open && j < arena.size) {
+            val kj = arena.kinds(j)
+            if (kj == Tok.Text) {
+              sb.append(new String(input, arena.starts(j),
+                arena.ends(j) - arena.starts(j), java.nio.charset.StandardCharsets.UTF_8))
+            } else if ((kj == Tok.End || kj == Tok.Start) &&
+                arena.tagName(arena.tagIds(j)) == "a") {
+              open = false
+            }
+            j += 1
+          }
+          val raw = sb.toString
+          val decoded = if (raw.indexOf('&') >= 0) graft.extract.Entities.decode(raw) else raw
+          out += href -> decoded.split("\\s+").filter(_.nonEmpty).mkString(" ")
+        }
+      }
+      t += 1
+    }
+    out.result()
+  }
+
   /** First href attribute value inside tag bytes [i0, end) — parseStartTag's
     * attribute state machine with value capture instead of flag packing. */
   private def hrefValue(input: Array[Byte], i0: Int, end: Int): String = {

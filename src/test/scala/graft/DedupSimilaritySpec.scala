@@ -265,6 +265,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ranks.length == 2 && ranks(0)._1 == 1L && ranks(1)._1 == 2L)
   }
 
+  test("lengthQuantiles: discrete quantiles hand-computed, boundary-exact") {
+    import spark.implicits._
+    // source A lens: 1..10 (one doc each) -> p50=5, p90=9, p99=10
+    val a = (1 to 10).map(i => (i.toLong, ("w " * i).trim, "A"))
+    // source B lens: 2,2,2,100 -> n=4: p50 ceil(2)=2 -> len 2; p90 ceil(3.6)=4 -> 100
+    val b = Seq((100L, "w w", "B"), (101L, "w w", "B"), (102L, "w w", "B"),
+      (103L, ("w " * 100).trim, "B"))
+    val docs = (a ++ b).toDF("doc_id", "text", "source")
+    val got = TextFunctions.lengthQuantiles(docs).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(got("A") == ((10L, 5L, 9L, 10L)), got("A").toString)
+    assert(got("B") == ((4L, 2L, 100L, 100L)), got("B").toString)
+  }
+
   test("rollupScorecard: grouping levels complete and totals consistent") {
     import spark.implicits._
     val docs = Seq((1L, "a b", "en", "web"), (2L, "c", "en", "web"),

@@ -46,6 +46,36 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(hrefs("""<a href>x</a><a href="">y</a>""").isEmpty)
   }
 
+  test("anchorTexts: inner markup, entities, nested stop, whitespace normalize") {
+    def at(html: String) = HtmlTokenizer.anchorTexts(
+      html.getBytes(StandardCharsets.UTF_8), new TokenArena())
+    assert(at("""<a href="/a">hello world</a>""") == Vector(("/a", "hello world")))
+    assert(at("""<a href="/b">bold <b>inner</b> tail</a>""")
+      == Vector(("/b", "bold inner tail")))
+    assert(at("""<a href="/c">caf&eacute; &amp; more</a>""")
+      == Vector(("/c", "café & more")))
+    assert(at("<a href=\"/d\">\n  spaced \t out\n</a>") == Vector(("/d", "spaced out")))
+    // a second <a> implicitly terminates the first (no nested anchors)
+    assert(at("""<a href="/e">one<a href="/f">two</a>""")
+      == Vector(("/e", "one"), ("/f", "two")))
+    // EOF-truncated anchor still yields its text so far
+    assert(at("""<a href="/g">dangling""") == Vector(("/g", "dangling")))
+  }
+
+  test("x22: anchor-text rows match the corpus definition") {
+    val got = SparkEntry.queries("x22_anchor_text")(spark, "")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = scala.collection.mutable.Map[(String, String), Long]()
+    for (i <- 0 until 280) {
+      val src = s"w${i % 5}.example.org"
+      def add(t: String): Unit = want((src, t)) = want.getOrElse((src, t), 0L) + 1
+      add("about"); add("next"); add("partner")
+      if (i % 7 == 0) add("hub")
+    }
+    assert(got == want.toMap, s"got ${got.size} rows, want ${want.size}")
+    assert(!got.keys.exists(_._2 == "phantom"), "script-body anchor text leaked")
+  }
+
   test("x21: host-graph edge counts match the closed-form corpus definition") {
     val got = SparkEntry.queries("x21_link_graph")(spark, "")
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
