@@ -560,6 +560,15 @@ object SparkEntry {
       DedupFunctions.incrementalDedup(
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
     }),
+    // d26's two-tier production shape: a Bloom filter over the standing
+    // digests answers "definitely novel" row-locally; only might-contain
+    // rows pay the anti-join, and false positives resolve exactly there —
+    // output is bit-identical to d26 (same oracle SQL).
+    "d36_bloom_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      DedupFunctions.bloomIncrementalDedup(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+    }),
     // dictionary hit-rate (C4-style OOV-fraction quality signal): the
     // dictionary is the corpus's own top-500 tokens — top-K capped, so the
     // probe side broadcasts regardless of vocabulary growth.
@@ -1132,6 +1141,17 @@ object SparkEntry {
         |FROM sh JOIN g USING (h)
         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
     "d26_incremental_dedup" ->
+      """WITH ex AS (SELECT DISTINCT md5(text) AS content_md5
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |ba AS (SELECT doc_id, md5(text) AS content_md5
+        |       FROM documents WHERE doc_id % 2 = 1)
+        |SELECT min(ba.doc_id) AS doc_id, ba.content_md5
+        |FROM ba LEFT JOIN ex ON ba.content_md5 = ex.content_md5
+        |WHERE ex.content_md5 IS NULL
+        |GROUP BY ba.content_md5 ORDER BY doc_id""".stripMargin,
+    // d36 is REQUIRED to produce byte-identical output to d26 (the Bloom
+    // tier only prunes; exactness comes from the same anti-join)
+    "d36_bloom_dedup" ->
       """WITH ex AS (SELECT DISTINCT md5(text) AS content_md5
         |            FROM documents WHERE doc_id % 2 = 0),
         |ba AS (SELECT doc_id, md5(text) AS content_md5

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline (SURVEY.md §2 +
@@ -347,6 +347,54 @@ object DedupFunctions {
       .join(seen, Seq("content_md5"), "left_anti")
       .groupBy(col("content_md5"))
       .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("content_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Bloom-prefiltered incremental dedup — [[incrementalDedup]]'s two-tier
+    * production shape (Bloom 1970, public): a Bloom filter over the standing
+    * digest set answers "definitely novel" ROW-LOCALLY, so only might-
+    * contain rows pay the anti-join exchange; false positives are then
+    * resolved EXACTLY by the same anti-join, so the output is bit-identical
+    * to incrementalDedup at any false-positive rate (spec-pinned equality).
+    *
+    * Scale shape: the filter BUILDS distributed — standing digests explode
+    * to k bit positions, one narrow (word, bit_or) aggregation, and only
+    * m/64 longs collect to the driver (control-plane, independent of corpus
+    * size; a 10^10-digest set at 1% FP is ~12 GiB of bits — at that size the
+    * word array rides a broadcast variable inside a kernel expression, the
+    * graft_srp_buckets precedent, instead of plan literals). The probe is
+    * row-local xxhash64 + bit tests (codegen'd, zero shuffle). For a mostly-
+    * novel crawl batch the anti-join input shrinks to FP-rate · batch. */
+  def bloomIncrementalDedup(existing: DataFrame, batch: DataFrame,
+                            bits: Int = 1 << 16, nHashes: Int = 5): DataFrame = {
+    require(bits >= 64 && bits % 64 == 0 && nHashes >= 1, s"bits=$bits k=$nHashes")
+    val digest = md5(col("text").cast("binary"))
+    def probe(i: Int, d: Column) = pmod(xxhash64(lit(i), d), lit(bits.toLong))
+    val built = existing.select(digest.as("d"))
+      .select(explode(array((0 until nHashes).map(i => probe(i, col("d"))): _*)).as("bit"))
+      .select(expr("CAST(bit DIV 64 AS INT)").as("w"),
+        expr("shiftleft(1L, CAST(bit % 64 AS INT))").as("m"))
+      .groupBy(col("w")).agg(expr("bit_or(m)").as("m"))
+      .collect()
+    val words = new Array[Long](bits / 64)
+    built.foreach(r => words(r.getInt(0)) = r.getLong(1))
+    val probed = (0 until nHashes).foldLeft(
+      batch.select(col("doc_id"), digest.as("content_md5"))
+        .withColumn("bloom", array(words.map(lit(_)): _*))) { (df, i) =>
+      df.withColumn(s"b$i", probe(i, col("content_md5")))
+        .withColumn(s"hit$i", expr(
+          s"(element_at(bloom, CAST(b$i DIV 64 AS INT) + 1)" +
+          s" & shiftleft(1L, CAST(b$i % 64 AS INT))) != 0"))
+    }
+    val flagged = probed.select(col("doc_id"), col("content_md5"),
+      (0 until nHashes).map(i => col(s"hit$i")).reduce(_ && _).as("might"))
+    val seen = existing.select(digest.as("content_md5")).distinct()
+    val maybe = flagged.filter(col("might"))
+      .join(seen, Seq("content_md5"), "left_anti")
+    flagged.filter(!col("might")).select(col("doc_id"), col("content_md5"))
+      .union(maybe.select(col("doc_id"), col("content_md5")))
+      .groupBy(col("content_md5")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("content_md5"))
       .orderBy("doc_id")
   }

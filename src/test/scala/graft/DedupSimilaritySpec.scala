@@ -240,6 +240,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
       r.getDouble(3) == 1.0), withTwin.mkString(";"))
   }
 
+  test("bloomIncrementalDedup: output identical to exact incrementalDedup; bloom prunes") {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+    // standing = even ids; batch = odd ids + planted cross-batch dup (copy of
+    // an even doc) + intra-batch twins
+    val e0 = base.filter(col("doc_id") === 0).head.getString(1)
+    val plants = Seq((9001L, e0), (9003L, "twin text payload"),
+      (9005L, "twin text payload")).toDF("doc_id", "text")
+    val existing = base.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+    val batch = base.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+      .union(plants)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val exact = key(DedupFunctions.incrementalDedup(existing, batch))
+    val bloom = key(DedupFunctions.bloomIncrementalDedup(existing, batch))
+    assert(bloom == exact, s"bloom path diverged: ${bloom.size} vs ${exact.size}")
+    assert(!bloom.exists(_._1 == 9001L), "cross-batch dup must drop")
+    assert(bloom.exists(_._1 == 9003L) && !bloom.exists(_._1 == 9005L),
+      "intra-batch twins keep min id")
+    // tiny filter (high FP) must STILL be exact — correctness never depends
+    // on the FP rate, only the prune fraction does
+    val tiny = key(DedupFunctions.bloomIncrementalDedup(existing, batch,
+      bits = 64, nHashes = 2))
+    assert(tiny == exact, "exactness must hold at any FP rate")
+  }
+
   test("bm25: matches a driver-side formula replication exactly") {
     import spark.implicits._
     val docs = Seq((1L, "x y x z"), (2L, "x q q"), (3L, "q q q")).toDF("doc_id", "text")
