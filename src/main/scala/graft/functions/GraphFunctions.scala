@@ -37,6 +37,7 @@ object GraphFunctions {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
     val n = nodes.count()
+    require(n > 0, "pageRank over an empty edge list")
     val outW = edges.groupBy(col("src")).agg(sum(col("cnt")).as("w"))
     val e = edges.join(outW, Seq("src"))
       .select(col("src"), col("dst"), (col("cnt").cast("double") / col("w")).as("p"))

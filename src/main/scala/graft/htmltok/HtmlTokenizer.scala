@@ -507,6 +507,14 @@ object HtmlTokenizer {
             } else if ((kj == Tok.End || kj == Tok.Start) &&
                 arena.tagName(arena.tagIds(j)) == "a") {
               open = false
+            } else if (kj == Tok.Start &&
+                HtmlNames.isRawtext(arena.tagName(arena.tagIds(j)))) {
+              // rawtext bodies (script/style/…) are emitted as Text tokens —
+              // skip to the matching End so code never leaks into anchor text
+              val rid = arena.tagIds(j)
+              j += 1
+              while (j < arena.size &&
+                  !(arena.kinds(j) == Tok.End && arena.tagIds(j) == rid)) j += 1
             }
             j += 1
           }

@@ -60,6 +60,10 @@ class LinkGraphSpec extends AnyFunSuite {
       == Vector(("/e", "one"), ("/f", "two")))
     // EOF-truncated anchor still yields its text so far
     assert(at("""<a href="/g">dangling""") == Vector(("/g", "dangling")))
+    // rawtext bodies inside an anchor (emitted as Text tokens by the
+    // tokenizer) must NOT leak into anchor text
+    assert(at("""<a href="/h">hi<script>var q="x";</script> bye</a>""")
+      == Vector(("/h", "hi bye")))
   }
 
   test("x22: anchor-text rows match the corpus definition") {
