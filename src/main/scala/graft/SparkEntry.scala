@@ -246,6 +246,22 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n"))
         .orderBy("src_host", "anchor_text")
     }),
+    // site-template removal over REAL extracted blocks: the two-pass shape —
+    // pass 1 extracts per-page blocks (narrow), pass 2 drops blocks that
+    // recur on >= 1/2 of the host's pages (nav/footer chrome the single-page
+    // cascade provably keeps — the corpus writes them as plain content-like
+    // <p>s). Closed-form expectations pinned in TemplateSpec.
+    "x23_template_boiler" -> ((s, _) => {
+      val gx = graft.expressions.GraftExpressions
+      val blocks = Extract.run(CorpusSource.templatePages(s, 280)).toDF()
+        .select(col("url"), explode(col("spans")).as("sp"))
+        .select(col("url").as("id"), gx.urlHost(col("url")).as("grp"),
+          col("sp.blockIdx").as("idx"), col("sp.text").as("unit"))
+      TextFunctions.templateFilter(blocks, num = 1, den = 2, minPages = 2)
+        .select(col("id").as("url"), col("n_units").as("n_blocks"),
+          col("n_boiler"), col("clean_text"))
+        .orderBy("url")
+    }),
     // Iceberg-style date-partitioned ingest (north star: "partition pruning
     // on warc_ts date partitions"): the corpus commits partitioned by
     // dt=date(warc_ts) — the Common-Crawl crawl-day layout — and the
@@ -568,6 +584,23 @@ object SparkEntry {
       val d = docs(s, dir)
       DedupFunctions.bloomIncrementalDedup(
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+    }),
+    // site-template line removal (oracle-checkable recast of x23): the
+    // documents corpus has no repeated lines, so the sitewide chrome is
+    // PLANTED — a nav and a footer line identical across every doc of a
+    // source (frequency 1 >= 1/2 → removed) plus a promo line on every 4th
+    // doc WITHIN each source (source = doc_id % 20 in this corpus, so
+    // `doc_id div 20` enumerates a source's members; 1/4 < 1/2 → kept in
+    // every source). Original text lines are unique → kept.
+    "d37_template_boiler" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        lit("\nnav home news archive contact "), col("source"),
+        lit("\nfooter terms privacy copyright "), col("source"),
+        when(expr("(doc_id div 20) % 4") === 0,
+          concat(lit("\npromo subscribe banner "), col("source")))
+          .otherwise(lit("")))
+      TextFunctions.templateLines(
+        docs(s, dir).withColumn("text", planted), num = 1, den = 2)
     }),
     // dictionary hit-rate (C4-style OOV-fraction quality signal): the
     // dictionary is the corpus's own top-500 tokens — top-K capped, so the
@@ -1160,6 +1193,36 @@ object SparkEntry {
         |FROM ba LEFT JOIN ex ON ba.content_md5 = ex.content_md5
         |WHERE ex.content_md5 IS NULL
         |GROUP BY ba.content_md5 ORDER BY doc_id""".stripMargin,
+    "d37_template_boiler" ->
+      """WITH planted AS (
+        |  SELECT doc_id, source,
+        |         text || chr(10) || 'nav home news archive contact ' || source
+        |              || chr(10) || 'footer terms privacy copyright ' || source
+        |              || CASE WHEN (doc_id // 20) % 4 = 0
+        |                      THEN chr(10) || 'promo subscribe banner ' || source
+        |                      ELSE '' END AS t
+        |  FROM documents),
+        |t AS (SELECT doc_id, source, string_split(t, chr(10)) AS ls FROM planted),
+        |l AS (SELECT doc_id, source,
+        |             unnest(range(0, len(ls)))::BIGINT AS i, ls
+        |      FROM t),
+        |l2 AS (SELECT doc_id, source, i, ls[i + 1] AS line,
+        |              md5(ls[i + 1]) AS h
+        |       FROM l),
+        |sz AS (SELECT source, count(DISTINCT doc_id) AS n_docs
+        |       FROM l2 GROUP BY source),
+        |b AS (SELECT l2.source, l2.h
+        |      FROM l2 JOIN sz USING (source)
+        |      GROUP BY l2.source, l2.h, sz.n_docs
+        |      HAVING sz.n_docs >= 2
+        |         AND count(DISTINCT l2.doc_id) * 2 >= sz.n_docs * 1)
+        |SELECT l2.doc_id,
+        |       count(*)::BIGINT AS n_lines,
+        |       sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+        |       COALESCE(string_agg(CASE WHEN b.h IS NULL THEN l2.line END,
+        |                           chr(10) ORDER BY l2.i), '') AS clean_text
+        |FROM l2 LEFT JOIN b ON l2.source = b.source AND l2.h = b.h
+        |GROUP BY l2.doc_id ORDER BY l2.doc_id""".stripMargin,
     "d27_dict_hit_rate" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |              FROM documents),

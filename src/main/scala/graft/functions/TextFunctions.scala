@@ -652,4 +652,79 @@ object TextFunctions {
       .withColumn("shard_id", expr(s"start_tok div $shardTokens"))
       .orderBy("doc_id")
   }
+
+  /** Site-level template/boilerplate removal — the CROSS-PAGE signal a
+    * single-page classifier cannot see (template detection à la
+    * Gibson/Punera/Tomkins 2005; the production complement of the
+    * Boilerpipe-style per-page rule cascade this engine's extractor runs,
+    * which the reference approximates per-image via layout classes,
+    * ppstructure/layout/README.md): a unit (text line here; extracted block
+    * in the x23 engine surface) that recurs on at least num/den of a site's
+    * pages is sitewide chrome — nav, footer, cookie banner — and is dropped
+    * from EVERY page of that site; units below the threshold are content
+    * and stay, however popular globally. The threshold is a rational num/den
+    * compared in exact integer arithmetic (`nd·den ≥ n_docs·num`) so Spark
+    * and the DuckDB oracle agree at boundaries bit-for-bit; `minPages`
+    * guards small sites from spurious 100%-of-2-pages removals. NB the
+    * boundary is INCLUSIVE: at num/den = 1/2 a site needs > den/num pages
+    * (≥ 3) before a single-page unit falls below the threshold — set
+    * minPages accordingly (a 2-page site at 1/2 would lose every unit).
+    *
+    * `units` must have columns (id, grp, idx, unit); returns one row per id:
+    * (id, n_units, n_boiler, clean_text = '\n'-join of kept units in idx
+    * order).
+    *
+    * Scale shape (10^12 pages): the frequency pass exchanges (grp, md5) —
+    * 16-byte digests with map-side combine, never unit text; site sizes are
+    * an O(sites) table reduced from the same digests; the boilerplate
+    * verdict table is O(sites × template units) — tiny relative to the
+    * corpus — so the join back onto units broadcasts under AQE and degrades
+    * to one equi-join exchange only at extreme site cardinality (unit text
+    * still moves at most once). The reassembly groupBy(id) is the second
+    * and final text exchange.
+    */
+  def templateFilter(units: DataFrame, num: Int = 1, den: Int = 2,
+                     minPages: Int = 2): DataFrame = {
+    require(num >= 1 && den >= num && minPages >= 2, s"$num/$den/$minPages")
+    val u = units.select(col("id"), col("grp"), col("idx"), col("unit"),
+      md5(col("unit")).as("h"))
+    val freq = u.groupBy(col("grp"), col("h"))
+      .agg(count_distinct(col("id")).as("nd"))
+    // n_docs per site from the unit table itself (every page has >= 1 unit):
+    // distinct ids per grp, computed over (grp, id) pairs — digest-sized.
+    val nDocs = u.select(col("grp"), col("id")).distinct()
+      .groupBy(col("grp")).agg(count(lit(1)).as("n_docs"))
+    val boiler = freq.join(nDocs, Seq("grp"))
+      .filter(col("n_docs") >= minPages &&
+        col("nd") * den >= col("n_docs") * num)
+      .select(col("grp"), col("h"), lit(true).as("boiler"))
+    u.join(boiler, Seq("grp", "h"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_units"),
+        sum(when(coalesce(col("boiler"), lit(false)), 1L).otherwise(0L))
+          .cast("long").as("n_boiler"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!coalesce(col("boiler"), lit(false)),
+                struct(col("idx"), col("unit"))))),
+            s => s("unit")),
+          "\n").as("clean_text"))
+  }
+
+  /** Per-source repeated-LINE template removal over the documents table:
+    * text splits on '\n'; a line present on ≥ num/den of the source's docs
+    * is dropped from all of them. The oracle-checkable recast of block-level
+    * site-template removal (the x23 surface runs the same verdict over the
+    * extractor's real block spans, keyed by url host). */
+  def templateLines(docs: DataFrame, num: Int = 1, den: Int = 2,
+                    minPages: Int = 2): DataFrame =
+    templateFilter(
+      docs.select(col("doc_id").as("id"), col("source").as("grp"),
+        posexplode(split(col("text"), "\n")).as(Seq("idx", "unit"))),
+      num, den, minPages)
+      .select(col("id").as("doc_id"), col("n_units").as("n_lines"),
+        col("n_boiler"), col("clean_text"))
+      .orderBy("doc_id")
 }

@@ -87,6 +87,48 @@ object CorpusSource {
     })
   }
 
+  /** Deterministic site-template corpus: page `i` lives on host
+    * `t{i%5}.example.org` and carries (a) a sitewide NAV paragraph and a
+    * sitewide FOOTER paragraph whose text is identical on every page of the
+    * host — written as plain content-like `<p>`s with zero links and normal
+    * text density, so the SINGLE-PAGE rule cascade provably keeps them and
+    * only the cross-page frequency pass can identify them; (b) a unique
+    * article (`<h1>` + body) per page; (c) on every 4th page a PROMO
+    * paragraph shared within the host but under the 1/2 frequency
+    * threshold, which must survive removal. Pure function of the index —
+    * TemplateSpec derives the expected clean text in closed form. */
+  def templatePages(spark: SparkSession, n: Long): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions(_.map { i =>
+      val idx = i.toInt
+      val host = s"t${idx % 5}.example.org"
+      val url = s"https://$host/article$idx"
+      val promo = if (idx % 4 == 0)
+        s"<p>${templatePromo(idx % 5)}</p>" else ""
+      val body =
+        s"<p>${templateNav(idx % 5)}</p>" +
+        s"<h1>Article $idx</h1>" +
+        s"<p>${templateArticle(idx)}</p>" +
+        promo +
+        s"<p>${templateFooter(idx % 5)}</p>"
+      val html = s"<html><head><title>t</title></head><body>$body</body></html>"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      PageRow(url, new java.sql.Timestamp(1577836800000L + idx.toLong * 60000L),
+        html, null, "en")
+    })
+  }
+
+  /** Authored template-corpus text pieces (shared with TemplateSpec). */
+  def templateNav(h: Int): String =
+    s"Latest headlines and section navigation for tribune $h readers every morning"
+  def templateFooter(h: Int): String =
+    s"All material on tribune $h is provided for general information purposes only"
+  def templatePromo(h: Int): String =
+    s"Subscribe to the tribune $h weekend edition and save twenty percent today"
+  def templateArticle(idx: Int): String =
+    s"Unique report number $idx covering the district assembly vote with " +
+      s"detailed quotes from delegate ${idx % 23} and margin ${idx % 17}"
+
   /** Authored (width, height) for media fixture `idx` — spans both sides of
     * the resize planner's 960px long-side limit. */
   def mediaDims(idx: Int): (Int, Int) =

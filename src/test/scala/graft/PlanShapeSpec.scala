@@ -242,4 +242,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("d37: template-frequency exchanges carry digests; verdict join is equi") {
+    val plan = planOf("d37_template_boiler")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the (grp, h) frequency and (grp, id) site-size passes partition on
+    // digest/id columns — unit text feeds the md5 projection but must never
+    // BE a partitioning key
+    for (l <- plan.linesIterator if l.contains("hashpartitioning"))
+      assert(!l.contains("unit#") && !l.contains("clean_text"), l)
+    // partial aggregation runs map-side below the frequency exchange
+    assert(plan.contains("partial_count"), plan)
+  }
 }
