@@ -262,6 +262,22 @@ object SparkEntry {
           col("n_boiler"), col("clean_text"))
         .orderBy("url")
     }),
+    // head-metadata extraction (WAT Head-record shape: title, metas,
+    // rel=canonical, html lang) — one row-local kernel pass, zero shuffle;
+    // first-wins duplicates and script-body phantom metas pinned in
+    // HeadMetaSpec against the authored corpus.
+    "x24_head_meta" -> ((s, _) => {
+      val gx = graft.expressions.GraftExpressions
+      CorpusSource.metaPages(s, 280).toDF()
+        .select(col("url"), gx.headMeta(col("html")).as("m"))
+        .select(col("url"), col("m.title").as("title"),
+          col("m.description").as("description"),
+          col("m.canonical").as("canonical"), col("m.robots").as("robots"),
+          col("m.og_title").as("og_title"),
+          col("m.og_description").as("og_description"),
+          col("m.lang").as("lang"))
+        .orderBy("url")
+    }),
     // Iceberg-style date-partitioned ingest (north star: "partition pruning
     // on warc_ts date partitions"): the corpus commits partitioned by
     // dt=date(warc_ts) — the Common-Crawl crawl-day layout — and the

@@ -971,6 +971,42 @@ case class AnchorTextsExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_head_meta(html BINARY) -> STRUCT<title, description, canonical,
+  * robots, og_title, og_description, lang>`: page-level head metadata (the
+  * public WAT `Head` record shape) — first occurrence wins, values
+  * entity-decoded; script/style bodies cannot fake metadata (they tokenize
+  * as Text). Same tokenizer/arena discipline as ExtractLinksExpr. */
+case class HeadMetaExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  private val fields = Seq("title", "description", "canonical", "robots",
+    "og_title", "og_description", "lang")
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    fields.map(f =>
+      org.apache.spark.sql.types.StructField(f, StringType, nullable = true)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires BINARY, got ${child.dataType}")
+  override def prettyName: String = "graft_head_meta"
+
+  @transient private lazy val arena =
+    new ThreadLocal[graft.htmltok.TokenArena] {
+      override def initialValue(): graft.htmltok.TokenArena =
+        new graft.htmltok.TokenArena()
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val m = graft.htmltok.HtmlTokenizer.headMeta(
+      input.asInstanceOf[Array[Byte]], arena.get())
+    def u(s: String): Any = if (s == null) null else UTF8String.fromString(s)
+    InternalRow(u(m.title), u(m.description), u(m.canonical), u(m.robots),
+      u(m.ogTitle), u(m.ogDescription), u(m.lang))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HeadMetaExpr =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
   import org.apache.spark.sql.graftshim.ColumnBridge
 
@@ -980,6 +1016,8 @@ object GraftExpressions {
     ColumnBridge.column(ExtractLinksExpr(ColumnBridge.expression(c)))
   def anchorTexts(c: Column): Column =
     ColumnBridge.column(AnchorTextsExpr(ColumnBridge.expression(c)))
+  def headMeta(c: Column): Column =
+    ColumnBridge.column(HeadMetaExpr(ColumnBridge.expression(c)))
   def token_count(c: Column): Column =
     ColumnBridge.column(TokenCountExpr(ColumnBridge.expression(c)))
   def simhash64(c: Column): Column =
@@ -1017,6 +1055,8 @@ object GraftExpressions {
       "graft_extract_text", exprs => ExtractTextExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_extract_links", exprs => ExtractLinksExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_head_meta", exprs => HeadMetaExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_token_count", exprs => TokenCountExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

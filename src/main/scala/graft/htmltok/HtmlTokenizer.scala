@@ -528,9 +528,84 @@ object HtmlTokenizer {
     out.result()
   }
 
+  /** Page-level head metadata (the public Common-Crawl WAT `Head` record
+    * shape: Title, Metas, Link rel=canonical) — what a crawl-curation
+    * pipeline reads without extracting the body. null = absent. */
+  final case class HeadMeta(title: String, description: String,
+                            canonical: String, robots: String,
+                            ogTitle: String, ogDescription: String,
+                            lang: String)
+
+  /** Extract head metadata from one page: `<title>` (RCDATA body,
+    * entity-decoded, ws-normalized), `<meta name=description|robots>` and
+    * `<meta property=og:title|og:description>` content values,
+    * `<link rel=canonical href>`, and `<html lang>`. FIRST occurrence wins
+    * (the browser rule for repeated metadata). The scan covers the whole
+    * token stream — HTML5 tolerates metadata outside `<head>` — but rawtext
+    * bodies cannot fake tags by construction (script/style bodies tokenize
+    * as Text), so `<meta>` written inside a script string is never seen. */
+  def headMeta(input: Array[Byte], arena: TokenArena): HeadMeta = {
+    arena.reset()
+    tokenize(input, arena)
+    var title: String = null; var desc: String = null
+    var canonical: String = null; var robots: String = null
+    var ogTitle: String = null; var ogDesc: String = null
+    var lang: String = null
+    var t = 0
+    while (t < arena.size) {
+      val k = arena.kinds(t)
+      if (k == Tok.Start || k == Tok.SelfClose) {
+        val s = arena.starts(t); val e = arena.ends(t)
+        arena.tagName(arena.tagIds(t)) match {
+          case "html" if lang == null =>
+            lang = attrValue(input, s, e, "lang")
+          case "title" if title == null && k == Tok.Start =>
+            title =
+              if (t + 1 < arena.size && arena.kinds(t + 1) == Tok.Text) {
+                val raw = new String(input, arena.starts(t + 1),
+                  arena.ends(t + 1) - arena.starts(t + 1),
+                  java.nio.charset.StandardCharsets.UTF_8)
+                val d = if (raw.indexOf('&') >= 0) graft.extract.Entities.decode(raw) else raw
+                d.split("\\s+").filter(_.nonEmpty).mkString(" ")
+              } else ""
+          case "meta" =>
+            val nm = attrValue(input, s, e, "name")
+            val key = if (nm != null) nm
+              else attrValue(input, s, e, "property")
+            if (key != null) {
+              def content: String = attrValue(input, s, e, "content")
+              key.toLowerCase(java.util.Locale.ROOT).trim match {
+                case "description"    if desc == null    => desc = content
+                case "robots"         if robots == null  => robots = content
+                case "og:title"       if ogTitle == null => ogTitle = content
+                case "og:description" if ogDesc == null  => ogDesc = content
+                case _ =>
+              }
+            }
+          case "link" if canonical == null =>
+            val rel = attrValue(input, s, e, "rel")
+            if (rel != null &&
+                rel.toLowerCase(java.util.Locale.ROOT).trim == "canonical")
+              canonical = attrValue(input, s, e, "href")
+          case _ =>
+        }
+      }
+      t += 1
+    }
+    HeadMeta(title, desc, canonical, robots, ogTitle, ogDesc, lang)
+  }
+
   /** First href attribute value inside tag bytes [i0, end) — parseStartTag's
     * attribute state machine with value capture instead of flag packing. */
-  private def hrefValue(input: Array[Byte], i0: Int, end: Int): String = {
+  private def hrefValue(input: Array[Byte], i0: Int, end: Int): String =
+    attrValue(input, i0, end, "href")
+
+  /** First value of attribute `name` inside tag bytes [i0, end) — the same
+    * state machine as parseStartTag with value capture; the value is
+    * ws-trimmed and entity-decoded (attribute-value semantics). Case
+    * matching on the attr NAME is exact-lowercase (the tokenizer lowercases
+    * nothing here; `nameIs` compares ASCII case-insensitively). */
+  private[graft] def attrValue(input: Array[Byte], i0: Int, end: Int, name: String): String = {
     var j = i0 + 1
     while (j < end && (isAsciiLetter(input(j) & 0xff) ||
         (j > i0 + 1 && { val c = input(j) & 0xff; (c >= '0' && c <= '9') || c == '-' }))) j += 1
@@ -559,7 +634,7 @@ object HtmlTokenizer {
             vEnd = j
           }
         }
-        if (vStart >= 0 && nameIs(input, anStart, anLen, "href")) {
+        if (vStart >= 0 && nameIs(input, anStart, anLen, name)) {
           var a = vStart
           var b = vEnd
           while (a < b && (input(a) & 0xff) <= ' ') a += 1

@@ -118,6 +118,52 @@ object CorpusSource {
     })
   }
 
+  /** Deterministic head-metadata corpus: page `i` carries an authored
+    * `<title>` (with an entity and collapsible whitespace), a meta
+    * description (entity in the content value), robots on every 3rd page,
+    * a rel=canonical link on every 2nd (uppercase `REL` value on every 4th
+    * — case-insensitive match), og:title/og:description except every 5th,
+    * and `<html lang>` except every 7th — plus ADVERSARIAL duplicates that
+    * must lose under first-wins (a second title, a second description) and
+    * a phantom `<meta name=description>` inside a script body that the
+    * tokenizer must never see. Pure function of the index (HeadMetaSpec
+    * derives every field in closed form). */
+  def metaPages(spark: SparkSession, n: Long): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions(_.map { i =>
+      val idx = i.toInt
+      val host = s"m${idx % 5}.example.org"
+      val url = s"https://$host/page$idx"
+      val canonical = if (idx % 2 == 0) {
+        val rel = if (idx % 4 == 0) "CANONICAL" else "canonical"
+        s"""<link rel="$rel" href="https://$host/canon/$idx">"""
+      } else ""
+      val robots = if (idx % 3 == 0)
+        """<meta name="robots" content="noindex, follow">""" else ""
+      val og = if (idx % 5 != 0)
+        s"""<meta property="og:title" content="OG Article $idx">""" +
+        s"""<meta property="og:description" content="og summary $idx">"""
+      else ""
+      val langAttr = if (idx % 7 != 0) s""" lang="${metaLang(idx)}"""" else ""
+      val head =
+        s"""<title>Site ${idx % 5} &amp;  Review $idx</title>""" +
+        s"""<meta name="description" content="Summary of article $idx &amp; context">""" +
+        robots + canonical + og +
+        s"""<title>WRONG title</title>""" +
+        s"""<meta name="description" content="WRONG description">"""
+      val body =
+        s"""<h1>Article $idx</h1><p>Body of article $idx with enough words.</p>""" +
+        """<script>var m = '<meta name="description" content="phantom">';</script>"""
+      val html = s"""<html$langAttr><head>$head</head><body>$body</body></html>"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      PageRow(url, new java.sql.Timestamp(1577836800000L + idx.toLong * 60000L),
+        html, null, "en")
+    })
+  }
+
+  /** Authored lang attribute of meta-corpus page `idx` (when present). */
+  def metaLang(idx: Int): String = Seq("en", "de", "fr", "en-US")(idx % 4)
+
   /** Authored template-corpus text pieces (shared with TemplateSpec). */
   def templateNav(h: Int): String =
     s"Latest headlines and section navigation for tribune $h readers every morning"
