@@ -56,16 +56,21 @@ object DedupFunctions {
     * (the d05 digest discipline applied to spans). Docs shorter than n
     * tokens have no spans and are excluded by construction. */
   def crossDocSpans(docs: DataFrame, n: Int): DataFrame = {
-    // referenced three times below — without the checkpoint the tokenize/
+    // referenced twice below — without the checkpoint the tokenize/
     // shingle/md5 kernel re-runs per reference (the x13/d18 discipline)
     val sh = docs
       .select(col("doc_id"),
         explode(TextFunctions.shinglesN(TextFunctions.tokens(col("text")), n)).as("s"))
       .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
       .localCheckpoint()
-    // denominator: per-doc position count — map-side combine, tiny exchange
-    val perDoc = sh.groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("n_shingles"))
+    // denominator: the shingle-position count has the CLOSED FORM
+    // max(n_tokens − n + 1, none) — a row-local projection of the doc table,
+    // not an aggregation over the exploded shingle rows (at 10^12 docs that
+    // agg rescans every position; this scans every doc once)
+    val perDoc = docs.select(col("doc_id"),
+        (size(TextFunctions.tokens(col("text"))) - (n - 1)).cast("long")
+          .as("n_shingles"))
+      .filter(col("n_shingles") >= 1)
     // digests seen in ≥2 distinct docs. Joining THIS set (the duplicated
     // minority) back to positions beats the naive shape — which joined the
     // FULL digest table onto the full position table (measured 15.7 s vs
