@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.expressions.GraftExpressions
-import graft.functions.{DedupFunctions, GraphFunctions, MultimodalFunctions, SimilarityFunctions, TextFunctions}
+import graft.functions.{DedupFunctions, GraphFunctions, MultimodalFunctions, RobotsFunctions, SimilarityFunctions, TextFunctions}
 import graft.pipeline.{CorpusSource, Extract, ExtractPipeline, PipelineConf}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
@@ -261,6 +261,27 @@ object SparkEntry {
         .select(col("id").as("url"), col("n_units").as("n_blocks"),
           col("n_boiler"), col("clean_text"))
         .orderBy("url")
+    }),
+    // robots.txt gate, ENGINE path (x25): authored per-host robots.txt
+    // bodies parse once into the RFC 9309 rule set (comments, ignored
+    // non-* groups, empty Disallow, `*` wildcards, `$` anchors — the full
+    // matcher SQL cannot express), broadcast as O(hosts) control-plane
+    // state; the frontier gate itself is a row-local decide, zero shuffle.
+    // Closed-form verdicts pinned in RobotsSpec.
+    "x25_robots_gate" -> ((s, _) => {
+      import s.implicits._
+      val ruleMap: Map[String, Vector[graft.functions.Robots.Rule]] =
+        (0 until 5).map(h =>
+          s"h$h.example.org" -> graft.functions.Robots.parse(CorpusSource.robotsTxt(h))).toMap
+      val bc = s.sparkContext.broadcast(ruleMap)
+      s.range(300).map { i =>
+        val url = CorpusSource.frontierUrl(i.toInt)
+        val host = graft.expressions.UrlKernel.host(url)
+        val allowed = graft.functions.Robots.decide(
+          graft.expressions.UrlKernel.path(url),
+          bc.value.getOrElse(host, Vector.empty))
+        (url, host, allowed)
+      }.toDF("url", "host", "allowed").orderBy("url")
     }),
     // head-metadata extraction (WAT Head-record shape: title, metas,
     // rel=canonical, html lang) — one row-local kernel pass, zero shuffle;
@@ -600,6 +621,27 @@ object SparkEntry {
       val d = docs(s, dir)
       DedupFunctions.bloomIncrementalDedup(
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+    }),
+    // robots.txt gate, relational recast (RFC 9309 §2.2.2 over prefix
+    // rules): URLs planted from documents hit a shared per-host rule table
+    // (RobotsFunctions.d38Rules — the SAME Seq feeds the oracle VALUES
+    // table); longest match wins, allow wins ties, no match allows. Host
+    // and path come through the codegen'd url kernels.
+    "d38_robots_filter" -> ((s, dir) => {
+      import s.implicits._
+      val gx = graft.expressions.GraftExpressions
+      val path = when(col("doc_id") % 5 === 0, concat(lit("/pub/a"), col("doc_id")))
+        .when(col("doc_id") % 5 === 1, concat(lit("/private/p"), col("doc_id")))
+        .when(col("doc_id") % 5 === 2, concat(lit("/private/archive/x"), col("doc_id")))
+        .when(col("doc_id") % 5 === 3, concat(lit("/tmp/t"), col("doc_id")))
+        .otherwise(concat(lit("/pub/data/d"), col("doc_id")))
+      val urls = docs(s, dir)
+        .select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".example.org"), path).as("url"))
+        .select(col("doc_id"), col("url"),
+          gx.urlHost(col("url")).as("host"), gx.urlPath(col("url")).as("path"))
+      val rules = RobotsFunctions.d38Rules.toDF("host", "prefix", "allow")
+      RobotsFunctions.robotsFilter(urls, broadcast(rules))
     }),
     // site-template line removal (oracle-checkable recast of x23): the
     // documents corpus has no repeated lines, so the sitewide chrome is
@@ -1209,6 +1251,33 @@ object SparkEntry {
         |FROM ba LEFT JOIN ex ON ba.content_md5 = ex.content_md5
         |WHERE ex.content_md5 IS NULL
         |GROUP BY ba.content_md5 ORDER BY doc_id""".stripMargin,
+    "d38_robots_filter" -> {
+      val esc = (s: String) => s.replace("'", "''")
+      val values = RobotsFunctions.d38Rules
+        .map { case (h, p, a) => s"('${esc(h)}','${esc(p)}',$a)" }.mkString(", ")
+      s"""WITH rules(host, prefix, allow) AS (SELECT * FROM (VALUES $values) v),
+         |u AS (SELECT doc_id,
+         |             source || '.example.org' AS host,
+         |             CASE doc_id % 5
+         |               WHEN 0 THEN '/pub/a' || doc_id
+         |               WHEN 1 THEN '/private/p' || doc_id
+         |               WHEN 2 THEN '/private/archive/x' || doc_id
+         |               WHEN 3 THEN '/tmp/t' || doc_id
+         |               ELSE '/pub/data/d' || doc_id END AS path
+         |      FROM documents),
+         |u2 AS (SELECT doc_id, host, path,
+         |              'https://' || host || path AS url FROM u),
+         |j AS (SELECT u2.doc_id, len(r.prefix) AS l, r.allow
+         |      FROM u2 JOIN rules r
+         |        ON u2.host = r.host AND starts_with(u2.path, r.prefix)),
+         |b AS (SELECT doc_id, max(l) AS ml FROM j GROUP BY doc_id),
+         |v AS (SELECT j.doc_id, max(CASE WHEN j.allow THEN 1 ELSE 0 END) = 1 AS a
+         |      FROM j JOIN b ON j.doc_id = b.doc_id AND j.l = b.ml
+         |      GROUP BY j.doc_id)
+         |SELECT u2.doc_id, u2.url, COALESCE(v.a, TRUE) AS allowed
+         |FROM u2 LEFT JOIN v USING (doc_id)
+         |ORDER BY u2.doc_id""".stripMargin
+    },
     "d37_template_boiler" ->
       """WITH planted AS (
         |  SELECT doc_id, source,

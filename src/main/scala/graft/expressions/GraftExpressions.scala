@@ -792,6 +792,26 @@ object UrlKernel {
     hst
   }
 
+  def path(u: UTF8String): UTF8String = UTF8String.fromString(path(u.toString))
+
+  /** Path-and-query of a URL ("/" when absent; fragment dropped) — the
+    * component robots rules match against (RFC 9309 §2.2.2 matches the
+    * percent-encoded path INCLUDING the query). An input without a
+    * `scheme://` authority is treated as already being a path when it
+    * starts with '/'. */
+  def path(raw: String): String = {
+    val s0 = raw.trim
+    val h = s0.indexOf('#')
+    val s = if (h >= 0) s0.substring(0, h) else s0
+    val se = s.indexOf("://")
+    if (se <= 0) return if (s.startsWith("/")) s else "/"
+    val rest = s.substring(se + 3)
+    var aEnd = 0
+    while (aEnd < rest.length && rest.charAt(aEnd) != '/' && rest.charAt(aEnd) != '?') aEnd += 1
+    val tail = rest.substring(aEnd)
+    if (tail.isEmpty) "/" else if (tail.charAt(0) == '?') "/" + tail else tail
+  }
+
   def canonical(raw: String): String = {
     val s0 = raw.trim
     val h = s0.indexOf('#')
@@ -887,6 +907,26 @@ case class UrlCanonExpr(child: Expression) extends UnaryExpression {
 
 /** `graft_url_host(url STRING) -> STRING`: canonical lowercase host (empty
   * for authority-less inputs) — the per-domain aggregation key. */
+/** `graft_url_path(url STRING) -> STRING`: [[UrlKernel.path]] — the
+  * path+query component robots rules and sitemap diffs key on. Codegen'd,
+  * zero shuffle. */
+case class UrlPathExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType}")
+  override def prettyName: String = "graft_url_path"
+
+  override def nullSafeEval(input: Any): Any =
+    UrlKernel.path(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.UrlKernel.path($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): UrlPathExpr =
+    copy(child = newChild)
+}
+
 case class UrlHostExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def checkInputDataTypes(): TypeCheckResult =
@@ -1031,6 +1071,8 @@ object GraftExpressions {
     ColumnBridge.column(UrlCanonExpr(ColumnBridge.expression(c)))
   def urlHost(c: Column): Column =
     ColumnBridge.column(UrlHostExpr(ColumnBridge.expression(c)))
+  def urlPath(c: Column): Column =
+    ColumnBridge.column(UrlPathExpr(ColumnBridge.expression(c)))
   def nfc(c: Column): Column =
     ColumnBridge.column(NfcExpr(ColumnBridge.expression(c)))
   def srpBuckets(c: Column, nTables: Int, nPlanes: Int, dim: Int): Column =
@@ -1067,6 +1109,8 @@ object GraftExpressions {
       "graft_url_canon", exprs => UrlCanonExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_url_host", exprs => UrlHostExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_url_path", exprs => UrlPathExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nfc", exprs => NfcExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** robots.txt handling (RFC 9309, public spec) — the crawl-politeness gate a
+  * Common-Crawl-style curation pipeline applies before a URL enters the
+  * corpus. The reference pipeline consumes pre-fetched corpora, so this is
+  * part of the "operations a large-scale training-data pipeline needs"
+  * surface, not a reference graft.
+  *
+  * Two layers:
+  *  - [[Robots.parse]] / [[Robots.decide]]: a row-local RFC 9309 parser and
+  *    matcher (incl. the `*` wildcard and `$` end-anchor the RFC requires
+  *    crawlers to support) — runs inside the ingest scan, zero shuffle.
+  *  - [[RobotsFunctions.robotsFilter]]: the relational recast over a rules
+  *    TABLE with prefix rules (SQL-expressible, DuckDB-oracled as d38) —
+  *    longest-match wins, allow wins ties, no-match allows (all RFC 9309
+  *    §2.2.2 semantics).
+  */
+object Robots {
+
+  /** One `*`-agent rule: `pattern` is the raw rule path (may contain the
+    * `*` wildcard and a trailing `$` anchor); `allow` its directive. */
+  final case class Rule(pattern: String, allow: Boolean)
+
+  /** Parse a robots.txt body: groups are runs of consecutive `User-agent`
+    * lines followed by their directives (RFC 9309 §2.1); only the groups
+    * naming agent `*` contribute (we are a generic crawler; RFC merges
+    * multiple matching groups). `#` comments strip to end of line, keys are
+    * case-insensitive, an EMPTY Disallow value is no rule at all, and
+    * unknown directives (Crawl-delay, Sitemap, …) are skipped inside and
+    * outside groups. */
+  def parse(txt: String): Vector[Rule] = {
+    val out = Vector.newBuilder[Rule]
+    var inStar = false       // current group names agent *
+    var inAgentRun = false   // still collecting consecutive User-agent lines
+    txt.linesIterator.foreach { line0 =>
+      val hash = line0.indexOf('#')
+      val line = (if (hash >= 0) line0.substring(0, hash) else line0).trim
+      if (line.nonEmpty) {
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val key = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(colon + 1).trim
+          key match {
+            case "user-agent" =>
+              if (!inAgentRun) { inStar = false; inAgentRun = true }
+              if (value == "*") inStar = true
+            case "allow" | "disallow" =>
+              inAgentRun = false
+              if (inStar && value.nonEmpty)
+                out += Rule(value, allow = key == "allow")
+              // empty Disallow ("everything allowed") adds no rule; an empty
+              // Allow is equally vacuous
+            case _ =>
+              inAgentRun = false // any other directive ends a user-agent run
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** RFC 9309 pattern match of `path` against `pattern`: literal prefix
+    * match, `*` matches any (possibly empty) span, a trailing `$` anchors
+    * the end. Greedy left-to-right with backtracking via segment search. */
+  def matches(path: String, pattern: String): Boolean = {
+    val anchored = pattern.nonEmpty && pattern.charAt(pattern.length - 1) == '$'
+    val pat = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    val segs = pat.split("\\*", -1)
+    var pos = 0
+    var k = 0
+    while (k < segs.length) {
+      val seg = segs(k)
+      if (k == 0) {
+        if (!path.startsWith(seg)) return false
+        pos = seg.length
+      } else if (k == segs.length - 1 && anchored) {
+        // last segment must END the path (at or after pos)
+        return path.length - seg.length >= pos && path.endsWith(seg)
+      } else {
+        val at = path.indexOf(seg, pos)
+        if (at < 0) return false
+        pos = at + seg.length
+      }
+      k += 1
+    }
+    if (anchored) pos == path.length else true
+  }
+
+  /** RFC 9309 §2.2.2 decision: the most specific (longest-pattern) matching
+    * rule wins; a tie between allow and disallow resolves to allow; no
+    * matching rule allows. Deterministic for any rule order. */
+  def decide(path: String, rules: Seq[Rule]): Boolean = {
+    var bestLen = -1
+    var bestAllow = true
+    rules.foreach { r =>
+      if (matches(path, r.pattern)) {
+        val l = r.pattern.length
+        if (l > bestLen) { bestLen = l; bestAllow = r.allow }
+        else if (l == bestLen && r.allow) bestAllow = true
+      }
+    }
+    if (bestLen < 0) true else bestAllow
+  }
+}
+
+object RobotsFunctions {
+
+  /** Deterministic prefix-only rule set for the d38 oracle surface — built
+    * from this ONE Seq by both the Spark query and the DuckDB VALUES table
+    * (the langMarkers discipline) so the two sides can never drift. Every
+    * source-host shares a politeness core; EVEN sources also fence their
+    * data API (per-host rule isolation exercised). */
+  val d38Rules: Seq[(String, String, Boolean)] =
+    (0 until 20).flatMap { n =>
+      val host = s"src$n.example.org"
+      val core = Seq(
+        (host, "/private/", false),
+        (host, "/private/archive/", true),
+        (host, "/tmp", false))
+      if (n % 2 == 0) core :+ ((host, "/pub/data/", false)) else core
+    }
+
+  /** Relational robots gate over PREFIX rules (the SQL-expressible subset —
+    * wildcard rules go through [[Robots.decide]] row-locally, x25):
+    * `urls` must have (doc_id, url, host, path); `rules` (host, prefix,
+    * allow). Returns (doc_id, url, allowed) for every input url.
+    *
+    * Scale shape (10^12 urls): the rules table is O(hosts × rules) — orders
+    * below the frontier — so the match join broadcasts under AQE; the
+    * longest-match verdict reduces matched candidates (bounded by rules per
+    * host) with max(struct(len, allow)), one narrow aggregation; unmatched
+    * urls never shuffle at all (left join + coalesce default-allow).
+    */
+  def robotsFilter(urls: DataFrame, rules: DataFrame): DataFrame = {
+    val matched = urls.join(rules,
+        urls("host") === rules("host") &&
+          urls("path").startsWith(rules("prefix")))
+      .groupBy(urls("doc_id").as("doc_id"))
+      // max over (pattern length, allow): longest wins; at equal length the
+      // struct order makes allow=true beat allow=false — the RFC tie rule
+      .agg(max(struct(length(rules("prefix")).as("l"), rules("allow").as("a")))
+        .as("best"))
+      .select(col("doc_id"), col("best.a").as("a"))
+    urls.select(col("doc_id"), col("url"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("url"),
+        coalesce(col("a"), lit(true)).as("allowed"))
+      .orderBy("doc_id")
+  }
+}

@@ -164,6 +164,50 @@ object CorpusSource {
   /** Authored lang attribute of meta-corpus page `idx` (when present). */
   def metaLang(idx: Int): String = Seq("en", "de", "fr", "en-US")(idx % 4)
 
+  /** Authored robots.txt body for frontier host `h` — exercises comments,
+    * a non-`*` group that must be ignored, consecutive-User-agent group
+    * formation, an empty Disallow (no rule), an unknown directive, and the
+    * RFC-required `*` wildcard / `$` anchor rules. Deterministic text. */
+  def robotsTxt(h: Int): String =
+    s"""# robots for host $h
+       |User-agent: googlebot
+       |Disallow: /
+       |
+       |User-Agent: *
+       |Disallow: /private/
+       |Allow: /private/archive/
+       |Disallow: /*.json$$
+       |Disallow: /tmp*
+       |Disallow:
+       |Crawl-delay: 5
+       |
+       |User-agent: ignored-agent
+       |Disallow: /data/
+       |""".stripMargin
+
+  /** Authored frontier URL `i` (host h{i%5}.example.org) — the six path
+    * shapes cover allow-by-default, plain-prefix disallow, longest-match
+    * allow-back, `$`-anchored wildcard disallow, `*`-suffix disallow, and
+    * the near-miss of the anchored rule. Expected verdicts are closed-form
+    * (RobotsSpec). */
+  def frontierUrl(i: Int): String = {
+    val path = (i % 6) match {
+      case 0 => s"/home/page$i.html"
+      case 1 => s"/private/doc$i"
+      case 2 => s"/private/archive/doc$i"
+      case 3 => s"/data/file$i.json"
+      case 4 => s"/tmp/cache$i"
+      case _ => s"/data/file$i.jsonl"
+    }
+    s"https://h${i % 5}.example.org$path"
+  }
+
+  /** Expected robots verdict for [[frontierUrl]] `i` (closed form). */
+  def frontierAllowed(i: Int): Boolean = (i % 6) match {
+    case 1 | 3 | 4 => false
+    case _         => true
+  }
+
   /** Authored template-corpus text pieces (shared with TemplateSpec). */
   def templateNav(h: Int): String =
     s"Latest headlines and section navigation for tribune $h readers every morning"

@@ -243,6 +243,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("d38: robots rules broadcast with the prefix test as join residual") {
+    val plan = planOf("d38_robots_filter")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the rules join broadcasts, equi on host, StartsWith as the residual —
+    // never a nested loop over the frontier
+    val bhj = plan.linesIterator.find(_.contains("BroadcastHashJoin")).getOrElse("")
+    assert(bhj.contains("host") && bhj.contains("StartsWith"), plan)
+    // any sort-merge join is the final doc_id verdict merge (frontier-sized
+    // both sides — broadcasting it would be the WRONG shape at 10^12 urls)
+    for (l <- plan.linesIterator if l.contains("SortMergeJoin"))
+      assert(l.contains("doc_id"), l)
+  }
+
   test("d37: template-frequency exchanges carry digests; verdict join is equi") {
     val plan = planOf("d37_template_boiler")
     assert(!plan.contains("CartesianProduct"), plan)

@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Robots, RobotsFunctions}
+import graft.functions.Robots.Rule
+import graft.pipeline.CorpusSource
+
+/** robots.txt handling (RFC 9309): parser group formation, wildcard/anchor
+  * matching, longest-match decisions, the relational prefix gate (d38), and
+  * the authored end-to-end corpus (x25).
+  */
+class RobotsSpec extends AnyFunSuite {
+
+  lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("parse: * group rules collected; non-* groups and comments ignored") {
+    val rules = Robots.parse(CorpusSource.robotsTxt(0))
+    assert(rules == Vector(
+      Rule("/private/", allow = false),
+      Rule("/private/archive/", allow = true),
+      Rule("/*.json$", allow = false),
+      Rule("/tmp*", allow = false)))
+  }
+
+  test("parse: consecutive User-agent lines form ONE group (RFC 9309 §2.1)") {
+    val txt = "User-agent: foo\nUser-agent: *\nDisallow: /x\n" +
+      "User-agent: bar\nDisallow: /y\n"
+    assert(Robots.parse(txt) == Vector(Rule("/x", allow = false)))
+    // a directive ends the agent run: the second UA opens a NEW group
+    val txt2 = "User-agent: *\nDisallow: /x\nUser-agent: bar\nDisallow: /y\n"
+    assert(Robots.parse(txt2) == Vector(Rule("/x", allow = false)))
+  }
+
+  test("parse: empty Disallow is no rule; case-insensitive keys; inline comments") {
+    assert(Robots.parse("User-agent: *\nDisallow:\n").isEmpty)
+    assert(Robots.parse("USER-AGENT: *\nDISALLOW: /a # comment\n")
+      == Vector(Rule("/a", allow = false)))
+  }
+
+  test("matches: prefix, wildcard, anchor") {
+    assert(Robots.matches("/private/doc", "/private/"))
+    assert(!Robots.matches("/pr", "/private/"))
+    assert(Robots.matches("/a/b/file.json", "/*.json$"))
+    assert(!Robots.matches("/a/b/file.jsonl", "/*.json$"))
+    assert(Robots.matches("/a.json/b.json", "/*.json$"))
+    assert(Robots.matches("/tmp", "/tmp*"))
+    assert(Robots.matches("/tmp/x", "/tmp*"))
+    assert(!Robots.matches("/tm", "/tmp*"))
+    assert(Robots.matches("/fish", "/fish$"))
+    assert(!Robots.matches("/fish/", "/fish$"))
+    assert(Robots.matches("/x/mid/y", "/*mid*"))
+    assert(!Robots.matches("/x/y", "/*mid*"))
+  }
+
+  test("decide: longest match wins; allow wins ties; no match allows") {
+    val rules = Seq(Rule("/p/", allow = false), Rule("/p/keep/", allow = true))
+    assert(!Robots.decide("/p/x", rules))
+    assert(Robots.decide("/p/keep/x", rules))
+    assert(Robots.decide("/other", rules))
+    // tie: same length, opposite directives → allow (order-independent)
+    val tie = Seq(Rule("/a/", allow = false), Rule("/a$", allow = true))
+    assert(Robots.decide("/a/", tie) == Robots.decide("/a/", tie.reverse))
+    assert(!Robots.decide("/a/", tie)) // only /a/ matches "/a/"; /a$ does not
+    val realTie = Seq(Rule("/ab", allow = false), Rule("/a*", allow = true))
+    assert(Robots.decide("/ab", realTie) && Robots.decide("/ab", realTie.reverse))
+  }
+
+  test("robotsFilter (relational prefix gate) agrees with decide row-by-row") {
+    val s = spark; import s.implicits._
+    val prefixRules = RobotsFunctions.d38Rules
+    val urls = (0 until 120).map { i =>
+      val host = s"src${i % 20}.example.org"
+      val path = Seq("/pub/a", "/private/p", "/private/archive/x", "/tmp/t",
+        "/pub/data/d", "/")(i % 6) + i
+      (i.toLong, s"https://$host$path", host, path)
+    }
+    val got = RobotsFunctions.robotsFilter(
+      urls.toDF("doc_id", "url", "host", "path"),
+      prefixRules.toDF("host", "prefix", "allow"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    urls.foreach { case (id, _, host, path) =>
+      val hostRules = prefixRules.collect { case (h, p, a) if h == host => Rule(p, a) }
+      assert(got(id) == Robots.decide(path, hostRules), s"url $id $host$path")
+    }
+  }
+
+  test("x25 corpus: every frontier verdict matches its closed form") {
+    val rows = SparkEntry.queries("x25_robots_gate")(spark, "").collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(rows.size == 300)
+    (0 until 300).foreach { i =>
+      assert(rows(CorpusSource.frontierUrl(i)) == CorpusSource.frontierAllowed(i),
+        s"frontier $i ${CorpusSource.frontierUrl(i)}")
+    }
+  }
+
+  test("url path kernel: path+query extraction") {
+    import graft.expressions.UrlKernel
+    assert(UrlKernel.path("https://h.example.org/a/b?q=1#frag") == "/a/b?q=1")
+    assert(UrlKernel.path("https://h.example.org") == "/")
+    assert(UrlKernel.path("https://h.example.org?q=1") == "/?q=1")
+    assert(UrlKernel.path("/already/path") == "/already/path")
+    assert(UrlKernel.path("no-scheme") == "/")
+  }
+}
