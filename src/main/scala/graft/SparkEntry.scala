@@ -283,6 +283,32 @@ object SparkEntry {
         (url, host, allowed)
       }.toDF("url", "host", "allowed").orderBy("url")
     }),
+    // sitemap ingestion → frontier construction (x26): the crawl DISCOVERY
+    // composition — distributed sitemap parse (same tokenizer, arena reuse
+    // per partition; urlset vs sitemapindex, CDATA locs, entity decode),
+    // url canonicalization, then the RFC 9309 robots gate. Zero shuffle
+    // until the final ORDER BY; closed-form rows pinned in RobotsSpec.
+    "x26_sitemap_frontier" -> ((s, _) => {
+      import s.implicits._
+      val ruleMap: Map[String, Vector[graft.functions.Robots.Rule]] =
+        (0 until 5).map(h =>
+          s"h$h.example.org" -> graft.functions.Robots.parse(CorpusSource.robotsTxt(h))).toMap
+      val bc = s.sparkContext.broadcast(ruleMap)
+      CorpusSource.sitemapPages(s, 40).mapPartitions { it =>
+        val arena = new graft.htmltok.TokenArena()
+        it.flatMap { p =>
+          graft.functions.Sitemaps.parse(p.html, arena).map { e =>
+            val canon = graft.expressions.UrlKernel.canonical(e.loc)
+            val host = graft.expressions.UrlKernel.host(canon)
+            val allowed = graft.functions.Robots.decide(
+              graft.expressions.UrlKernel.path(canon),
+              bc.value.getOrElse(host, Vector.empty))
+            (p.url, canon, e.lastmod, e.index, allowed)
+          }
+        }
+      }.toDF("sitemap_url", "loc", "lastmod", "is_index", "allowed")
+        .orderBy("loc")
+    }),
     // head-metadata extraction (WAT Head-record shape: title, metas,
     // rel=canonical, html lang) — one row-local kernel pass, zero shuffle;
     // first-wins duplicates and script-body phantom metas pinned in

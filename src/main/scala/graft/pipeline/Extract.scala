@@ -208,6 +208,43 @@ object CorpusSource {
     case _         => true
   }
 
+  /** Authored sitemap XML for document `i` (host h{i%5}.example.org): every
+    * 8th document is a `<sitemapindex>` pointing at two further shards; the
+    * rest are `<urlset>`s whose six locs exercise plain text, a missing
+    * lastmod, a CDATA-wrapped loc, an entity-encoded query, ws padding, and
+    * an uppercase scheme+host that url canonicalization must fold. */
+  def sitemapXml(i: Int): String = {
+    val host = s"h${i % 5}.example.org"
+    if (i % 8 == 7)
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+         |  <sitemap><loc>https://$host/sitemap${i}_a.xml</loc><lastmod>2024-02-01</lastmod></sitemap>
+         |  <sitemap><loc>https://$host/sitemap${i}_b.xml</loc></sitemap>
+         |</sitemapindex>""".stripMargin
+    else
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+         |  <url><loc>https://$host/home/page$i.html</loc><lastmod>2024-01-15</lastmod></url>
+         |  <url><loc>https://$host/private/doc$i</loc></url>
+         |  <url><loc><![CDATA[https://$host/data/file$i.json]]></loc><lastmod>2024-01-16</lastmod></url>
+         |  <url><loc> HTTPS://${host.toUpperCase(java.util.Locale.ROOT)}/s$i?a=1&amp;b=2 </loc></url>
+         |  <url><loc>https://$host/tmp/cache$i</loc></url>
+         |  <url><loc>https://$host/data/file$i.jsonl</loc></url>
+         |</urlset>""".stripMargin
+  }
+
+  /** Sitemap documents as corpus rows (payload = the XML bytes). */
+  def sitemapPages(spark: SparkSession, n: Long): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions(_.map { i =>
+      val idx = i.toInt
+      PageRow(s"https://h${idx % 5}.example.org/sitemap$idx.xml",
+        new java.sql.Timestamp(1577836800000L + idx.toLong * 60000L),
+        sitemapXml(idx).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        null, null)
+    })
+  }
+
   /** Authored template-corpus text pieces (shared with TemplateSpec). */
   def templateNav(h: Int): String =
     s"Latest headlines and section navigation for tribune $h readers every morning"
