@@ -648,6 +648,12 @@ object SparkEntry {
       DedupFunctions.bloomIncrementalDedup(
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
     }),
+    // deterministic corpus split (train/val/test by hashed doc key): stable
+    // under recrawl/reshuffle/engine — md5 prefix vs cumulative hex
+    // thresholds shared with the oracle SQL; row-local, zero shuffle.
+    "d39_hash_split" -> ((s, dir) =>
+      TextFunctions.hashSplit(docs(s, dir),
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))),
     // robots.txt gate, relational recast (RFC 9309 §2.2.2 over prefix
     // rules): URLs planted from documents hit a shared per-host rule table
     // (RobotsFunctions.d38Rules — the SAME Seq feeds the oracle VALUES
@@ -1277,6 +1283,18 @@ object SparkEntry {
         |FROM ba LEFT JOIN ex ON ba.content_md5 = ex.content_md5
         |WHERE ex.content_md5 IS NULL
         |GROUP BY ba.content_md5 ORDER BY doc_id""".stripMargin,
+    "d39_hash_split" -> {
+      val ths = TextFunctions.hashSplitThresholds(
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      val cases = ths.map { case (n, t) =>
+        s"WHEN substr(h, 1, 8) < '$t' THEN '$n'" }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id,
+         |                  md5(doc_id || ':graft-split-v1') AS h
+         |           FROM documents)
+         |SELECT doc_id, substr(h, 1, 8) AS bucket,
+         |       CASE $cases ELSE '${ths.last._1}' END AS split
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
     "d38_robots_filter" -> {
       val esc = (s: String) => s.replace("'", "''")
       val values = RobotsFunctions.d38Rules

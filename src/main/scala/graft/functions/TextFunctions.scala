@@ -713,6 +713,41 @@ object TextFunctions {
           "\n").as("clean_text"))
   }
 
+  /** Cumulative 8-hex-char thresholds for [[hashSplit]] — exposed so the
+    * oracle SQL is generated from the SAME values (langMarkers discipline).
+    * Lexicographic order on lowercase hex of equal length ≡ numeric order,
+    * so `md5_prefix < threshold` buckets uniformly at 2^-32 resolution. */
+  def hashSplitThresholds(splits: Seq[(String, Double)]): Seq[(String, String)] = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0) &&
+      math.abs(splits.map(_._2).sum - 1.0) < 1e-9, splits.toString)
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    splits.map(_._1).zip(cum.map(c =>
+      String.format(java.util.Locale.ROOT, "%08x",
+        java.lang.Long.valueOf(math.min((c * 4294967296.0).toLong, 4294967295L)))))
+  }
+
+  /** Deterministic train/val/test split — the reproducible-split primitive
+    * of a training corpus: assignment = md5(doc_id ":" salt) compared
+    * against cumulative hex thresholds. Stable under recrawl, reshuffle and
+    * engine choice (md5 is cross-engine-exact; oracle-checked as d39);
+    * keying on the document ID (not content) keeps a document's split fixed
+    * across content revisions — the leakage rule eval pipelines need. Pure
+    * row-local projection, zero shuffle at any corpus size. */
+  def hashSplit(docs: DataFrame, splits: Seq[(String, Double)],
+                salt: String = "graft-split-v1"): DataFrame = {
+    val ths = hashSplitThresholds(splits)
+    val prefix = substring(
+      md5(concat(col("doc_id").cast("string"), lit(":" + salt)).cast("binary")),
+      1, 8)
+    var c: Column = null
+    ths.foreach { case (name, th) =>
+      c = if (c == null) when(prefix < th, name) else c.when(prefix < th, name)
+    }
+    docs.select(col("doc_id"), prefix.as("bucket"),
+      coalesce(c, lit(ths.last._1)).as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source repeated-LINE template removal over the documents table:
     * text splits on '\n'; a line present on ≥ num/den of the source's docs
     * is dropped from all of them. The oracle-checkable recast of block-level
