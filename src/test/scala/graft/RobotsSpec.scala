@@ -99,6 +99,29 @@ class RobotsSpec extends AnyFunSuite {
     }
   }
 
+  test("matches: property — agrees with a regex reference on random patterns/paths") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val piece = Gen.oneOf("/", "a", "b", "ab", ".json", "tmp", "*", "$", "x")
+    val str = (n: Int) => Gen.listOfN(n, piece).map(_.mkString)
+    val gen = for {
+      pn <- Gen.chooseNum(1, 6); sn <- Gen.chooseNum(0, 8)
+      pat <- str(pn); path <- str(sn)
+    } yield (pat, "/" + path)
+    def ref(path: String, pattern: String): Boolean = {
+      val anchored = pattern.endsWith("$")
+      val pat = if (anchored) pattern.dropRight(1) else pattern
+      val rx = pat.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*")
+      val m = java.util.regex.Pattern
+        .compile(rx, java.util.regex.Pattern.DOTALL).matcher(path)
+      if (anchored) m.matches() else m.lookingAt()
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(2000),
+      Prop.forAll(gen) { case (pat, path) =>
+        pat.isEmpty || Robots.matches(path, pat) == ref(path, pat)
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("url path kernel: path+query extraction") {
     import graft.expressions.UrlKernel
     assert(UrlKernel.path("https://h.example.org/a/b?q=1#frag") == "/a/b?q=1")
