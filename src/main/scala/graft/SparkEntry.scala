@@ -270,10 +270,7 @@ object SparkEntry {
     // Closed-form verdicts pinned in RobotsSpec.
     "x25_robots_gate" -> ((s, _) => {
       import s.implicits._
-      val ruleMap: Map[String, Vector[graft.functions.Robots.Rule]] =
-        (0 until 5).map(h =>
-          s"h$h.example.org" -> graft.functions.Robots.parse(CorpusSource.robotsTxt(h))).toMap
-      val bc = s.sparkContext.broadcast(ruleMap)
+      val bc = s.sparkContext.broadcast(CorpusSource.frontierRuleMap)
       s.range(300).map { i =>
         val url = CorpusSource.frontierUrl(i.toInt)
         val host = graft.expressions.UrlKernel.host(url)
@@ -290,10 +287,7 @@ object SparkEntry {
     // until the final ORDER BY; closed-form rows pinned in RobotsSpec.
     "x26_sitemap_frontier" -> ((s, _) => {
       import s.implicits._
-      val ruleMap: Map[String, Vector[graft.functions.Robots.Rule]] =
-        (0 until 5).map(h =>
-          s"h$h.example.org" -> graft.functions.Robots.parse(CorpusSource.robotsTxt(h))).toMap
-      val bc = s.sparkContext.broadcast(ruleMap)
+      val bc = s.sparkContext.broadcast(CorpusSource.frontierRuleMap)
       CorpusSource.sitemapPages(s, 40).mapPartitions { it =>
         val arena = new graft.htmltok.TokenArena()
         it.flatMap { p =>

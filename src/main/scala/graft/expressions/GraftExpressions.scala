@@ -775,6 +775,9 @@ object UrlKernel {
     val s0 = raw.trim
     val h = s0.indexOf('#')
     val s = if (h >= 0) s0.substring(0, h) else s0
+    // a path-only input has no authority — bail before the "://" scan so a
+    // query-embedded URL (/r?to=https://x/y) can't be misread as the host
+    if (s.startsWith("/")) return ""
     val se = s.indexOf("://")
     if (se <= 0) return ""
     val rest = s.substring(se + 3)
@@ -796,15 +799,19 @@ object UrlKernel {
 
   /** Path-and-query of a URL ("/" when absent; fragment dropped) — the
     * component robots rules match against (RFC 9309 §2.2.2 matches the
-    * percent-encoded path INCLUDING the query). An input without a
-    * `scheme://` authority is treated as already being a path when it
-    * starts with '/'. */
+    * percent-encoded path INCLUDING the query). An input that starts with
+    * '/' is ALREADY a path and is returned as-is (checked BEFORE any
+    * authority scan, so a path whose query embeds a full URL — e.g.
+    * `/redirect?to=https://x/y` — is never re-parsed as having an
+    * authority; protocol-relative `//host/x` inputs also land here and are
+    * treated as paths by this rule). */
   def path(raw: String): String = {
     val s0 = raw.trim
     val h = s0.indexOf('#')
     val s = if (h >= 0) s0.substring(0, h) else s0
+    if (s.startsWith("/")) return s
     val se = s.indexOf("://")
-    if (se <= 0) return if (s.startsWith("/")) s else "/"
+    if (se <= 0) return "/"
     val rest = s.substring(se + 3)
     var aEnd = 0
     while (aEnd < rest.length && rest.charAt(aEnd) != '/' && rest.charAt(aEnd) != '?') aEnd += 1

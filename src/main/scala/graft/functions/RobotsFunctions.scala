@@ -31,7 +31,11 @@ object Robots {
     * case-insensitive, an EMPTY Disallow value is no rule at all, and
     * unknown directives (Crawl-delay, Sitemap, …) are skipped inside and
     * outside groups. */
-  def parse(txt: String): Vector[Rule] = {
+  def parse(txt0: String): Vector[Rule] = {
+    // strip a UTF-8 BOM: real-world robots.txt files saved by Windows
+    // tooling lead with U+FEFF, which would glue onto the first key and
+    // silently drop the whole * group — the gate must not fail open on it
+    val txt = if (txt0.nonEmpty && txt0.charAt(0) == '\uFEFF') txt0.substring(1) else txt0
     val out = Vector.newBuilder[Rule]
     var inStar = false       // current group names agent *
     var inAgentRun = false   // still collecting consecutive User-agent lines

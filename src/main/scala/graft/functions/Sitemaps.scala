@@ -29,16 +29,16 @@ object Sitemaps {
     val out = Vector.newBuilder[Entry]
     var inEntry = false    // inside <url> or <sitemap>
     var entryIsIndex = false
-    var loc: String = null
-    var lastmod: String = null
+    val loc = new java.lang.StringBuilder()
+    val lastmod = new java.lang.StringBuilder()
     var capture: Int = 0   // 0 = none, 1 = loc, 2 = lastmod
     var t = 0
     while (t < arena.size) {
       val k = arena.kinds(t)
       if (k == Tok.Start) {
         arena.tagName(arena.tagIds(t)) match {
-          case "url"     => inEntry = true; entryIsIndex = false; loc = null; lastmod = null
-          case "sitemap" => inEntry = true; entryIsIndex = true; loc = null; lastmod = null
+          case "url"     => inEntry = true; entryIsIndex = false; loc.setLength(0); lastmod.setLength(0)
+          case "sitemap" => inEntry = true; entryIsIndex = true; loc.setLength(0); lastmod.setLength(0)
           case "loc"     if inEntry => capture = 1
           case "lastmod" if inEntry => capture = 2
           case _ =>
@@ -47,12 +47,19 @@ object Sitemaps {
         arena.tagName(arena.tagIds(t)) match {
           case "loc" | "lastmod" => capture = 0
           case "url" | "sitemap" =>
-            if (inEntry && loc != null && loc.nonEmpty)
-              out += Entry(loc, lastmod, entryIsIndex)
+            if (inEntry && loc.toString.trim.nonEmpty) {
+              val lm = lastmod.toString.trim
+              out += Entry(loc.toString.trim, if (lm.isEmpty) null else lm,
+                entryIsIndex)
+            }
             inEntry = false
           case _ =>
         }
       } else if (capture != 0 && (k == Tok.Text || k == Tok.Cdata)) {
+        // XML character data of one element may legally arrive as several
+        // text/CDATA fragments — CONCATENATE them (a first-wins would
+        // silently truncate a loc split around a CDATA section); the joined
+        // value is trimmed once at entry emit
         val v =
           if (k == Tok.Cdata) {
             // <![CDATA[ … ]]> — verbatim payload, no entity decode (XML)
@@ -64,11 +71,7 @@ object Sitemaps {
               arena.ends(t) - arena.starts(t), StandardCharsets.UTF_8)
             if (raw.indexOf('&') >= 0) graft.extract.Entities.decode(raw) else raw
           }
-        val trimmed = v.trim
-        if (trimmed.nonEmpty) {
-          if (capture == 1) loc = if (loc == null) trimmed else loc
-          else lastmod = if (lastmod == null) trimmed else lastmod
-        }
+        if (capture == 1) loc.append(v) else lastmod.append(v)
       }
       t += 1
     }

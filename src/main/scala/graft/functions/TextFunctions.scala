@@ -686,8 +686,12 @@ object TextFunctions {
   def templateFilter(units: DataFrame, num: Int = 1, den: Int = 2,
                      minPages: Int = 2): DataFrame = {
     require(num >= 1 && den >= num && minPages >= 2, s"$num/$den/$minPages")
+    // referenced three times below (frequency, site sizes, verdict join) —
+    // without the checkpoint the upstream (in x23: full HTML extraction +
+    // explode) re-runs per reference; the x13/d18/d25 discipline
     val u = units.select(col("id"), col("grp"), col("idx"), col("unit"),
       md5(col("unit")).as("h"))
+      .localCheckpoint()
     val freq = u.groupBy(col("grp"), col("h"))
       .agg(count_distinct(col("id")).as("nd"))
     // n_docs per site from the unit table itself (every page has >= 1 unit):

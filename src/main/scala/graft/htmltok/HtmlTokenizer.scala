@@ -583,9 +583,11 @@ object HtmlTokenizer {
               }
             }
           case "link" if canonical == null =>
+            // rel is a space-separated TOKEN LIST (HTML spec) — match
+            // membership, not string equality ("alternate canonical" counts)
             val rel = attrValue(input, s, e, "rel")
-            if (rel != null &&
-                rel.toLowerCase(java.util.Locale.ROOT).trim == "canonical")
+            if (rel != null && rel.toLowerCase(java.util.Locale.ROOT)
+                .split("[ \t\n\r\f]+").contains("canonical"))
               canonical = attrValue(input, s, e, "href")
           case _ =>
         }

@@ -208,6 +208,13 @@ object CorpusSource {
     case _         => true
   }
 
+  /** The frontier hosts' robots rules, parsed once (O(hosts) control-plane
+    * state — shared by the x25 gate and the x26 sitemap frontier so the two
+    * surfaces can never diverge on host naming or rule content). */
+  def frontierRuleMap: Map[String, Vector[graft.functions.Robots.Rule]] =
+    (0 until 5).map(h =>
+      s"h$h.example.org" -> graft.functions.Robots.parse(robotsTxt(h))).toMap
+
   /** Authored sitemap XML for document `i` (host h{i%5}.example.org): every
     * 8th document is a `<sitemapindex>` pointing at two further shards; the
     * rest are `<urlset>`s whose six locs exercise plain text, a missing

@@ -129,5 +129,17 @@ class RobotsSpec extends AnyFunSuite {
     assert(UrlKernel.path("https://h.example.org?q=1") == "/?q=1")
     assert(UrlKernel.path("/already/path") == "/already/path")
     assert(UrlKernel.path("no-scheme") == "/")
+    // a query-embedded URL must not be re-parsed as an authority — the
+    // leading-'/' rule runs FIRST (review fix): a robots 'Disallow: /r'
+    // must still see the real path
+    assert(UrlKernel.path("/r?to=https://x.com/y") == "/r?to=https://x.com/y")
+    assert(UrlKernel.path("https://h.org/r?to=https://x.com/y") == "/r?to=https://x.com/y")
+    assert(UrlKernel.host("/r?to=https://x.com/y") == "")
+  }
+
+  test("parse: UTF-8 BOM before the first User-agent line is stripped") {
+    val rules = Robots.parse("\uFEFF" + "User-agent: *\nDisallow: /private/\n")
+    assert(rules == Vector(Rule("/private/", allow = false)),
+      "a BOM must not make the politeness gate fail open")
   }
 }

@@ -40,6 +40,18 @@ class SitemapSpec extends AnyFunSuite {
     assert(got == Vector(Entry("https://a.org/raw&amp;lit", null, index = false)))
   }
 
+  test("loc split across text/CDATA fragments concatenates (no truncation)") {
+    val got = parse("<urlset><url><loc>https://a.org/?a=1<![CDATA[&]]>b=2</loc></url></urlset>")
+    assert(got == Vector(Entry("https://a.org/?a=1&b=2", null, index = false)))
+  }
+
+  test("html rel token list: 'alternate canonical' still yields the canonical") {
+    val m = graft.htmltok.HtmlTokenizer.headMeta(
+      """<link rel="alternate canonical" href="https://s/x">"""
+        .getBytes(StandardCharsets.UTF_8), new TokenArena())
+    assert(m.canonical == "https://s/x")
+  }
+
   test("sitemapindex entries are flagged; empty locs are skipped") {
     val got = parse(
       """<sitemapindex>
