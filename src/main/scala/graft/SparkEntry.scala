@@ -280,6 +280,19 @@ object SparkEntry {
         (url, host, allowed)
       }.toDF("url", "host", "allowed").orderBy("url")
     }),
+    // base-aware outlink resolution (x27): every <a href> RFC 3986-resolved
+    // against the page's effective base (<base href> honored, first-wins) —
+    // the full-URL frontier feed behind the x21 host graph; one codegen'd
+    // kernel pass (graft_resolved_links), zero shuffle before the sort.
+    // Closed-form expectations for all eight RFC reference classes pinned
+    // in UrlResolveSpec.
+    "x27_resolved_links" -> ((s, _) => {
+      val gx = graft.expressions.GraftExpressions
+      CorpusSource.basePages(s, 280).toDF()
+        .select(col("url"),
+          explode(gx.resolvedLinks(col("html"), col("url"))).as("resolved"))
+        .orderBy("url", "resolved")
+    }),
     // sitemap ingestion → frontier construction (x26): the crawl DISCOVERY
     // composition — distributed sitemap parse (same tokenizer, arena reuse
     // per partition; urlset vs sitemapindex, CDATA locs, entity decode),

@@ -819,6 +819,120 @@ object UrlKernel {
     if (tail.isEmpty) "/" else if (tail.charAt(0) == '?') "/" + tail else tail
   }
 
+  def resolve(base: UTF8String, ref: UTF8String): UTF8String =
+    UTF8String.fromString(resolve(base.toString, ref.toString))
+
+  /** RFC 3986 §5 reference resolution (strict): resolves `ref` against
+    * `base` — relative paths (`g`, `./g`, `../g`), absolute paths,
+    * network-path (`//host/x`), query-only (`?y`), fragment-only (`#s`),
+    * empty, and full-URI references, with §5.2.4 dot-segment removal. The
+    * primitive behind href → frontier-URL conversion (the x21 host
+    * shortcut resolves hosts only; this resolves full URLs). Verified
+    * against the RFC's own §5.4.1 + §5.4.2 vectors (UrlResolveSpec). */
+  def resolve(base: String, ref: String): String = {
+    val r = splitUri(ref.trim)
+    val b = splitUri(base.trim)
+    var scheme: String = null; var auth: String = null
+    var path: String = null; var query: String = null
+    if (r.scheme != null) {
+      scheme = r.scheme; auth = r.auth
+      path = removeDotSegments(r.path); query = r.query
+    } else {
+      scheme = b.scheme
+      if (r.auth != null) {
+        auth = r.auth; path = removeDotSegments(r.path); query = r.query
+      } else {
+        auth = b.auth
+        if (r.path.isEmpty) {
+          path = b.path
+          query = if (r.query != null) r.query else b.query
+        } else {
+          query = r.query
+          path =
+            if (r.path.startsWith("/")) removeDotSegments(r.path)
+            else {
+              // §5.2.3 merge: base-with-authority-and-empty-path → "/"+ref,
+              // else replace everything after base path's last "/"
+              val merged =
+                if (b.auth != null && b.path.isEmpty) "/" + r.path
+                else {
+                  val cut = b.path.lastIndexOf('/')
+                  if (cut >= 0) b.path.substring(0, cut + 1) + r.path else r.path
+                }
+              removeDotSegments(merged)
+            }
+        }
+      }
+    }
+    val out = new java.lang.StringBuilder(base.length + ref.length)
+    if (scheme != null) out.append(scheme).append(':')
+    if (auth != null) out.append("//").append(auth)
+    out.append(path)
+    if (query != null) out.append('?').append(query)
+    if (r.frag != null) out.append('#').append(r.frag)
+    out.toString
+  }
+
+  private final case class UriParts(scheme: String, auth: String,
+                                    path: String, query: String, frag: String)
+
+  /** RFC 3986 appendix-B component split (null = component absent; note an
+    * EMPTY authority/query/fragment is present-but-empty, not null). */
+  private def splitUri(s: String): UriParts = {
+    var rest = s
+    var frag: String = null
+    val h = rest.indexOf('#')
+    if (h >= 0) { frag = rest.substring(h + 1); rest = rest.substring(0, h) }
+    var query: String = null
+    val q = rest.indexOf('?')
+    if (q >= 0) { query = rest.substring(q + 1); rest = rest.substring(0, q) }
+    var scheme: String = null
+    val c = rest.indexOf(':')
+    val slash = rest.indexOf('/')
+    if (c > 0 && (slash < 0 || c < slash) && isScheme(rest.substring(0, c))) {
+      scheme = rest.substring(0, c); rest = rest.substring(c + 1)
+    }
+    var auth: String = null
+    if (rest.startsWith("//")) {
+      var e = 2
+      while (e < rest.length && rest.charAt(e) != '/' && rest.charAt(e) != '?') e += 1
+      auth = rest.substring(2, e); rest = rest.substring(e)
+    }
+    UriParts(scheme, auth, rest, query, frag)
+  }
+
+  private def isScheme(s: String): Boolean =
+    s.nonEmpty && isAsciiAlpha(s.charAt(0)) && s.forall(ch =>
+      isAsciiAlpha(ch) || (ch >= '0' && ch <= '9') || ch == '+' || ch == '-' || ch == '.')
+
+  private def isAsciiAlpha(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+
+  /** RFC 3986 §5.2.4 remove_dot_segments. */
+  private def removeDotSegments(p: String): String = {
+    val out = new java.lang.StringBuilder(p.length)
+    var in = p
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../") || in == "/..") {
+        in = if (in == "/..") "/" else "/" + in.substring(4)
+        val cut = out.lastIndexOf("/")
+        out.setLength(if (cut >= 0) cut else 0)
+      }
+      else if (in == "." || in == "..") in = ""
+      else {
+        var e = if (in.charAt(0) == '/') 1 else 0
+        while (e < in.length && in.charAt(e) != '/') e += 1
+        out.append(in, 0, e)
+        in = in.substring(e)
+      }
+    }
+    out.toString
+  }
+
   def canonical(raw: String): String = {
     val s0 = raw.trim
     val h = s0.indexOf('#')
@@ -934,6 +1048,30 @@ case class UrlPathExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_url_resolve(base STRING, ref STRING) -> STRING`: RFC 3986 §5
+  * reference resolution ([[UrlKernel.resolve]]) as a codegen'd scalar —
+  * href → absolute frontier URL inside the scan stage, zero shuffle. */
+case class UrlResolveExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (STRING, STRING), got (${left.dataType}, ${right.dataType})")
+  override def prettyName: String = "graft_url_resolve"
+
+  override def nullSafeEval(base: Any, ref: Any): Any =
+    UrlKernel.resolve(base.asInstanceOf[UTF8String], ref.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, r) => s"graft.expressions.UrlKernel.resolve($b, $r)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): UrlResolveExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 case class UrlHostExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def checkInputDataTypes(): TypeCheckResult =
@@ -1018,6 +1156,39 @@ case class AnchorTextsExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_resolved_links(html BINARY, url STRING) -> ARRAY<STRING>`:
+  * absolute outlink URLs — every `<a href>` RFC 3986-resolved against the
+  * page's effective base (`<base href>` honored). The frontier-feed form of
+  * graft_extract_links. */
+case class ResolvedLinksExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (BINARY, STRING), got (${left.dataType}, ${right.dataType})")
+  override def prettyName: String = "graft_resolved_links"
+
+  @transient private lazy val arena =
+    new ThreadLocal[graft.htmltok.TokenArena] {
+      override def initialValue(): graft.htmltok.TokenArena =
+        new graft.htmltok.TokenArena()
+    }
+
+  override def nullSafeEval(html: Any, url: Any): Any = {
+    val links = graft.htmltok.HtmlTokenizer.resolvedLinks(
+      html.asInstanceOf[Array[Byte]], arena.get(),
+      url.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(links.map(UTF8String.fromString).toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ResolvedLinksExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_head_meta(html BINARY) -> STRUCT<title, description, canonical,
   * robots, og_title, og_description, lang>`: page-level head metadata (the
   * public WAT `Head` record shape) — first occurrence wins, values
@@ -1065,6 +1236,9 @@ object GraftExpressions {
     ColumnBridge.column(AnchorTextsExpr(ColumnBridge.expression(c)))
   def headMeta(c: Column): Column =
     ColumnBridge.column(HeadMetaExpr(ColumnBridge.expression(c)))
+  def resolvedLinks(html: Column, url: Column): Column =
+    ColumnBridge.column(ResolvedLinksExpr(
+      ColumnBridge.expression(html), ColumnBridge.expression(url)))
   def token_count(c: Column): Column =
     ColumnBridge.column(TokenCountExpr(ColumnBridge.expression(c)))
   def simhash64(c: Column): Column =
@@ -1080,6 +1254,9 @@ object GraftExpressions {
     ColumnBridge.column(UrlHostExpr(ColumnBridge.expression(c)))
   def urlPath(c: Column): Column =
     ColumnBridge.column(UrlPathExpr(ColumnBridge.expression(c)))
+  def urlResolve(base: Column, ref: Column): Column =
+    ColumnBridge.column(UrlResolveExpr(
+      ColumnBridge.expression(base), ColumnBridge.expression(ref)))
   def nfc(c: Column): Column =
     ColumnBridge.column(NfcExpr(ColumnBridge.expression(c)))
   def srpBuckets(c: Column, nTables: Int, nPlanes: Int, dim: Int): Column =
@@ -1107,6 +1284,12 @@ object GraftExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_head_meta", exprs => HeadMetaExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_resolved_links", exprs => {
+        require(exprs.length == 2,
+          s"graft_resolved_links(html, url) takes 2 arguments, got ${exprs.length}")
+        ResolvedLinksExpr(exprs.head, exprs(1))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_token_count", exprs => TokenCountExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash64", exprs => SimHash64Expr(exprs.head), "scala_udf")
@@ -1118,6 +1301,12 @@ object GraftExpressions {
       "graft_url_host", exprs => UrlHostExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_url_path", exprs => UrlPathExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_url_resolve", exprs => {
+        require(exprs.length == 2,
+          s"graft_url_resolve(base, ref) takes 2 arguments, got ${exprs.length}")
+        UrlResolveExpr(exprs.head, exprs(1))
+      }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nfc", exprs => NfcExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -528,6 +528,41 @@ object HtmlTokenizer {
     out.result()
   }
 
+  /** Absolute outlink URLs of one page: every `<a href>` resolved per
+    * RFC 3986 against the page's EFFECTIVE base — the first `<base href>`
+    * (itself resolved against the document URL, per HTML) or the document
+    * URL when absent. One tokenize pass; script/comment fake anchors are
+    * skipped by construction. The x21 host shortcut resolves hosts only;
+    * this is the full-URL frontier feed. */
+  def resolvedLinks(input: Array[Byte], arena: TokenArena,
+                    docUrl: String): Vector[String] = {
+    arena.reset()
+    tokenize(input, arena)
+    var base = docUrl
+    var baseSeen = false
+    val out = Vector.newBuilder[String]
+    var t = 0
+    while (t < arena.size) {
+      val k = arena.kinds(t)
+      if (k == Tok.Start || k == Tok.SelfClose) {
+        val name = arena.tagName(arena.tagIds(t))
+        if (name == "base" && !baseSeen) {
+          val h = attrValue(input, arena.starts(t), arena.ends(t), "href")
+          if (h != null && h.nonEmpty) {
+            base = graft.expressions.UrlKernel.resolve(docUrl, h)
+            baseSeen = true
+          }
+        } else if ((arena.flags(t) & TokenFlags.HasHref) != 0 && name == "a") {
+          val v = hrefValue(input, arena.starts(t), arena.ends(t))
+          if (v != null && v.nonEmpty)
+            out += graft.expressions.UrlKernel.resolve(base, v)
+        }
+      }
+      t += 1
+    }
+    out.result()
+  }
+
   /** Page-level head metadata (the public Common-Crawl WAT `Head` record
     * shape: Title, Metas, Link rel=canonical) — what a crawl-curation
     * pipeline reads without extracting the body. null = absent. */

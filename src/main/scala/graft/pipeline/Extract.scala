@@ -208,6 +208,39 @@ object CorpusSource {
     case _         => true
   }
 
+  /** Deterministic `<base href>`-resolution corpus: page `i` lives at
+    * `https://b{i%4}.example.org/sec/sub/page{i}.html`; every 3rd page
+    * declares `<base href="https://cdn{i%2}.example.net/assets/">` (all
+    * links then resolve against the CDN base, the trap a host-only
+    * resolver falls into), plus a SECOND base tag that must be ignored
+    * (first wins, per HTML). The eight authored hrefs cover the RFC 3986
+    * reference classes: same-segment relative, `./`, `../`, rooted,
+    * query-only, protocol-relative, absolute, and fragment-only. */
+  def basePages(spark: SparkSession, n: Long): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions(_.map { i =>
+      val idx = i.toInt
+      val url = s"https://b${idx % 4}.example.org/sec/sub/page$idx.html"
+      val base = if (idx % 3 == 0)
+        s"""<base href="https://cdn${idx % 2}.example.net/assets/">""" +
+          """<base href="https://WRONG.example/ignored/">"""
+      else ""
+      val body =
+        s"""<p><a href="g$idx.html">rel</a>""" +
+        s"""<a href="./same$idx.html">dot</a>""" +
+        s"""<a href="../up$idx.html">up</a>""" +
+        s"""<a href="/rooted$idx">root</a>""" +
+        s"""<a href="?q=$idx">query</a>""" +
+        s"""<a href="//peer.example.org/p$idx">proto</a>""" +
+        s"""<a href="https://abs.example.org/x$idx">abs</a>""" +
+        s"""<a href="#frag$idx">frag</a></p>"""
+      val html = s"""<html><head><title>t</title>$base</head><body>$body</body></html>"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      PageRow(url, new java.sql.Timestamp(1577836800000L + idx.toLong * 60000L),
+        html, null, "en")
+    })
+  }
+
   /** The frontier hosts' robots rules, parsed once (O(hosts) control-plane
     * state — shared by the x25 gate and the x26 sitemap frontier so the two
     * surfaces can never diverge on host naming or rule content). */
