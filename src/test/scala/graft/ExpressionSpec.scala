@@ -236,6 +236,20 @@ class ExpressionSpec extends AnyFunSuite {
     assert(plan.contains("graft_pq_encode") && plan.contains("graft_pq_score"), plan)
   }
 
+  test("url kernels (path/resolve) run inside WholeStageCodegen") {
+    val df = spark.range(50)
+      .select(concat(lit("https://h"), col("id") % 3,
+        lit(".example.org/a/b?q="), col("id")).as("u"))
+      .select(GraftExpressions.urlPath(col("u")).as("p"),
+        GraftExpressions.urlResolve(col("u"), lit("../up")).as("r"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_url_path"), s"no codegen span in:\n$plan")
+    assert(plan.contains("graft_url_resolve"), plan)
+    val row = df.head
+    assert(row.getString(0).startsWith("/a/b?q="))
+    assert(row.getString(1).endsWith(".example.org/up"))
+  }
+
   test("token counter runs inside WholeStageCodegen") {
     GraftExpressions.register(spark)
     val df = spark.range(100)
