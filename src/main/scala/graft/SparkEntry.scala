@@ -885,6 +885,12 @@ object SparkEntry {
     // oracle = the events table itself (each event emitted exactly once)
     "s05_stream_dedup" -> ((s, dir) =>
       graft.streaming.EventStream.runStreamDedup(s, dir)),
+    // watermarked stream-stream inner join (attribution: purchases to the
+    // same user's signups within 6 h) — both sides watermarked, the join
+    // condition time-bounded so state EVICTS; drained output equals the
+    // batch self-join, which is the oracle
+    "s06_stream_join" -> ((s, dir) =>
+      graft.streaming.EventStream.runStreamJoin(s, dir)),
 
     // ================= similarity ops over `embeddings` ====================
     "e01_knn_brute" -> ((s, dir) => SimilarityFunctions.knnBrute(emb(s, dir), 5, 5)),
@@ -1711,6 +1717,14 @@ object SparkEntry {
     "s05_stream_dedup" ->
       """SELECT event_id, user_id, event_type, ts, value
         |FROM events ORDER BY event_id""".stripMargin,
+    "s06_stream_join" ->
+      """SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
+        |       s.ts AS signup_ts, p.ts AS purchase_ts, p.value
+        |FROM events s JOIN events p
+        |  ON s.user_id = p.user_id
+        | AND s.event_type = 'signup' AND p.event_type = 'purchase'
+        | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 6 HOUR
+        |ORDER BY signup_id, purchase_id""".stripMargin,
     "e01_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
         |           FROM embeddings WHERE vec_id < 5),

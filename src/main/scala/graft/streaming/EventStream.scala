@@ -176,6 +176,47 @@ object EventStream {
     }.orderBy("event_id")
   }
 
+  /** Watermarked STREAM-STREAM inner join (the remaining Structured
+    * Streaming primitive next to windows/custom state/dedup): purchases
+    * joined to the same user's signups within a 6-hour attribution window.
+    * Both sides carry watermarks and the join condition is time-bounded, so
+    * Spark can size and EVICT join state from the two constraints — the
+    * shape that stays bounded at 10^12 events, where an unbounded-state
+    * stream join would accrete the whole log. Inner-join completeness:
+    * every match is emitted as soon as both rows have arrived (emission
+    * does not wait for the watermark); event-time-ordered replay keeps all
+    * rows inside the horizon, so the drained output equals the batch join
+    * of the same input — which IS the oracle (s06). */
+  def runStreamJoin(spark: SparkSession, dir: String,
+                    delay: String = "10 minutes"): DataFrame = {
+    val batchDf = spark.read.parquet(s"$dir/events.parquet")
+    StreamHarness.runDrained(spark, "graft_stream_join", "append") {
+      stageOrderedByTs(batchDf)
+    } { staging =>
+      def src = spark.readStream
+        .schema(batchDf.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+        .withColumn("ts", col("ts").cast("timestamp")) // NTZ → instant (UTC session)
+      val signups = src.filter(col("event_type") === "signup")
+        .withWatermark("ts", delay)
+        .select(col("event_id").as("signup_id"), col("user_id"),
+          col("ts").as("signup_ts"))
+      val purchases = src.filter(col("event_type") === "purchase")
+        .withWatermark("ts", delay)
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"), col("value"))
+      signups.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("signup_ts") &&
+          col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 6 HOURS"))
+        .select(col("user_id"), col("signup_id"), col("purchase_id"),
+          col("signup_ts").cast("timestamp_ntz").as("signup_ts"),
+          col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+          col("value"))
+    }.orderBy("signup_id", "purchase_id")
+  }
+
   /** Batch equivalent (the oracle's formulation). */
   def runBatch(spark: SparkSession, dir: String): DataFrame =
     windowedAgg(spark.read.parquet(s"$dir/events.parquet"))
