@@ -829,9 +829,15 @@ object UrlKernel {
     * primitive behind href → frontier-URL conversion (the x21 host
     * shortcut resolves hosts only; this resolves full URLs). Verified
     * against the RFC's own §5.4.1 + §5.4.2 vectors (UrlResolveSpec). */
-  def resolve(base: String, ref: String): String = {
+  def resolve(base: String, ref: String): String =
+    resolveWith(splitUri(base.trim), ref)
+
+  /** [[resolve]] against a PRE-SPLIT base — split the base once per page
+    * and reuse it across every href (resolvedLinks calls this per anchor;
+    * re-splitting a constant base 10k times on a link-farm page is pure
+    * waste in the scan-stage kernel). */
+  private[graft] def resolveWith(b: UriParts, ref: String): String = {
     val r = splitUri(ref.trim)
-    val b = splitUri(base.trim)
     var scheme: String = null; var auth: String = null
     var path: String = null; var query: String = null
     if (r.scheme != null) {
@@ -864,7 +870,7 @@ object UrlKernel {
         }
       }
     }
-    val out = new java.lang.StringBuilder(base.length + ref.length)
+    val out = new java.lang.StringBuilder(path.length + ref.length + 16)
     if (scheme != null) out.append(scheme).append(':')
     if (auth != null) out.append("//").append(auth)
     out.append(path)
@@ -873,12 +879,12 @@ object UrlKernel {
     out.toString
   }
 
-  private final case class UriParts(scheme: String, auth: String,
-                                    path: String, query: String, frag: String)
+  private[graft] final case class UriParts(scheme: String, auth: String,
+                                           path: String, query: String, frag: String)
 
   /** RFC 3986 appendix-B component split (null = component absent; note an
     * EMPTY authority/query/fragment is present-but-empty, not null). */
-  private def splitUri(s: String): UriParts = {
+  private[graft] def splitUri(s: String): UriParts = {
     var rest = s
     var frag: String = null
     val h = rest.indexOf('#')
@@ -908,26 +914,34 @@ object UrlKernel {
   private def isAsciiAlpha(c: Char): Boolean =
     (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
 
-  /** RFC 3986 §5.2.4 remove_dot_segments. */
+  /** RFC 3986 §5.2.4 remove_dot_segments — cursor form: the textbook
+    * buffer-rewriting algorithm is QUADRATIC (each step re-slices the
+    * remaining input; a crawled href with 100k segments measured seconds of
+    * CPU — a row-local DoS on attacker-controlled HTML), so this walks the
+    * string with an index and never re-materializes the tail. */
   private def removeDotSegments(p: String): String = {
     val out = new java.lang.StringBuilder(p.length)
-    var in = p
-    while (in.nonEmpty) {
-      if (in.startsWith("../")) in = in.substring(3)
-      else if (in.startsWith("./")) in = in.substring(2)
-      else if (in.startsWith("/./")) in = "/" + in.substring(3)
-      else if (in == "/.") in = "/"
-      else if (in.startsWith("/../") || in == "/..") {
-        in = if (in == "/..") "/" else "/" + in.substring(4)
+    val n = p.length
+    var i = 0
+    @inline def at(j: Int, c: Char): Boolean = j < n && p.charAt(j) == c
+    while (i < n) {
+      if (at(i, '.') && at(i + 1, '.') && at(i + 2, '/')) i += 3        // "../"
+      else if (at(i, '.') && at(i + 1, '/')) i += 2                     // "./"
+      else if (at(i, '/') && at(i + 1, '.') && at(i + 2, '/')) i += 2   // "/./" → "/"+rest
+      else if (at(i, '/') && at(i + 1, '.') && i + 2 == n) {            // trailing "/."
+        out.append('/'); i = n
+      } else if (at(i, '/') && at(i + 1, '.') && at(i + 2, '.') &&
+                 (at(i + 3, '/') || i + 3 == n)) {                      // "/../" or trailing "/.."
         val cut = out.lastIndexOf("/")
         out.setLength(if (cut >= 0) cut else 0)
-      }
-      else if (in == "." || in == "..") in = ""
-      else {
-        var e = if (in.charAt(0) == '/') 1 else 0
-        while (e < in.length && in.charAt(e) != '/') e += 1
-        out.append(in, 0, e)
-        in = in.substring(e)
+        if (i + 3 == n) { out.append('/'); i = n } else i += 3          // keep the '/' at i+3
+      } else if (at(i, '.') && (i + 1 == n || (at(i + 1, '.') && i + 2 == n))) {
+        i = n                                                           // lone "." / ".."
+      } else {
+        var e = if (p.charAt(i) == '/') i + 1 else i
+        while (e < n && p.charAt(e) != '/') e += 1
+        out.append(p, i, e)
+        i = e
       }
     }
     out.toString

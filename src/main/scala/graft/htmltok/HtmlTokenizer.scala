@@ -540,7 +540,7 @@ object HtmlTokenizer {
     tokenize(input, arena)
     var base = docUrl
     var baseSeen = false
-    val out = Vector.newBuilder[String]
+    val hrefs = Vector.newBuilder[String]
     var t = 0
     while (t < arena.size) {
       val k = arena.kinds(t)
@@ -554,13 +554,17 @@ object HtmlTokenizer {
           }
         } else if ((arena.flags(t) & TokenFlags.HasHref) != 0 && name == "a") {
           val v = hrefValue(input, arena.starts(t), arena.ends(t))
-          if (v != null && v.nonEmpty)
-            out += graft.expressions.UrlKernel.resolve(base, v)
+          if (v != null && v.nonEmpty) hrefs += v
         }
       }
       t += 1
     }
-    out.result()
+    // resolve AFTER the walk: HTML resolves hrefs on demand against the
+    // document's (final) base, so an anchor that lexically precedes the
+    // <base> tag still uses it — and the base splits ONCE for all hrefs
+    // instead of per anchor (link-farm pages carry 10k+)
+    val b = graft.expressions.UrlKernel.splitUri(base.trim)
+    hrefs.result().map(graft.expressions.UrlKernel.resolveWith(b, _))
   }
 
   /** Page-level head metadata (the public Common-Crawl WAT `Head` record

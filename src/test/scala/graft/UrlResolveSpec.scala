@@ -57,6 +57,26 @@ class UrlResolveSpec extends AnyFunSuite {
     assert(UrlKernel.resolve("https://h/a/", "") == "https://h/a/")
   }
 
+  test("anchors BEFORE the base tag still resolve against it (HTML on-demand rule)") {
+    import graft.htmltok.{HtmlTokenizer, TokenArena}
+    val html = """<a href="g"><base href="https://cdn.example/x/"><a href="h">"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val got = HtmlTokenizer.resolvedLinks(html, new TokenArena(),
+      "https://site/dir/p.html")
+    assert(got == Vector("https://cdn.example/x/g", "https://cdn.example/x/h"))
+  }
+
+  test("adversarial segment counts stay linear (no quadratic dot-removal)") {
+    val longRel = ("a/" * 100000) + "z"
+    val longDots = ("../" * 100000) + "z"
+    val t0 = System.nanoTime()
+    val r1 = UrlKernel.resolve("http://h/b/", longRel)
+    val r2 = UrlKernel.resolve("http://h/b/", longDots)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(r1.endsWith("/z") && r2 == "http://h/z")
+    assert(ms < 500.0, s"dot-segment removal took ${ms}ms on 100k segments")
+  }
+
   test("x27 corpus: all eight reference classes, base honored and first-wins") {
     val rows = SparkEntry.queries("x27_resolved_links")(spark, "").collect()
       .map(r => (r.getString(0), r.getString(1)))
