@@ -186,7 +186,11 @@ object EventStream {
     * every match is emitted as soon as both rows have arrived (emission
     * does not wait for the watermark); event-time-ordered replay keeps all
     * rows inside the horizon, so the drained output equals the batch join
-    * of the same input — which IS the oracle (s06). */
+    * of the same input — which IS the oracle (s06). Replay is 2 files per
+    * trigger (2 incremental micro-batches + finals): a stream-stream join
+    * materializes FOUR state-store instances per shuffle partition per
+    * micro-batch, so 1-file triggers measured 2× the wall time for the
+    * same verified result. */
   def runStreamJoin(spark: SparkSession, dir: String,
                     delay: String = "10 minutes"): DataFrame = {
     val batchDf = spark.read.parquet(s"$dir/events.parquet")
@@ -195,7 +199,7 @@ object EventStream {
     } { staging =>
       def src = spark.readStream
         .schema(batchDf.schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "2")
         .parquet(staging)
         .withColumn("ts", col("ts").cast("timestamp")) // NTZ → instant (UTC session)
       val signups = src.filter(col("event_type") === "signup")

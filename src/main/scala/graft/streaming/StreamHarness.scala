@@ -14,14 +14,28 @@ private[streaming] object StreamHarness {
     val staging = java.nio.file.Files.createTempDirectory(prefix).toString
     stage(staging)
     val queryName = s"${prefix}_${System.nanoTime()}"
-    val q = build(staging).writeStream
-      .outputMode(outputMode)
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable()
-    finally {
-      q.stop()
+    // Stateful micro-batches are STATE-STORE-bound here, not data-bound: every
+    // shuffle partition materializes its own store instance per stateful
+    // operator per micro-batch (a stream-stream join keeps FOUR per
+    // partition), so 32 partitions × stores × batches is pure commit/IO
+    // overhead on these inputs. Cap the streaming queries at 8 — results are
+    // partition-count-independent (oracle-pinned) — and restore the session
+    // conf afterwards so batch queries keep their configured width. On a real
+    // cluster the same knob is sized to executor count, not left at the
+    // batch-shuffle width.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(prev.toInt, 8).toString)
+    try {
+      val q = build(staging).writeStream
+        .outputMode(outputMode)
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally {
+      spark.conf.set(key, prev)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
     }
     spark.table(queryName)
