@@ -637,6 +637,11 @@ object SparkEntry {
     // boilerplate spans doc-level dedup misses. Digest-keyed throughout.
     "d25_crossdoc_spans" -> ((s, dir) =>
       DedupFunctions.crossDocSpans(docs(s, dir), 8)),
+    // the REMOVAL counterpart: duplicated 8-token spans are cut from every
+    // doc except the span's owner (min doc_id), rewriting clean_text — the
+    // Lee-et-al ExactSubstr rewrite at shingle granularity
+    "d40_crossdoc_removal" -> ((s, dir) =>
+      DedupFunctions.crossDocRemoval(docs(s, dir), 8)),
     // incremental dedup — the recurring-crawl shape: odd doc_ids play the
     // NEW batch, even doc_ids the standing corpus; the batch is anti-joined
     // against the standing digest set, then deduped within itself. Only
@@ -1276,6 +1281,30 @@ object SparkEntry {
         |         AS dup_fraction
         |FROM sh JOIN g USING (h)
         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+    "d40_crossdoc_removal" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(range(len(ws) - 7)) AS p, ws
+        |       FROM t WHERE len(ws) >= 8),
+        |s2 AS (SELECT doc_id, p,
+        |              md5(array_to_string(ws[p+1:p+8], ' ')) AS h
+        |       FROM sh),
+        |g AS (SELECT h, min(doc_id) AS owner
+        |      FROM (SELECT DISTINCT h, doc_id FROM s2)
+        |      GROUP BY h HAVING count(*) >= 2),
+        |rm AS (SELECT DISTINCT s2.doc_id, s2.p
+        |       FROM s2 JOIN g USING (h) WHERE s2.doc_id <> g.owner),
+        |cov AS (SELECT DISTINCT doc_id, ti FROM
+        |         (SELECT doc_id, unnest(range(p, p + 8)) AS ti FROM rm)),
+        |tok AS (SELECT doc_id, unnest(range(len(ws))) AS ti, ws FROM t),
+        |tk AS (SELECT doc_id, ti, ws[ti+1] AS w FROM tok)
+        |SELECT tk.doc_id,
+        |       count(*)::BIGINT AS n_tokens,
+        |       sum(CASE WHEN cov.ti IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_removed,
+        |       COALESCE(string_agg(CASE WHEN cov.ti IS NULL THEN tk.w END,
+        |                           ' ' ORDER BY tk.ti), '') AS clean_text
+        |FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.ti = cov.ti
+        |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin,
     "d26_incremental_dedup" ->
       """WITH ex AS (SELECT DISTINCT md5(text) AS content_md5
         |            FROM documents WHERE doc_id % 2 = 0),

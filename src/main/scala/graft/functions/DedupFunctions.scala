@@ -89,6 +89,91 @@ object DedupFunctions {
       .orderBy("doc_id")
   }
 
+  /** Cross-document exact-substring REMOVAL — the rewrite counterpart of
+    * [[crossDocSpans]] (Lee et al. 2021 §4 ExactSubstr: cut every duplicated
+    * span from the corpus, keeping exactly one occurrence), recast at n-token
+    * shingle granularity. A token range [p, p+n) is removed from document d
+    * when the shingle starting at p occurs in ≥2 distinct documents and d is
+    * NOT that shingle's owner (owner = min doc_id over the documents carrying
+    * the digest — the kept occurrence, the same keeper rule as
+    * [[exactGroups]]). Output: (doc_id, n_tokens, n_removed, clean_text)
+    * with clean_text = the kept tokens space-joined in document order; docs
+    * shorter than n tokens pass through untouched.
+    *
+    * Scale shape (10^12 docs): shingles are md5'd inside the scan stage and
+    * only (digest, doc_id, position) rows cross any exchange — never text.
+    * The owner table is the duplicated MINORITY (d25's candidate
+    * discipline: the full position table joins the small dup set, not the
+    * full digest table). Removal positions collapse to ONE row per affected
+    * doc before the rewrite join (the d28 rewrite discipline). The rewrite
+    * itself is row-local and LINEAR: the sorted position array folds into a
+    * covered-end cursor emitting gap slices of the token array — never a
+    * per-token × per-interval membership product. */
+  def crossDocRemoval(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, s"n=$n (a 1-gram would remove every repeated token)")
+    val ws = TextFunctions.tokens(col("text"))
+    // referenced twice (owner table + position probe) — checkpoint so the
+    // tokenize/shingle/md5 kernel runs once (the x13/d18 discipline)
+    val sh = docs
+      .select(col("doc_id"),
+        posexplode(TextFunctions.shinglesN(ws, n)).as(Seq("p", "s")))
+      .select(col("doc_id"), col("p").cast("long").as("p"),
+        md5(col("s").cast("binary")).as("h"))
+      .localCheckpoint()
+    // digests in ≥2 distinct docs, with their keeper: one narrow (h, doc_id)
+    // distinct + aggregation — the dup set is the minority that moves
+    val owners = sh.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("owner"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), col("owner"))
+    // removal start positions per non-owner doc, collapsed to one row/doc
+    val removedPs = sh.join(owners, Seq("h"))
+      .filter(col("doc_id") =!= col("owner"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("p"))).as("ps"))
+    // row-local rewrite. Fold state: (cur = end of covered prefix, removed,
+    // nkept, txt). ps is ascending, so each interval [p, p+n) ends strictly
+    // after cur (p+n > prev p+n ≥ cur) — the removed increment is always
+    // positive and needs no clamp. Gaps are emitted as concat_ws-joined
+    // slices; the separator is keyed on nkept (token count), not string
+    // emptiness, so empty tokens from repeated separators round-trip exactly
+    // like the oracle's per-token string_agg.
+    val nToks = size(ws).cast("long")
+    val zero = struct(lit(0L).as("cur"), lit(0L).as("removed"),
+      lit(0L).as("nkept"), lit("").as("txt"))
+    def emitGap(acc: Column, gapLen: Column, gap: Column): Column =
+      when(gapLen > 0 && acc("nkept") > 0, concat(acc("txt"), lit(" "), gap))
+        .when(gapLen > 0, concat(acc("txt"), gap))
+        .otherwise(acc("txt"))
+    val folded = aggregate(
+      coalesce(col("ps"), array().cast("array<long>")),
+      zero,
+      (acc, p) => {
+        val gapLen = p - acc("cur")
+        val gap = concat_ws(" ",
+          slice(ws, (acc("cur") + 1).cast("int"), gapLen.cast("int")))
+        struct(
+          greatest(acc("cur"), p + n).as("cur"),
+          (acc("removed") + (p + n - greatest(p, acc("cur")))).as("removed"),
+          (acc("nkept") + when(gapLen > 0, gapLen).otherwise(0L)).as("nkept"),
+          emitGap(acc, gapLen, gap).as("txt"))
+      },
+      acc => {
+        val gapLen = nToks - acc("cur")
+        val gap = concat_ws(" ",
+          slice(ws, (acc("cur") + 1).cast("int"), gapLen.cast("int")))
+        struct(acc("removed").as("n_removed"),
+          emitGap(acc, gapLen, gap).as("clean_text"))
+      })
+    docs.join(removedPs, Seq("doc_id"), "left")
+      .select(col("doc_id"), nToks.as("n_tokens"), folded.as("f"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("f.n_removed").as("n_removed"),
+        col("f.clean_text").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Exact dedup by content digest: groups of identical texts, keeper = min
     * doc_id (deterministic). Shuffles the 16-byte digest, not the document. */
   def exactGroups(docs: DataFrame): DataFrame =

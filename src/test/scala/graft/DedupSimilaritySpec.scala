@@ -706,6 +706,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!r.contains(4L), "sub-n docs have no spans")
   }
 
+  test("crossDocRemoval: non-owner spans cut, owner and gaps kept verbatim") {
+    import spark.implicits._
+    def words(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val shared = words("sh", 10)
+    val mid = words("m", 8)
+    val docs = Seq(
+      (1L, shared + " " + words("a", 12)), // owner of the shared prefix: kept whole
+      (2L, shared + " " + words("b", 12)), // prefix positions 0..2 cover [0,10)
+      (3L, words("c", 20)),                // no duplicated spans
+      (4L, words("d", 5)),                 // sub-n: passes through untouched
+      (5L, words("e", 4) + " " + mid + " " + words("f", 4)), // owner of mid
+      (6L, words("g", 6) + " " + mid + " " + words("h", 2))  // mid at [6,14) cut
+    ).toDF("doc_id", "text")
+    val r = DedupFunctions.crossDocRemoval(docs, 8).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) == ((22L, 0L, shared + " " + words("a", 12))), r(1L).toString)
+    // doc 2: union of [0,8) [1,9) [2,10) = [0,10) -> the whole prefix goes
+    assert(r(2L) == ((22L, 10L, words("b", 12))), r(2L).toString)
+    assert(r(3L) == ((20L, 0L, words("c", 20))), r(3L).toString)
+    assert(r(4L) == ((5L, 0L, words("d", 5))), r(4L).toString)
+    assert(r(5L) == ((16L, 0L, words("e", 4) + " " + mid + " " + words("f", 4))))
+    // doc 6: middle span removed, leading and trailing gaps rejoin with one space
+    assert(r(6L) == ((16L, 8L, words("g", 6) + " " + words("h", 2))), r(6L).toString)
+  }
+
   test("incrementalDedup: batch anti-joined on standing digests, then self-deduped") {
     import spark.implicits._
     val existing = Seq(
