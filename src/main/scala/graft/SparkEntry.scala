@@ -757,6 +757,30 @@ object SparkEntry {
     // PLANTED (e+U+0301, A+U+030A) in both engines; JDK Normalizer must
     // agree with DuckDB's utf8proc bit-for-bit (lengths shrink by 2, md5 of
     // the composed text matches). ascii_identity pins the no-op fast path.
+    // latest-snapshot-per-url — the recrawl shape of the (url, warc_ts)
+    // input contract: urls and capture times are synthesized deterministically
+    // from doc_id (the d26 batch-split idiom), ~40 pages per source with
+    // multiple captures each; keep the newest, ties keep min doc_id
+    "d42_snapshot_latest" -> ((s, dir) =>
+      DedupFunctions.latestSnapshot(docs(s, dir).select(
+        col("doc_id"),
+        concat(col("source"), lit("/page"),
+          (col("doc_id") % 40).cast("string")).as("url"),
+        expr("timestampadd(HOUR, CAST(doc_id * 37 % 1000 AS INT), " +
+          "timestamp'2024-01-01 00:00:00')").as("warc_ts"),
+        col("text")))),
+    // encoding-error/mojibake gate — the corpus is clean UTF-8, so damage is
+    // PLANTED deterministically per doc_id (the d21/d24 fixture idiom):
+    // replacement chars on %5 docs, a C0 bell on %7, a C1 byte on %11
+    "d41_encoding_errors" -> ((s, dir) =>
+      TextFunctions.encodingErrorSignal(docs(s, dir), t =>
+        concat(t,
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" "), lit("\ufffd\ufffd\ufffd")
+              .substr(lit(1), (col("doc_id") % 3 + 1).cast("int"))))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit("\u0007")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit("\u0092")).otherwise(lit(""))))),
     "d24_nfc" -> ((s, dir) => {
       val planted = concat(col("text"), lit(" cafe\u0301 A\u030A"))  // decomposed: e+COMBINING ACUTE, A+COMBINING RING
       val n = graft.expressions.GraftExpressions.nfc(planted)
@@ -1562,6 +1586,38 @@ object SparkEntry {
         |                           ORDER BY s2.i), '') AS clean_text
         |FROM s2 LEFT JOIN g ON s2.h = g.h
         |GROUP BY s2.doc_id ORDER BY s2.doc_id""".stripMargin,
+    "d42_snapshot_latest" ->
+      """WITH s AS (SELECT doc_id,
+        |                  source || '/page' || CAST(doc_id % 40 AS VARCHAR) AS url,
+        |                  TIMESTAMP '2024-01-01 00:00:00'
+        |                    + INTERVAL (CAST(doc_id * 37 % 1000 AS INT)) HOUR AS warc_ts,
+        |                  text
+        |           FROM documents),
+        |r AS (SELECT s.*, row_number() OVER
+        |        (PARTITION BY url ORDER BY warc_ts DESC, doc_id ASC) AS rn
+        |      FROM s),
+        |n AS (SELECT url, count(*)::BIGINT AS n_snapshots FROM s GROUP BY url)
+        |SELECT r.url, n.n_snapshots, r.doc_id::BIGINT AS kept_doc_id,
+        |       r.warc_ts AS kept_ts, md5(r.text) AS kept_md5
+        |FROM r JOIN n USING (url) WHERE rn = 1 ORDER BY r.url""".stripMargin,
+    "d41_encoding_errors" -> {
+      val pat = graft.functions.TextFunctions.badCharPattern
+      s"""WITH p AS (SELECT doc_id, text
+         |  || CASE WHEN doc_id % 5 = 0
+         |          THEN ' ' || repeat(chr(65533), CAST(doc_id % 3 + 1 AS INT))
+         |          ELSE '' END
+         |  || CASE WHEN doc_id % 7 = 0 THEN chr(7) ELSE '' END
+         |  || CASE WHEN doc_id % 11 = 0 THEN chr(146) ELSE '' END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  length(t)::BIGINT AS n_chars,
+         |  (length(t) - length(regexp_replace(t, '$pat', '', 'g')))::BIGINT
+         |    AS n_bad,
+         |  round((length(t) - length(regexp_replace(t, '$pat', '', 'g')))::DOUBLE
+         |        / greatest(length(t), 1), 6) AS bad_fraction,
+         |  (length(t) - length(regexp_replace(t, '$pat', '', 'g'))) = 0 AS keep
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
     "d24_nfc" ->
       """SELECT doc_id,
         |       length(text || ' cafe' || chr(769) || ' A' || chr(778))::BIGINT AS n_chars_raw,

@@ -174,6 +174,30 @@ object DedupFunctions {
       .orderBy("doc_id")
   }
 
+  /** Latest-snapshot selection for a recrawled corpus — a crawl revisits
+    * pages, so the raw table holds MANY captures per url (the Common-Crawl
+    * (url, warc_ts) shape from the input contract); a corpus build keeps the
+    * newest capture per url before any content work. Keeper = max warc_ts,
+    * ties (same capture instant) = min doc_id — deterministic like
+    * [[exactGroups]]. Input columns: (doc_id, url, warc_ts, text); output one
+    * row per url: (url, n_snapshots, kept_doc_id, kept_ts, kept_md5).
+    *
+    * Scale shape: ONE aggregation keyed by url — the argmax is a struct max
+    * (ts, -doc_id, digest), so there is no per-url sort/window and no second
+    * join: the exchange carries (url, ts, id, 16-byte digest), never the
+    * page body. The digest rides as the struct's third field; (ts, -doc_id)
+    * is unique per url, so it never participates in the ordering. */
+  def latestSnapshot(snaps: DataFrame): DataFrame =
+    snaps.groupBy(col("url")).agg(
+        count(lit(1)).cast("long").as("n_snapshots"),
+        max(struct(col("warc_ts").as("ts"), (-col("doc_id")).as("nid"),
+          md5(col("text").cast("binary")).as("dg"))).as("m"))
+      .select(col("url"), col("n_snapshots"),
+        (-col("m.nid")).cast("long").as("kept_doc_id"),
+        col("m.ts").as("kept_ts"),
+        col("m.dg").as("kept_md5"))
+      .orderBy("url")
+
   /** Exact dedup by content digest: groups of identical texts, keeper = min
     * doc_id (deterministic). Shuffles the 16-byte digest, not the document. */
   def exactGroups(docs: DataFrame): DataFrame =

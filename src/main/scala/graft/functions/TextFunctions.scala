@@ -409,6 +409,41 @@ object TextFunctions {
       .orderBy("doc_id")
   }
 
+  /** Character class of encoding damage: C0 controls except tab/LF/CR, DEL
+    * plus the C1 band U+0080–U+009F (the classic latin-1/cp1252 mojibake
+    * range — a UTF-8 page decoded as latin-1 lands its continuation bytes
+    * here), and U+FFFD (a decoder's replacement character). Shared verbatim
+    * with the DuckDB oracle; `\x{..}` class syntax parses identically under
+    * Java regex and RE2 (the d13/d21 precedent). */
+  val badCharPattern: String =
+    "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}-\\x{9F}\\x{FFFD}]"
+
+  /** Encoding-error / mojibake signal — the decode-health gate of a web
+    * corpus build (CCNet and friends drop pages whose charset decode left
+    * replacement chars or control garbage; the reference's DecodeImage
+    * analogue is its charset-sniff path, ppocr/data/imaug/operators.py:29-61
+    * — our HtmlTokenizer sniffs too, and THIS op audits what survived).
+    * Emits per doc: char count, damaged-char count, damage fraction, and the
+    * keep verdict (zero damaged chars). `withText` injects deterministic
+    * damage for fixtures; production passes identity.
+    *
+    * Scale shape: one codegen'd regexp pass per row, zero shuffle — rides
+    * the scan stage at any corpus size (the d21 redaction discipline). */
+  def encodingErrorSignal(docs: DataFrame,
+                          withText: Column => Column = identity): DataFrame = {
+    val t = withText(col("text"))
+    val nChars = length(t).cast("long")
+    val nBad = (length(t) - length(regexp_replace(t, badCharPattern, ""))).cast("long")
+    docs.select(
+      col("doc_id"),
+      nChars.as("n_chars"),
+      nBad.as("n_bad"),
+      round(nBad.cast("double") / greatest(nChars, lit(1L)).cast("double"), 6)
+        .as("bad_fraction"),
+      (nBad === 0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Word 3-shingles of a token array column (empty when <3 tokens). */
   def shingles3(ws: Column): Column =
     when(size(ws) >= 3,

@@ -731,6 +731,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(r(6L) == ((16L, 8L, words("g", 6) + " " + words("h", 2))), r(6L).toString)
   }
 
+  test("latestSnapshot: newest capture wins per url; capture-time ties keep min doc_id") {
+    import spark.implicits._
+    val ts = (h: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 ${h}%02d:00:00")
+    val snaps = Seq(
+      (1L, "a.com/x", ts(5), "v1"),
+      (2L, "a.com/x", ts(9), "v2"),  // newest for a.com/x
+      (3L, "a.com/x", ts(7), "v3"),
+      (7L, "b.com/y", ts(4), "w2"),  // tie on ts with 5: min doc_id = 5 wins
+      (5L, "b.com/y", ts(4), "w1"),
+      (9L, "c.com/z", ts(1), "solo")
+    ).toDF("doc_id", "url", "warc_ts", "text")
+    val r = DedupFunctions.latestSnapshot(snaps).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getTimestamp(3)))).toMap
+    assert(r("a.com/x") == ((3L, 2L, ts(9))), r.toString)
+    assert(r("b.com/y") == ((2L, 5L, ts(4))), "tie keeps the smaller doc_id")
+    assert(r("c.com/z") == ((1L, 9L, ts(1))), r.toString)
+  }
+
+  test("encodingErrorSignal: replacement chars and control bands counted, keep = clean") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean ascii text"),
+      (2L, "bad \ufffd\ufffd here"),            // two replacement chars
+      (3L, "bell\u0007 and c1\u0092 and del\u007f"), // C0 + C1 + DEL = 3
+      (4L, "tab\tand\nnewline\rkept")           // whitelisted controls: clean
+    ).toDF("doc_id", "text")
+    val r = TextFunctions.encodingErrorSignal(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getBoolean(4)))).toMap
+    assert(r(1L) == ((16L, 0L, true)), r.toString)
+    assert(r(2L) == ((11L, 2L, false)), r.toString)
+    assert(r(3L) == ((22L, 3L, false)), r.toString)
+    assert(r(4L) == ((20L, 0L, true)), "tab/LF/CR are not damage")
+  }
+
   test("incrementalDedup: batch anti-joined on standing digests, then self-deduped") {
     import spark.implicits._
     val existing = Seq(
