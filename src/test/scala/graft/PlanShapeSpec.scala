@@ -269,4 +269,27 @@ class PlanShapeSpec extends AnyFunSuite {
     // partial aggregation runs map-side below the frequency exchange
     assert(plan.contains("partial_count"), plan)
   }
+
+  test("d40: removal exchanges carry digests/positions, never shingle or doc text") {
+    val plan = planOf("d40_crossdoc_removal")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the digest pass, the dup-owner join, and the per-doc position collapse
+    // all partition on h/doc_id — shingle text feeds the md5 projection but
+    // must never BE a hash-partitioning key (only the presentation sort's
+    // range exchange carries the rewritten text, once, at the very top)
+    for (l <- plan.linesIterator if l.contains("hashpartitioning"))
+      assert(!l.contains("s#") && !l.contains("text#") && !l.contains("clean_text"), l)
+  }
+
+  test("d42: snapshot keeper is ONE url-keyed aggregation — no window, no rejoin") {
+    val plan = planOf("d42_snapshot_latest")
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    // one partial/final agg pair around a single url exchange (plus the
+    // presentation sort); the page body never partitions anything
+    assert(plan.contains("partial_count") || plan.contains("partial"), plan)
+    for (l <- plan.linesIterator if l.contains("hashpartitioning"))
+      assert(!l.contains("text#"), l)
+  }
 }
