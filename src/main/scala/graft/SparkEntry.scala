@@ -584,6 +584,10 @@ object SparkEntry {
     "d06_minhash_sig" -> ((s, dir) => TextFunctions.minhashSignature(docs(s, dir), 4)),
     "d07_lsh_pairs" -> ((s, dir) => DedupFunctions.lshCandidatePairs(docs(s, dir), 4)),
     "d08_jaccard_pairs" -> ((s, dir) => DedupFunctions.jaccardPairs(docs(s, dir), 0.5)),
+    // banded MinHash-LSH: 4 bands × 2 rows — the production threshold knob
+    // (a pair must agree on BOTH minhashes of some band)
+    "d43_lsh_banded" -> ((s, dir) =>
+      DedupFunctions.lshBandedPairs(docs(s, dir), bands = 4, rows = 2)),
     "d09_simhash16" -> ((s, dir) => TextFunctions.simhash16(docs(s, dir))),
     // word-level spans (get_word_info analog); doc_id < 200 keeps the oracle
     // compare bounded — the operator itself is unbounded (pure window math)
@@ -1176,6 +1180,25 @@ object SparkEntry {
         |               min(md5('2:' || s)) AS mh2, min(md5('3:' || s)) AS mh3
         |        FROM sh GROUP BY doc_id),
         |bands AS (SELECT doc_id, unnest([mh0, mh1, mh2, mh3]) AS band FROM sig)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d43_lsh_banded" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |              unnest(list_transform(range(len(ws) - 2),
+        |                     i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS s
+        |       FROM t WHERE len(ws) >= 3),
+        |sig AS (SELECT doc_id,
+        |               min(md5('0:' || s)) AS mh0, min(md5('1:' || s)) AS mh1,
+        |               min(md5('2:' || s)) AS mh2, min(md5('3:' || s)) AS mh3,
+        |               min(md5('4:' || s)) AS mh4, min(md5('5:' || s)) AS mh5,
+        |               min(md5('6:' || s)) AS mh6, min(md5('7:' || s)) AS mh7
+        |        FROM sh GROUP BY doc_id),
+        |bands AS (SELECT doc_id, unnest([
+        |            md5('0:' || mh0 || mh1), md5('1:' || mh2 || mh3),
+        |            md5('2:' || mh4 || mh5), md5('3:' || mh6 || mh7)]) AS band
+        |          FROM sig WHERE mh0 IS NOT NULL)
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,

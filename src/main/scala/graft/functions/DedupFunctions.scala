@@ -225,6 +225,35 @@ object DedupFunctions {
   def lshCandidatePairs(docs: DataFrame, k: Int): DataFrame =
     lshCandidatePairsRaw(docs, k).orderBy("doc_a", "doc_b")
 
+  /** Banded MinHash-LSH candidate pairs — the production (b bands × r rows)
+    * tunable of Broder's scheme (Leskovec-Rajaraman-Ullman ch. 3, public):
+    * r consecutive signature slots concatenate into ONE band key, so a
+    * candidate pair must agree on ALL r minhashes of some band. Collision
+    * probability 1−(1−s^r)^b sharpens the similarity threshold
+    * (~(1/b)^(1/r)) versus the r=1 single-hash bands of
+    * [[lshCandidatePairs]] — the knob a 10^12-doc dedup turns to keep band
+    * buckets selective (the MinHash analog of the d10b/d10c SimHash band
+    * widths). Band keys are md5'd back to 32 hex chars with the band index
+    * prefixed (cross-band collisions impossible), so the exchange stays as
+    * narrow as the r=1 variant no matter how large r grows; sub-shingle docs
+    * (null signatures) never band. The self-join is band-local — each
+    * bucket is small by construction, never an all-pairs product. */
+  def lshBandedPairs(docs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    require(bands >= 1 && rows >= 1, s"bands=$bands rows=$rows")
+    val sig = TextFunctions.minhashSignature(docs, bands * rows)
+    val bandCols = (0 until bands).map { j =>
+      md5(concat(Seq(lit(s"$j:")) ++
+        (0 until rows).map(i => col(s"mh${j * rows + i}")): _*))
+    }
+    val b = sig.filter(col("mh0").isNotNull)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+    b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Unigram-set Jaccard over the MinHash-LSH candidate pairs: candidates come
     * from `lshCandidatePairs` (band equi-join — linear in true near-dups, never
     * an all-pairs or within-block cross product), then the token sets are

@@ -120,6 +120,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((0L, 9002L)), "near dup should collide on some band")
   }
 
+  test("lshBandedPairs: banded candidates found; banding only ever shrinks the r=1 set") {
+    val banded = DedupFunctions.lshBandedPairs(docsWithPlants, bands = 4, rows = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.contains((0L, 9001L)), "exact twin agrees on every band")
+    assert(banded.contains((0L, 9002L)) || banded.contains((9001L, 9002L)),
+      "near dup should survive at least one 2-row band")
+    // a 2-row band hit requires BOTH row hashes equal, so each is a
+    // single-hash band hit: banded pairs ⊆ the r=1 pairs at the same k=8
+    val r1 = DedupFunctions.lshCandidatePairs(docsWithPlants, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.subsetOf(r1), s"banding widened the candidate set: ${banded.diff(r1)}")
+  }
+
   test("jaccardPairs scores the planted near-dup above 0.9") {
     val pairs = DedupFunctions.jaccardPairs(docsWithPlants, 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
