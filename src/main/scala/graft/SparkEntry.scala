@@ -578,6 +578,9 @@ object SparkEntry {
     // ================= training-data ops over `documents` ==================
     "d01_token_count" -> ((s, dir) => TextFunctions.tokenStats(docs(s, dir))),
     "d02_quality" -> ((s, dir) => TextFunctions.qualityScore(docs(s, dir))),
+    // the composed Gopher keep/drop gate (Rae et al. A1.1) with per-rule
+    // verdicts — integer-exact thresholds, zero shuffle
+    "d44_gopher_gate" -> ((s, dir) => TextFunctions.gopherGate(docs(s, dir))),
     "d03_lang_id" -> ((s, dir) => TextFunctions.langId(docs(s, dir))),
     "d04_fingerprint" -> ((s, dir) => TextFunctions.fingerprint(docs(s, dir))),
     "d05_dedup_exact" -> ((s, dir) => DedupFunctions.exactGroups(docs(s, dir))),
@@ -1183,6 +1186,38 @@ object SparkEntry {
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d44_gopher_gate" -> {
+      val stops = graft.functions.TextFunctions.stopwords
+        .map(w => s"(CASE WHEN list_contains(ws, '$w') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |s AS (SELECT doc_id,
+         |        len(ws)::BIGINT AS n_words,
+         |        (length(text) - (len(ws) - 1))::BIGINT AS sum_word_chars,
+         |        ((length(text) - length(replace(text, '#', '')))
+         |         + (length(text) - length(replace(text, '...', ''))) // 3
+         |        )::BIGINT AS n_symbols,
+         |        len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT
+         |          AS n_alpha_words,
+         |        ($stops)::BIGINT AS n_stopwords
+         |      FROM t)
+         |SELECT doc_id, n_words, sum_word_chars, n_symbols, n_alpha_words,
+         |       n_stopwords,
+         |       (n_words >= 50 AND n_words <= 100000) AS c_words,
+         |       (sum_word_chars >= n_words * 3 AND sum_word_chars <= n_words * 10)
+         |         AS c_mean_len,
+         |       (n_symbols * 10 <= n_words) AS c_symbol,
+         |       (n_alpha_words * 5 >= n_words * 4) AS c_alpha,
+         |       (n_stopwords >= 2) AS c_stop,
+         |       (n_words >= 50 AND n_words <= 100000
+         |        AND sum_word_chars >= n_words * 3
+         |        AND sum_word_chars <= n_words * 10
+         |        AND n_symbols * 10 <= n_words
+         |        AND n_alpha_words * 5 >= n_words * 4
+         |        AND n_stopwords >= 2) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
     "d43_lsh_banded" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |sh AS (SELECT doc_id,

@@ -409,6 +409,52 @@ object TextFunctions {
       .orderBy("doc_id")
   }
 
+  /** The Gopher document-quality GATE (Rae et al. 2021, appendix A1.1 —
+    * public methodology): the composed keep/drop verdict the published
+    * corpus build applies, complementing [[repetitionSignals]] (its
+    * repetition half) and [[qualityScore]] (the generic signals). Rules, all
+    * INTEGER-EXACT (rational cross-multiplication, the d37 boundary
+    * discipline — both engines agree at thresholds bit-for-bit):
+    *  - word count in [50, 100,000];
+    *  - mean word length in [3, 10] (sum of word chars = length − (n−1),
+    *    an identity of the single-space token join);
+    *  - symbol-to-word ratio ≤ 0.1 (`#` chars + non-overlapping `...`);
+    *  - ≥80 % of words contain an alphabetic character;
+    *  - ≥2 distinct stopwords present (the [[stopwords]] lexicon).
+    * Emits each rule verdict plus the final keep — a pipeline audits WHICH
+    * rule dropped a page, not just that one did.
+    *
+    * Scale shape: zero shuffle — row-local projections and higher-order
+    * filters inside the scan stage at any corpus size. */
+  def gopherGate(docs: DataFrame): DataFrame = {
+    val ws = tokens(col("text"))
+    val nw = size(ws).cast("long")
+    val sumLen = (length(col("text")) - (nw - 1)).cast("long")
+    val nHash = (length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))).cast("long")
+    val nEll = ((length(col("text")) -
+      length(regexp_replace(col("text"), "[.][.][.]", ""))) / 3).cast("long")
+    val nAlpha = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long")
+    val nStop = stopwords.map(w => when(array_contains(ws, w), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val cWords = nw >= 50L && nw <= 100000L
+    val cMeanLen = sumLen >= nw * 3L && sumLen <= nw * 10L
+    val cSymbol = (nHash + nEll) * 10L <= nw
+    val cAlpha = nAlpha * 5L >= nw * 4L
+    val cStop = nStop >= 2L
+    docs.select(
+      col("doc_id"),
+      nw.as("n_words"),
+      sumLen.as("sum_word_chars"),
+      (nHash + nEll).as("n_symbols"),
+      nAlpha.as("n_alpha_words"),
+      nStop.as("n_stopwords"),
+      cWords.as("c_words"), cMeanLen.as("c_mean_len"), cSymbol.as("c_symbol"),
+      cAlpha.as("c_alpha"), cStop.as("c_stop"),
+      (cWords && cMeanLen && cSymbol && cAlpha && cStop).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Character class of encoding damage: C0 controls except tab/LF/CR, DEL
     * plus the C1 band U+0080–U+009F (the classic latin-1/cp1252 mojibake
     * range — a UTF-8 page decoded as latin-1 lands its continuation bytes

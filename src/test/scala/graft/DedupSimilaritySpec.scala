@@ -762,6 +762,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(r("c.com/z") == ((1L, 9L, ts(1))), r.toString)
   }
 
+  test("gopherGate: each rule trips on its planted violator, clean doc keeps") {
+    import spark.implicits._
+    def fill(n: Int) = (0 until n).map(i => s"word$i").mkString(" ")
+    val good = "the cat and dog in rain " + fill(54)        // 60 words, 2+ stopwords
+    val docs = Seq(
+      (1L, good),
+      (2L, "the and " + fill(8)),                            // 10 words: c_words
+      (3L, "the and " + (0 until 58).map(i => s"extraordinarily$i").mkString(" ")), // mean len > 10: c_mean_len
+      (4L, "the and " + (0 until 58).map(i => s"w$i###").mkString(" ")), // 58 hashes×3 vs 60 words: c_symbol
+      (5L, "the and " + (0 until 58).map(i => s"${i}00").mkString(" ")), // <80% alpha words: c_alpha
+      (6L, fill(60))                                         // zero stopwords: c_stop
+    ).toDF("doc_id", "text")
+    val r = TextFunctions.gopherGate(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getBoolean(6), x.getBoolean(7), x.getBoolean(8),
+        x.getBoolean(9), x.getBoolean(10), x.getBoolean(11)))).toMap
+    assert(r(1L) == ((true, true, true, true, true, true)), r(1L).toString)
+    assert(!r(2L)._1 && !r(2L)._6, r(2L).toString)
+    assert(!r(3L)._2 && !r(3L)._6, r(3L).toString)
+    assert(!r(4L)._3 && !r(4L)._6, r(4L).toString)
+    assert(!r(5L)._4 && !r(5L)._6, r(5L).toString)
+    assert(r(6L) == ((true, true, true, true, false, false)), r(6L).toString)
+  }
+
   test("encodingErrorSignal: replacement chars and control bands counted, keep = clean") {
     import spark.implicits._
     val docs = Seq(
