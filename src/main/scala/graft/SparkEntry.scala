@@ -591,6 +591,11 @@ object SparkEntry {
     // (a pair must agree on BOTH minhashes of some band)
     "d43_lsh_banded" -> ((s, dir) =>
       DedupFunctions.lshBandedPairs(docs(s, dir), bands = 4, rows = 2)),
+    // BPE tokenizer TRAINING: 5 merge rounds over the word dictionary of a
+    // bounded slice (doc_id < 200 keeps the 5-round unrolled oracle CTE
+    // tractable — the d11 idiom; the operator itself is unbounded)
+    "d45_bpe_learn" -> ((s, dir) =>
+      TextFunctions.bpeLearn(docs(s, dir).filter(col("doc_id") < 200), 5)),
     "d09_simhash16" -> ((s, dir) => TextFunctions.simhash16(docs(s, dir))),
     // word-level spans (get_word_info analog); doc_id < 200 keeps the oracle
     // compare bounded — the operator itself is unbounded (pure window math)
@@ -1186,6 +1191,38 @@ object SparkEntry {
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the 5 BPE merge rounds unroll as CTE stages (the d32 PageRank idiom);
+    // each round's merge apply is a list_reduce whose lambda closes over the
+    // round's argmax row — generated programmatically so round count stays
+    // in ONE place
+    "d45_bpe_learn" -> {
+      val n = 5
+      val base =
+        """WITH w0 AS (
+          |  SELECT rtrim(regexp_replace(w, '(.)', '\1 ', 'g')) AS seq, freq
+          |  FROM (SELECT w, count(*)::BIGINT AS freq
+          |        FROM (SELECT unnest(string_split(text, ' ')) AS w
+          |              FROM documents WHERE doc_id < 200) GROUP BY w))""".stripMargin
+      val rounds = (1 to n).map { i =>
+        s""",
+           |p$i AS (SELECT ts[i+1] AS l, ts[i+2] AS r, freq
+           |        FROM (SELECT unnest(range(len(ts)-1)) AS i, ts, freq
+           |              FROM (SELECT string_split(seq, ' ') AS ts, freq FROM w${i - 1}))),
+           |c$i AS (SELECT l, r, sum(freq)::BIGINT AS c FROM p$i GROUP BY l, r),
+           |t$i AS (SELECT l, r, c FROM c$i ORDER BY c DESC, l, r LIMIT 1),
+           |w$i AS (SELECT list_reduce(string_split(seq, ' '),
+           |          (acc, x) -> CASE
+           |            WHEN x = t$i.r AND (acc = t$i.l OR ends_with(acc, ' ' || t$i.l))
+           |            THEN left(acc, length(acc) - length(t$i.l)) || t$i.l || t$i.r
+           |            ELSE acc || ' ' || x END) AS seq, freq
+           |        FROM w${i - 1} CROSS JOIN t$i)""".stripMargin
+      }.mkString
+      val sel = (1 to n).map(i =>
+        s"SELECT $i::BIGINT AS step, l AS left_tok, r AS right_tok, " +
+          s"l || r AS merged, c AS pair_count FROM t$i")
+        .mkString("\n", "\nUNION ALL\n", "\nORDER BY step")
+      base + rounds + sel
+    },
     "d44_gopher_gate" -> {
       val stops = graft.functions.TextFunctions.stopwords
         .map(w => s"(CASE WHEN list_contains(ws, '$w') THEN 1 ELSE 0 END)")

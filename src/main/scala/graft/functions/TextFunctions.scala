@@ -409,6 +409,69 @@ object TextFunctions {
       .orderBy("doc_id")
   }
 
+  /** BPE tokenizer TRAINING — the full merge loop of Sennrich et al. 2016
+    * (public): [[bpePairCounts]] is step 1; THIS runs the whole algorithm
+    * for `nMerges` rounds. Each round: adjacent-pair counts over the word
+    * dictionary (ONE combining shuffle), global argmax with a total
+    * tie-order (count desc, left asc, right asc — engine-deterministic),
+    * then the greedy leftmost-first non-overlapping merge applied row-local
+    * via an `aggregate` fold over the token sequence. Returns the learned
+    * merge table (step, left_tok, right_tok, merged, pair_count) — the
+    * artifact a tokenizer trainer persists.
+    *
+    * Scale shape (10^12 docs): the working set is the Sennrich dictionary —
+    * DISTINCT words with corpus frequencies, built by one (word, count)
+    * aggregation; every subsequent round touches only that table (vocabulary
+    * cardinality, not corpus cardinality). The per-round exchange carries
+    * (pair, freq) post-combine; the argmax collects ONE row (control
+    * plane); rounds are sequential BY NATURE (round r+1's counts depend on
+    * r's merge) — the vocab-size loop every production BPE trainer runs.
+    * Each round's fold is localCheckpointed so round k never re-executes
+    * rounds 1..k−1 (the x13/d18 discipline). */
+  def bpeLearn(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(nMerges >= 1, s"nMerges=$nMerges")
+    // seq = word chars joined by ' ' (tokens are space-split, so ' ' can
+    // never occur INSIDE a token — the provably-safe separator)
+    var words = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("freq"))
+      .select(rtrim(regexp_replace(col("w"), "(.)", "$1 ")).as("seq"), col("freq"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ListBuffer[(Long, String, String, String, Long)]()
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val ts = split(col("seq"), " ")
+      val top = words
+        .filter(size(ts) >= 2)
+        .select(col("freq"), explode(transform(sequence(lit(0), size(ts) - 2),
+          i => struct(element_at(ts, i + 1).as("l"),
+            element_at(ts, i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val l = top(0).getString(0); val r = top(0).getString(1)
+        out += ((step.toLong, l, r, l + r, top(0).getLong(2)))
+        words = words.select(
+          aggregate(split(col("seq"), " "), lit(""), (acc, x) =>
+            when(x === lit(r) && (acc === lit(l) || acc.endsWith(lit(" " + l))),
+              concat(acc.substr(lit(1), length(acc) - lit(l.length)), lit(l + r)))
+              .when(acc === lit(""), x)
+              .otherwise(concat(acc, lit(" "), x))).as("seq"),
+          col("freq"))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    out.toSeq.toDF("step", "left_tok", "right_tok", "merged", "pair_count")
+      .orderBy("step")
+  }
+
   /** The Gopher document-quality GATE (Rae et al. 2021, appendix A1.1 —
     * public methodology): the composed keep/drop verdict the published
     * corpus build applies, complementing [[repetitionSignals]] (its

@@ -762,6 +762,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(r("c.com/z") == ((1L, 9L, ts(1))), r.toString)
   }
 
+  test("bpeLearn: hand-simulated merge sequence on the Sennrich-style corpus") {
+    import spark.implicits._
+    // dict: low:3, lower:2, newest:1 — merges derivable by hand
+    val docs = Seq(
+      (1L, "low low low"),
+      (2L, "lower lower"),
+      (3L, "newest")
+    ).toDF("doc_id", "text")
+    val r = TextFunctions.bpeLearn(docs, 5).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getString(3), x.getLong(4)))
+    assert(r.toSeq == Seq(
+      (1L, "l", "o", "lo", 5L),       // (l,o) and (o,w) tie at 5 — left asc
+      (2L, "lo", "w", "low", 5L),
+      (3L, "e", "r", "er", 2L),       // (e,r) vs (low,e) tie at 2 — "e" < "low"
+      (4L, "low", "er", "lower", 2L),
+      (5L, "e", "s", "es", 1L)        // all-1 tie — (e,s) first lexicographically
+    ), r.mkString(", "))
+  }
+
+  test("bpeLearn: exhausts gracefully when no pairs remain") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text") // single-char words: no pairs
+    assert(TextFunctions.bpeLearn(docs, 3).collect().isEmpty)
+  }
+
   test("gopherGate: each rule trips on its planted violator, clean doc keeps") {
     import spark.implicits._
     def fill(n: Int) = (0 until n).map(i => s"word$i").mkString(" ")
