@@ -101,14 +101,18 @@ object DedupFunctions {
     * shorter than n tokens pass through untouched.
     *
     * Scale shape (10^12 docs): shingles are md5'd inside the scan stage and
-    * only (digest, doc_id, position) rows cross any exchange — never text.
-    * The owner table is the duplicated MINORITY (d25's candidate
+    * only (digest, doc_id, position) rows cross the digest-pass exchanges —
+    * never text. The owner table is the duplicated MINORITY (d25's candidate
     * discipline: the full position table joins the small dup set, not the
     * full digest table). Removal positions collapse to ONE row per affected
-    * doc before the rewrite join (the d28 rewrite discipline). The rewrite
-    * itself is row-local and LINEAR: the sorted position array folds into a
-    * covered-end cursor emitting gap slices of the token array — never a
-    * per-token × per-interval membership product. */
+    * doc before the rewrite join (the d28 rewrite discipline), whose small
+    * side is bounded by boilerplate mass — broadcast when it fits (AQE),
+    * one doc_id-keyed sort-merge pass of the doc table when not: like d28's
+    * rewrite join, the doc text crosses AT MOST that single exchange, and
+    * never as a partitioning key. The rewrite itself is row-local and
+    * LINEAR: the sorted position array folds into a covered-end cursor
+    * emitting gap slices of the token array — never a per-token ×
+    * per-interval membership product. */
   def crossDocRemoval(docs: DataFrame, n: Int): DataFrame = {
     require(n >= 2, s"n=$n (a 1-gram would remove every repeated token)")
     val ws = TextFunctions.tokens(col("text"))
@@ -213,10 +217,7 @@ object DedupFunctions {
     val bands = sig.select(col("doc_id"),
       explode(array((0 until k).map(s => col(s"mh$s")): _*)).as("band"))
       .filter(col("band").isNotNull)
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    pairsFromBands(bands)
   }
 
   /** LSH candidate pairs from MinHash signatures: docs sharing ANY of the k
@@ -247,12 +248,19 @@ object DedupFunctions {
     }
     val b = sig.filter(col("mh0").isNotNull)
       .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+    pairsFromBands(b).orderBy("doc_a", "doc_b")
+  }
+
+  /** The shared band-bucket pair discipline: band-local self-join, `a < b`
+    * halves the pairs, distinct collapses multi-band hits. Both LSH variants
+    * (r=1 [[lshCandidatePairs]] and banded [[lshBandedPairs]]) go through
+    * here so the pair convention can never diverge between them. Input
+    * columns: (doc_id, band). */
+  private def pairsFromBands(b: DataFrame): DataFrame =
     b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .orderBy("doc_a", "doc_b")
-  }
 
   /** Unigram-set Jaccard over the MinHash-LSH candidate pairs: candidates come
     * from `lshCandidatePairs` (band equi-join — linear in true near-dups, never

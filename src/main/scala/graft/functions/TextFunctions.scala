@@ -457,6 +457,7 @@ object TextFunctions {
       else {
         val l = top(0).getString(0); val r = top(0).getString(1)
         out += ((step.toLong, l, r, l + r, top(0).getLong(2)))
+        val prev = words
         words = words.select(
           aggregate(split(col("seq"), " "), lit(""), (acc, x) =>
             when(x === lit(r) && (acc === lit(l) || acc.endsWith(lit(" " + l))),
@@ -465,6 +466,10 @@ object TextFunctions {
               .otherwise(concat(acc, lit(" "), x))).as("seq"),
           col("freq"))
           .localCheckpoint()
+        // only the newest dictionary is ever read again — at production
+        // vocab sizes (32k rounds) keeping every round's checkpoint would
+        // grow executor storage linearly with rounds
+        prev.unpersist()
         step += 1
       }
     }

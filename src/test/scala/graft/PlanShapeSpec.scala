@@ -286,9 +286,11 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = planOf("d42_snapshot_latest")
     assert(!plan.contains("Window"), plan)
     assert(!plan.contains("Join"), plan)
-    // one partial/final agg pair around a single url exchange (plus the
-    // presentation sort); the page body never partitions anything
-    assert(plan.contains("partial_count") || plan.contains("partial"), plan)
+    // one partial/final agg pair around a SINGLE url hash exchange (the only
+    // other exchange is the presentation sort's range partitioning); the
+    // page body never partitions anything
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.linesIterator.count(_.contains("hashpartitioning")) == 1, plan)
     for (l <- plan.linesIterator if l.contains("hashpartitioning"))
       assert(!l.contains("text#"), l)
   }
