@@ -596,6 +596,14 @@ object SparkEntry {
     // tractable — the d11 idiom; the operator itself is unbounded)
     "d45_bpe_learn" -> ((s, dir) =>
       TextFunctions.bpeLearn(docs(s, dir).filter(col("doc_id") < 200), 5)),
+    // the apply side: train on the same slice, encode the WHOLE corpus —
+    // the merge table is an O(vocab) control plane (collect is 5 rows)
+    "d46_bpe_encode" -> ((s, dir) => {
+      val merges = TextFunctions
+        .bpeLearn(docs(s, dir).filter(col("doc_id") < 200), 5)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TextFunctions.bpeEncode(docs(s, dir), merges)
+    }),
     "d09_simhash16" -> ((s, dir) => TextFunctions.simhash16(docs(s, dir))),
     // word-level spans (get_word_info analog); doc_id < 200 keeps the oracle
     // compare bounded — the operator itself is unbounded (pure window math)
@@ -1012,6 +1020,39 @@ object SparkEntry {
       SimilarityFunctions.sq8Quantize(emb(s, dir), dim = 64))
   )
 
+  /** The DuckDB greedy-merge lambda over a space-joined token string column,
+    * closing over the merge row of CTE `t` (columns l, r). Shared by the
+    * d45 training rounds and the d46 apply stages. */
+  private def bpeMergeLambda(t: String, c: String = "s"): String =
+    s"""list_reduce(string_split($c, ' '),
+       |          (acc, x) -> CASE
+       |            WHEN x = $t.r AND (acc = $t.l OR ends_with(acc, ' ' || $t.l))
+       |            THEN left(acc, length(acc) - length($t.l)) || $t.l || $t.r
+       |            ELSE acc || ' ' || x END)""".stripMargin
+
+  /** CTE prefix shared by the BPE oracles: w0 = the doc_id<200 word
+    * dictionary (char-split seqs × corpus freq), then per round i: pair
+    * explode (p), counts (c), argmax (t), merged dictionary (w). */
+  private def bpeTrainingCtes(n: Int): String = {
+    val base =
+      """WITH w0 AS (
+        |  SELECT rtrim(regexp_replace(w, '(.)', '\1 ', 'g')) AS seq, freq
+        |  FROM (SELECT w, count(*)::BIGINT AS freq
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |              FROM documents WHERE doc_id < 200) GROUP BY w))""".stripMargin
+    val rounds = (1 to n).map { i =>
+      s""",
+         |p$i AS (SELECT ts[i+1] AS l, ts[i+2] AS r, freq
+         |        FROM (SELECT unnest(range(len(ts)-1)) AS i, ts, freq
+         |              FROM (SELECT string_split(seq, ' ') AS ts, freq FROM w${i - 1}))),
+         |c$i AS (SELECT l, r, sum(freq)::BIGINT AS c FROM p$i GROUP BY l, r),
+         |t$i AS (SELECT l, r, c FROM c$i ORDER BY c DESC, l, r LIMIT 1),
+         |w$i AS (SELECT ${bpeMergeLambda(s"t$i", "seq")} AS seq, freq
+         |        FROM w${i - 1} CROSS JOIN t$i)""".stripMargin
+    }.mkString
+    base + rounds
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_filter_project" ->
       """SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber, l_quantity,
@@ -1194,34 +1235,32 @@ object SparkEntry {
     // the 5 BPE merge rounds unroll as CTE stages (the d32 PageRank idiom);
     // each round's merge apply is a list_reduce whose lambda closes over the
     // round's argmax row — generated programmatically so round count stays
-    // in ONE place
+    // in ONE place (bpeTrainingCtes, shared with the d46 encode oracle)
     "d45_bpe_learn" -> {
       val n = 5
-      val base =
-        """WITH w0 AS (
-          |  SELECT rtrim(regexp_replace(w, '(.)', '\1 ', 'g')) AS seq, freq
-          |  FROM (SELECT w, count(*)::BIGINT AS freq
-          |        FROM (SELECT unnest(string_split(text, ' ')) AS w
-          |              FROM documents WHERE doc_id < 200) GROUP BY w))""".stripMargin
-      val rounds = (1 to n).map { i =>
-        s""",
-           |p$i AS (SELECT ts[i+1] AS l, ts[i+2] AS r, freq
-           |        FROM (SELECT unnest(range(len(ts)-1)) AS i, ts, freq
-           |              FROM (SELECT string_split(seq, ' ') AS ts, freq FROM w${i - 1}))),
-           |c$i AS (SELECT l, r, sum(freq)::BIGINT AS c FROM p$i GROUP BY l, r),
-           |t$i AS (SELECT l, r, c FROM c$i ORDER BY c DESC, l, r LIMIT 1),
-           |w$i AS (SELECT list_reduce(string_split(seq, ' '),
-           |          (acc, x) -> CASE
-           |            WHEN x = t$i.r AND (acc = t$i.l OR ends_with(acc, ' ' || t$i.l))
-           |            THEN left(acc, length(acc) - length(t$i.l)) || t$i.l || t$i.r
-           |            ELSE acc || ' ' || x END) AS seq, freq
-           |        FROM w${i - 1} CROSS JOIN t$i)""".stripMargin
-      }.mkString
       val sel = (1 to n).map(i =>
         s"SELECT $i::BIGINT AS step, l AS left_tok, r AS right_tok, " +
           s"l || r AS merged, c AS pair_count FROM t$i")
         .mkString("\n", "\nUNION ALL\n", "\nORDER BY step")
-      base + rounds + sel
+      bpeTrainingCtes(n) + sel
+    },
+    // encode = the SAME training CTEs derive t1..t5, then every document's
+    // words fold through the merges in rank order; counts compare
+    "d46_bpe_encode" -> {
+      val n = 5
+      val a0 =
+        """,
+          |a0 AS (SELECT doc_id, rtrim(regexp_replace(w, '(.)', '\1 ', 'g')) AS s
+          |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          |             FROM documents))""".stripMargin
+      val applies = (1 to n).map(i => s""",
+        |a$i AS (SELECT doc_id, ${bpeMergeLambda(s"t$i")} AS s
+        |        FROM a${i - 1} CROSS JOIN t$i)""".stripMargin).mkString
+      bpeTrainingCtes(n) + a0 + applies +
+        s"""
+           |SELECT doc_id, count(*)::BIGINT AS n_words,
+           |       sum(len(string_split(s, ' ')))::BIGINT AS n_subwords
+           |FROM a$n GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "d44_gopher_gate" -> {
       val stops = graft.functions.TextFunctions.stopwords

@@ -428,6 +428,44 @@ object TextFunctions {
     * r's merge) — the vocab-size loop every production BPE trainer runs.
     * Each round's fold is localCheckpointed so round k never re-executes
     * rounds 1..k−1 (the x13/d18 discipline). */
+  /** Greedy leftmost-first non-overlapping application of ONE merge (l, r)
+    * to a space-joined token sequence — the BPE merge step, shared by
+    * [[bpeLearn]] (training) and [[bpeEncode]] (application) so the two
+    * sides can never diverge. Semantics ≡ DuckDB's
+    * `list_reduce(string_split(s,' '), …)` with the same CASE (first
+    * element seeds the accumulator; a fresh merge result never re-matches
+    * as the left operand). */
+  private def mergeFold(s: Column, l: String, r: String): Column =
+    aggregate(split(s, " "), lit(""), (acc, x) =>
+      when(x === lit(r) && (acc === lit(l) || acc.endsWith(lit(" " + l))),
+        concat(acc.substr(lit(1), length(acc) - lit(l.length)), lit(l + r)))
+        .when(acc === lit(""), x)
+        .otherwise(concat(acc, lit(" "), x)))
+
+  /** BPE ENCODING with a learned merge table — the apply side of
+    * [[bpeLearn]] (train on a slice, tokenize the corpus): each word
+    * char-splits, then every merge applies IN RANK ORDER via [[mergeFold]].
+    * Emits per doc the word count and the resulting subword count — the
+    * fertility/compression statistic a tokenizer rollout reports.
+    *
+    * Scale shape: zero shuffle — the merge table arrives as plan literals
+    * (vocab-sized control plane; at 32k merges a map-typed broadcast kernel
+    * is the move, the graft_srp_buckets precedent) and the folds run
+    * row-local inside the scan stage at any corpus size. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val seqs0 = transform(tokens(col("text")),
+      w => rtrim(regexp_replace(w, "(.)", "$1 ")))
+    val seqs = merges.foldLeft(seqs0) { case (c, (l, r)) =>
+      transform(c, s => mergeFold(s, l, r))
+    }
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_words"),
+      aggregate(seqs, lit(0L),
+        (acc, s) => acc + size(split(s, " ")).cast("long")).as("n_subwords"))
+      .orderBy("doc_id")
+  }
+
   def bpeLearn(docs: DataFrame, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -458,13 +496,7 @@ object TextFunctions {
         val l = top(0).getString(0); val r = top(0).getString(1)
         out += ((step.toLong, l, r, l + r, top(0).getLong(2)))
         val prev = words
-        words = words.select(
-          aggregate(split(col("seq"), " "), lit(""), (acc, x) =>
-            when(x === lit(r) && (acc === lit(l) || acc.endsWith(lit(" " + l))),
-              concat(acc.substr(lit(1), length(acc) - lit(l.length)), lit(l + r)))
-              .when(acc === lit(""), x)
-              .otherwise(concat(acc, lit(" "), x))).as("seq"),
-          col("freq"))
+        words = words.select(mergeFold(col("seq"), l, r).as("seq"), col("freq"))
           .localCheckpoint()
         // only the newest dictionary is ever read again — at production
         // vocab sizes (32k rounds) keeping every round's checkpoint would

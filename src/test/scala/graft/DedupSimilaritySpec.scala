@@ -781,6 +781,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     ), r.mkString(", "))
   }
 
+  test("bpeEncode: learned merges tokenize the training corpus to known counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low low low"),   // each word -> single subword "low"
+      (2L, "lower lower"),   // -> single subword "lower"
+      (3L, "newest")         // n e w es t -> 5 subwords (only e+s applies)
+    ).toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er"), ("e", "s"))
+    val r = TextFunctions.bpeEncode(docs, merges).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(1L) == ((3L, 3L)), r(1L).toString)
+    assert(r(2L) == ((2L, 2L)), r(2L).toString)
+    assert(r(3L) == ((1L, 5L)), r(3L).toString)
+    // zero merges degenerates to character counts
+    val r0 = TextFunctions.bpeEncode(docs, Seq.empty).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r0(1L) == 9L && r0(2L) == 10L && r0(3L) == 6L, r0.toString)
+  }
+
   test("bpeLearn: exhausts gracefully when no pairs remain") {
     import spark.implicits._
     val docs = Seq((1L, "a b")).toDF("doc_id", "text") // single-char words: no pairs
