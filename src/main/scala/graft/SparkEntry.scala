@@ -173,6 +173,16 @@ object SparkEntry {
           col("charset"), col("truncated"))
         .orderBy("url")
     }),
+    // CDX index build — the seekable-offset artifact published beside each
+    // crawl segment: SURT key + capture ts + body digest + the gzip MEMBER
+    // (offset, length) a reader slices to inflate exactly one record
+    "x28_cdx_index" -> ((s, _) => {
+      val p = java.nio.file.Files.createTempFile("graft_verify_cdx", ".warc.gz")
+      p.toFile.deleteOnExit()
+      java.nio.file.Files.write(p, graft.corpus.Warc.sampleFile(42L, 140, gzip = true))
+      graft.corpus.Warc.cdx(s, p.toString).toDF()
+        .orderBy("urlkey", "ts", "offset")
+    }),
     // URL-level dedup — the FIRST dedup stage of a public crawl pipeline
     // (CDX canonical keys; RefinedWeb's url-normalized dedup before any
     // content pass): each golden-corpus url is exploded into five raw

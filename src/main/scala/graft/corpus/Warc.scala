@@ -222,6 +222,112 @@ object Warc {
     if (i < 0) block else java.util.Arrays.copyOfRange(block, i + 4, block.length)
   }
 
+  // ==================== CDX index (gzip member offsets) ==================
+
+  final case class Member(offset: Long, length: Long, bytes: Array[Byte])
+
+  /** Walk the gzip MEMBERS of a `.warc.gz` segment, yielding each member's
+    * compressed (offset, length) plus its inflated bytes. The CC convention
+    * is one WARC record per member, so these offsets ARE the CDX offsets a
+    * seeking reader uses (slice [offset, offset+length), inflate one
+    * record). JDK `GZIPInputStream` hides member boundaries (it inflates
+    * concatenated members transparently), so this walks the RFC 1952 framing
+    * manually: parse the member header (FLG-driven optional fields), inflate
+    * the deflate body with a raw `Inflater`, and recover the exact member
+    * end from `getRemaining` plus the 8-byte CRC32/ISIZE trailer. A
+    * truncated final member is dropped, never thrown on (the parseRecords
+    * discipline). */
+  def gzipMembers(raw: Array[Byte]): Vector[Member] = {
+    val out = Vector.newBuilder[Member]
+    var pos = 0
+    var ok = true
+    while (ok && pos + 10 <= raw.length &&
+        (raw(pos) & 0xff) == 0x1f && (raw(pos + 1) & 0xff) == 0x8b) {
+      val start = pos
+      val flg = raw(pos + 3) & 0xff
+      var p = pos + 10
+      if ((flg & 4) != 0) { // FEXTRA: 2-byte LE length + payload
+        if (p + 2 > raw.length) ok = false
+        else { val xl = (raw(p) & 0xff) | ((raw(p + 1) & 0xff) << 8); p += 2 + xl }
+      }
+      def skipZeroTerm(): Unit = {
+        while (p < raw.length && raw(p) != 0) p += 1
+        p += 1
+      }
+      if (ok && (flg & 8) != 0) skipZeroTerm() // FNAME
+      if (ok && (flg & 16) != 0) skipZeroTerm() // FCOMMENT
+      if (ok && (flg & 2) != 0) p += 2 // FHCRC
+      if (!ok || p >= raw.length) ok = false
+      else {
+        val inf = new java.util.zip.Inflater(true)
+        try {
+          inf.setInput(raw, p, raw.length - p)
+          val bos = new ByteArrayOutputStream(1 << 16)
+          val buf = new Array[Byte](1 << 16)
+          while (ok && !inf.finished()) {
+            val k = inf.inflate(buf)
+            if (k > 0) bos.write(buf, 0, k)
+            else if (!inf.finished() && inf.needsInput()) ok = false // truncated deflate body
+          }
+          if (ok) {
+            val memberEnd = p + (raw.length - p - inf.getRemaining) + 8
+            if (memberEnd > raw.length) ok = false // trailer cut off
+            else {
+              out += Member(start.toLong, (memberEnd - start).toLong, bos.toByteArray)
+              pos = memberEnd
+            }
+          }
+        } finally inf.end()
+      }
+    }
+    out.result()
+  }
+
+  final case class CdxRow(urlkey: String, ts: Timestamp, url: String,
+      digest: String, offset: Long, length: Long)
+
+  /** SURT url key (the public CDX sort key): lowercase host reversed on
+    * dots and comma-joined, then `)` + the lowercased path-and-query —
+    * `http://www.Example.com/A/b?x=1` → `com,example,www)/a/b?x=1`. Host
+    * and path come from the same [[graft.expressions.UrlKernel]] rules as
+    * the x19/x20 canonical keys (userinfo/port stripped, fragment dropped);
+    * this is the pywb-style canonicalization subset, documented rather than
+    * the full legacy surt ruleset. Empty host (non-URL input) yields the
+    * lowercased input verbatim so malformed rows stay greppable. */
+  def surtKey(url: String): String = {
+    val h = graft.expressions.UrlKernel.host(url)
+    if (h.isEmpty) url.toLowerCase(java.util.Locale.ROOT)
+    else {
+      val rev = h.split('.').reverse.mkString(",")
+      rev + ")" + graft.expressions.UrlKernel.path(url)
+        .toLowerCase(java.util.Locale.ROOT)
+    }
+  }
+
+  private def md5Hex(b: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(b)
+    val sb = new StringBuilder(32)
+    d.foreach(x => sb.append(f"${x & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** CDX(J)-style index rows for a `.warc.gz` segment — the artifact Common
+    * Crawl publishes beside each segment (public cdxj format): one row per
+    * RESPONSE member carrying the SURT key, capture time, original url, an
+    * HTTP-body digest (md5 hex — the engine's digest discipline; CC uses
+    * sha1-b32 in the same role) and the member's compressed offset/length.
+    * Members whose record is not a response (warcinfo/request) produce no
+    * row; malformed dates keep the row with epoch ts (flagged downstream,
+    * never dropped silently — the pageRows rule). */
+  def cdxRows(raw: Array[Byte]): Vector[CdxRow] =
+    gzipMembers(raw).flatMap { m =>
+      parseRecords(m.bytes).filter(_.warcType == "response").map { r =>
+        val ts = try parseDate(r.date) catch { case _: Exception => new Timestamp(0L) }
+        CdxRow(surtKey(r.targetUri), ts, r.targetUri,
+          md5Hex(httpBody(r.block)), m.offset, m.length)
+      }
+    }
+
   /** Response records of parsed WARC bytes as corpus page rows (text/lang
     * empty — they are extraction OUTPUTS, not crawl inputs). Dates that fail
     * to parse keep the record with epoch ts (a real crawl's malformed-date
@@ -243,5 +349,15 @@ object Warc {
     spark.read.format("binaryFile").load(path)
       .select("content").as[Array[Byte]]
       .flatMap(pageRows _)
+  }
+
+  /** CDX index build over `.warc.gz` segments — same dataflow as [[pages]]:
+    * one task per segment file, flatMap member walk, no shuffle (the index
+    * of a 64k-segment crawl is embarrassingly parallel). */
+  def cdx(spark: SparkSession, path: String): Dataset[CdxRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select("content").as[Array[Byte]]
+      .flatMap(cdxRows _)
   }
 }

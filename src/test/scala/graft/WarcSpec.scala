@@ -75,6 +75,48 @@ class WarcSpec extends AnyFunSuite {
     assert(new String(rows.head.html, "UTF-8") == body)
   }
 
+  test("gzip member walk: offsets/lengths slice back to exactly one record each") {
+    val raw = Warc.sampleFile(7L, N, gzip = true)
+    val members = Warc.gzipMembers(raw)
+    // the fixture writes 1 warcinfo + N requests + N responses, one per member
+    assert(members.size == 1 + 2 * N, s"members: ${members.size}")
+    // THE CDX contract: re-inflating the sliced [offset, offset+length)
+    // bytes alone must reproduce the member's record — and the members
+    // must tile the file exactly (no gaps, no overlap)
+    var expectedOff = 0L
+    members.foreach { m =>
+      assert(m.offset == expectedOff, s"gap/overlap at ${m.offset}")
+      expectedOff = m.offset + m.length
+      val slice = java.util.Arrays.copyOfRange(raw, m.offset.toInt, (m.offset + m.length).toInt)
+      assert(java.util.Arrays.equals(Warc.inflate(slice), m.bytes),
+        s"slice at ${m.offset} does not re-inflate to the member")
+      assert(Warc.parseRecords(m.bytes).size == 1, "one record per member (CC convention)")
+    }
+    assert(expectedOff == raw.length.toLong, "members must cover the whole segment")
+  }
+
+  test("cdxRows: response-only, digest matches the page bytes, SURT key shape") {
+    val raw = Warc.sampleFile(7L, N, gzip = true)
+    val rows = Warc.cdxRows(raw)
+    assert(rows.size == N, s"one CDX row per response: ${rows.size}")
+    val pages = (0 until N).map(i => graft.corpus.Corpus.page(7L, i).row)
+    val byUrl = rows.map(r => r.url -> r).toMap
+    pages.foreach { p =>
+      val r = byUrl(p.url)
+      assert(r.ts == p.warc_ts, s"capture ts round-trip (${p.url})")
+      val md = java.security.MessageDigest.getInstance("MD5").digest(p.html)
+      assert(r.digest == md.map(b => f"${b & 0xff}%02x").mkString, "body digest")
+      assert(r.urlkey.contains(")") && !r.urlkey.contains("://"), r.urlkey)
+    }
+  }
+
+  test("surtKey: host reversed and lowercased, port/fragment dropped") {
+    assert(Warc.surtKey("http://www.Example.com/A/b?x=1") == "com,example,www)/a/b?x=1")
+    assert(Warc.surtKey("https://sub.host.org:8080/p#frag") == "org,host,sub)/p")
+    assert(Warc.surtKey("http://example.com") == "com,example)/")
+    assert(Warc.surtKey("not a url") == "not a url")
+  }
+
   test("extraction over WARC ingestion equals extraction over direct rows") {
     import spark.implicits._
     val p = java.nio.file.Files.createTempFile("graft_warcspec", ".warc.gz")
