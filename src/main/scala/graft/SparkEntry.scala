@@ -591,6 +591,10 @@ object SparkEntry {
     // the composed Gopher keep/drop gate (Rae et al. A1.1) with per-rule
     // verdicts — integer-exact thresholds, zero shuffle
     "d44_gopher_gate" -> ((s, dir) => TextFunctions.gopherGate(docs(s, dir))),
+    // the C4 line-level cleanup (Raffel et al. §2.2) — lines synthesized
+    // from the doc's own tokens with integer-arithmetic rule violators
+    // planted in both engines; emits verdicts AND the kept-lines rewrite
+    "d47_c4_gate" -> ((s, dir) => TextFunctions.c4Gate(docs(s, dir))),
     "d03_lang_id" -> ((s, dir) => TextFunctions.langId(docs(s, dir))),
     "d04_fingerprint" -> ((s, dir) => TextFunctions.fingerprint(docs(s, dir))),
     "d05_dedup_exact" -> ((s, dir) => DedupFunctions.exactGroups(docs(s, dir))),
@@ -625,6 +629,11 @@ object SparkEntry {
     // top-bigram fractions — the boilerplate/spam gate of a web-text
     // training-data pipeline)
     "d14_repetition" -> ((s, dir) => TextFunctions.repetitionSignals(docs(s, dir))),
+    // the FULL Gopher A1.2 repetition gate — top-{2,3,4}-gram and
+    // duplicate-{5..10}-gram char coverage vs the published thresholds,
+    // integer-exact; one scorecard row per (doc_id, n) + composed verdict
+    "d48_gopher_repetition" ->
+      ((s, dir) => TextFunctions.gopherRepetition(docs(s, dir))),
     // benchmark decontamination: docs with doc_id < 20 act as the eval set,
     // the rest as corpus — shared distinct 3-gram counts per corpus doc
     // (broadcast bench grams; the GPT-3 appendix-C overlap filter)
@@ -1304,6 +1313,76 @@ object SparkEntry {
          |        AND n_stopwords >= 2) AS keep
          |FROM s ORDER BY doc_id""".stripMargin
     },
+    "d48_gopher_repetition" ->
+      """WITH t AS (SELECT doc_id, length(text)::BIGINT AS total_chars,
+        |                  string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, total_chars, n,
+        |             unnest(list_transform(range(len(ws) - n + 1),
+        |                    j -> array_to_string(ws[j+1 : j+n], ' '))) AS gram
+        |      FROM t, (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) ns
+        |      WHERE len(ws) >= n),
+        |gc AS (SELECT doc_id, total_chars, n, gram, count(*) AS c
+        |       FROM g GROUP BY 1, 2, 3, 4),
+        |rk AS (SELECT *, row_number() OVER
+        |         (PARTITION BY doc_id, n ORDER BY c DESC, gram DESC) AS rn
+        |       FROM gc),
+        |tops AS (SELECT doc_id, n, c::BIGINT AS top_count, gram AS top_gram,
+        |                (c * length(gram))::BIGINT AS top_chars
+        |         FROM rk WHERE rn = 1),
+        |dups AS (SELECT doc_id, total_chars, n, sum(c)::BIGINT AS n_grams,
+        |                sum(CASE WHEN c >= 2 THEN c * length(gram)
+        |                         ELSE 0 END)::BIGINT AS dup_chars
+        |         FROM gc GROUP BY 1, 2, 3),
+        |j AS (SELECT d.doc_id, d.n, d.n_grams, t2.top_count, t2.top_gram,
+        |             t2.top_chars, d.dup_chars, d.total_chars,
+        |             CASE d.n WHEN 2 THEN 20 WHEN 3 THEN 18 WHEN 4 THEN 16
+        |                      WHEN 5 THEN 15 WHEN 6 THEN 14 WHEN 7 THEN 13
+        |                      WHEN 8 THEN 12 WHEN 9 THEN 11 ELSE 10 END AS pct
+        |      FROM dups d JOIN tops t2 ON d.doc_id = t2.doc_id AND d.n = t2.n),
+        |v AS (SELECT doc_id, n, n_grams, top_count, top_gram, top_chars,
+        |             dup_chars, total_chars,
+        |             CASE WHEN n <= 4 THEN top_chars * 100 <= total_chars * pct
+        |                  ELSE dup_chars * 100 <= total_chars * pct END AS c_pass
+        |      FROM j)
+        |SELECT *, min(CASE WHEN c_pass THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id) = 1 AS keep_doc
+        |FROM v ORDER BY doc_id, n""".stripMargin,
+    "d47_c4_gate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |seg AS (SELECT doc_id, ws,
+        |               unnest(range(0, greatest(
+        |                 CAST(ceil(len(ws)::DOUBLE / 6) AS INT), 1))) AS i
+        |        FROM t),
+        |l0 AS (SELECT doc_id, i,
+        |              array_to_string(ws[i*6+1 : i*6+6], ' ') AS s0 FROM seg),
+        |l1 AS (SELECT doc_id, i, CASE WHEN (doc_id*7 + i) % 11 = 5
+        |              THEN s0 || ' javascript' ELSE s0 END AS s1 FROM l0),
+        |l2 AS (SELECT doc_id, i, CASE WHEN doc_id % 17 = 3 AND i = 0
+        |              THEN s1 || ' lorem ipsum' ELSE s1 END AS s2 FROM l1),
+        |l3 AS (SELECT doc_id, i, CASE WHEN doc_id % 19 = 7 AND i = 1
+        |              THEN s2 || ' {' ELSE s2 END AS s3 FROM l2),
+        |l4 AS (SELECT doc_id, i, CASE WHEN (doc_id + i) % 3 <> 2
+        |              THEN s3 || '.' ELSE s3 END AS line FROM l3),
+        |k AS (SELECT doc_id, i, line,
+        |             (len(string_split(line, ' ')) >= 5
+        |              AND line LIKE '%.'
+        |              AND line NOT LIKE '%javascript%') AS kp
+        |      FROM l4),
+        |agg AS (SELECT doc_id,
+        |          count(*)::BIGINT AS n_lines,
+        |          sum(CASE WHEN kp THEN 1 ELSE 0 END)::BIGINT AS n_kept_lines,
+        |          max(CASE WHEN line LIKE '%lorem ipsum%' THEN 1 ELSE 0 END) = 1
+        |            AS has_lorem,
+        |          max(CASE WHEN line LIKE '%{%' THEN 1 ELSE 0 END) = 1
+        |            AS has_brace,
+        |          COALESCE(string_agg(CASE WHEN kp THEN line END, chr(10)
+        |                              ORDER BY i), '') AS clean_text
+        |        FROM k GROUP BY doc_id)
+        |SELECT doc_id, n_lines, n_kept_lines, has_lorem, has_brace,
+        |       (n_kept_lines >= 3) AS c_sentences,
+        |       (NOT has_lorem AND NOT has_brace AND n_kept_lines >= 3) AS keep,
+        |       clean_text
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "d43_lsh_banded" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |sh AS (SELECT doc_id,

@@ -947,4 +947,127 @@ object TextFunctions {
       .select(col("id").as("doc_id"), col("n_units").as("n_lines"),
         col("n_boiler"), col("clean_text"))
       .orderBy("doc_id")
+
+  /** The C4 page cleanup (Raffel et al. 2020 §2.2 — public methodology),
+    * the LINE-level counterpart of [[gopherGate]]'s doc-level rules:
+    *  - keep only lines with ≥5 words that end in terminal punctuation;
+    *  - drop any line containing "javascript" (the cookie/JS-warning tell);
+    *  - drop the whole page if it contains "lorem ipsum" or a curly brace
+    *    (placeholder text / code), or if fewer than 3 sentences survive
+    *    (one kept line = one sentence here — every kept line ends in `.`).
+    * The corpus tokens carry no punctuation or newlines, so the page's
+    * LINES are synthesized deterministically from its own tokens
+    * (`lineTokens`-token segments, the d28 segment idiom) with
+    * integer-arithmetic plants shared verbatim with the oracle: terminal
+    * `.` on lines where (doc_id+i)%3≠2, ` javascript` where
+    * (7·doc_id+i)%11=5, ` lorem ipsum` on line 0 where doc_id%17=3, ` {`
+    * on line 1 where doc_id%19=7 — every rule has real violators at any SF.
+    * Emits per-rule verdicts plus the kept-lines rewrite (C4 publishes the
+    * FILTERED page, not just a flag).
+    *
+    * Scale shape: zero shuffle — line synthesis, per-line verdicts, and the
+    * rewrite are higher-order array ops inside the scan stage; clean_text
+    * is bounded by the input text. */
+  def c4Gate(docs: DataFrame, lineTokens: Int = 6): DataFrame = {
+    val k = lineTokens
+    val ws = tokens(col("text"))
+    val id = col("doc_id")
+    val nL = greatest(ceil(size(ws).cast("double") / k).cast("int"), lit(1))
+    val lines = transform(sequence(lit(0), nL - 1), i => {
+      val base = concat_ws(" ", slice(ws, i * k + 1, lit(k)))
+      val js = when((id * 7 + i) % 11 === 5,
+        concat(base, lit(" javascript"))).otherwise(base)
+      val lorem = when(id % 17 === 3 && i === 0,
+        concat(js, lit(" lorem ipsum"))).otherwise(js)
+      val brace = when(id % 19 === 7 && i === 1,
+        concat(lorem, lit(" {"))).otherwise(lorem)
+      when((id + i) % 3 =!= 2, concat(brace, lit("."))).otherwise(brace)
+    })
+    val keepLine = (l: Column) =>
+      size(split(l, " ")) >= 5 && l.endsWith(".") && !l.contains("javascript")
+    val kept = filter(lines, keepLine)
+    val full = array_join(lines, "\n")
+    val hasLorem = full.contains("lorem ipsum")
+    val hasBrace = full.contains("{")
+    val nKept = size(kept).cast("long")
+    docs.select(
+      id,
+      size(lines).cast("long").as("n_lines"),
+      nKept.as("n_kept_lines"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      (nKept >= 3L).as("c_sentences"),
+      (!hasLorem && !hasBrace && nKept >= 3L).as("keep"),
+      array_join(kept, "\n").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher A1.2 repetition thresholds (Rae et al. 2021, table A1 — public
+    * methodology): max fraction of characters in the single most frequent
+    * n-gram (n = 2..4), max fraction of characters inside duplicated
+    * n-grams (n = 5..10). Expressed as integer percentages so both engines
+    * decide boundaries by exact cross-multiplication. */
+  val gopherRepetitionPct: Map[Int, Int] =
+    Map(2 -> 20, 3 -> 18, 4 -> 16, 5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12,
+        9 -> 11, 10 -> 10)
+
+  /** The FULL Gopher A1.2 repetition gate — the char-coverage rules that
+    * [[repetitionSignals]] (d14: type-token ratio, top token/bigram
+    * OCCURRENCE fractions) does not cover: per n in 2..10, the fraction of
+    * the document's characters covered by the most frequent n-gram (n ≤ 4)
+    * or by all duplicated n-grams (n ≥ 5), each against its published
+    * threshold. One row per (doc_id, n) — the audit scorecard — plus the
+    * composed per-doc verdict. Coverage here is the occurrence-count ×
+    * gram-chars recast (duplicated occurrences counted in full; the paper's
+    * overlap-deduped variant needs positional sweeps that no SQL oracle
+    * reproduces — documented, deliberate). All verdicts are integer-exact
+    * (chars × 100 vs total_chars × pct). Docs shorter than n contribute no
+    * (doc_id, n) row: the rule is vacuous there in both engines.
+    *
+    * Scale shape: grams explode row-locally (bounded by |ns| × tokens per
+    * doc); ONE combining (doc_id, n, gram) shuffle does the counting
+    * map-side, the per-(doc_id, n) reduce and the doc-verdict window both
+    * key on doc_id — no exchange ever carries text larger than one n-gram. */
+  def gopherRepetition(docs: DataFrame, ns: Seq[Int] = 2 to 10): DataFrame = {
+    require(ns.nonEmpty && ns.forall(gopherRepetitionPct.contains),
+      s"ns must be within ${gopherRepetitionPct.keys.toSeq.sorted}")
+    val base = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("total_chars"),
+      tokens(col("text")).as("ws"))
+    val gramArrays = ns.map { n =>
+      when(size(col("ws")) >= n,
+        transform(sequence(lit(0), size(col("ws")) - n),
+          j => struct(lit(n).as("n"),
+            concat_ws(" ", slice(col("ws"), j + 1, lit(n))).as("gram"))))
+        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+    }
+    val gc = base.select(col("doc_id"), col("total_chars"),
+        explode(concat(gramArrays: _*)).as("g"))
+      .groupBy(col("doc_id"), col("total_chars"),
+        col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as("c"))
+    val pct = ns.tail.foldLeft(
+        when(col("n") === ns.head, lit(gopherRepetitionPct(ns.head)))) {
+      (acc, n) => acc.when(col("n") === n, lit(gopherRepetitionPct(n)))
+    }
+    val per = gc.groupBy(col("doc_id"), col("total_chars"), col("n"))
+      .agg(sum(col("c")).cast("long").as("n_grams"),
+        max(struct(col("c"), col("gram"))).as("top"),
+        sum(when(col("c") >= 2, col("c") * length(col("gram")))
+          .otherwise(0L)).cast("long").as("dup_chars"))
+    val topChars = (col("top.c") * length(col("top.gram"))).cast("long")
+    val cPass = when(col("n") <= 4, topChars * 100 <= col("total_chars") * pct)
+      .otherwise(col("dup_chars") * 100 <= col("total_chars") * pct)
+    per.select(col("doc_id"), col("n"),
+        col("n_grams"),
+        col("top.c").cast("long").as("top_count"),
+        col("top.gram").as("top_gram"),
+        topChars.as("top_chars"),
+        col("dup_chars"), col("total_chars"),
+        cPass.as("c_pass"))
+      .withColumn("keep_doc",
+        min(when(col("c_pass"), 1).otherwise(0))
+          .over(Window.partitionBy("doc_id")) === 1)
+      .orderBy("doc_id", "n")
+  }
 }

@@ -829,6 +829,75 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(r(6L) == ((true, true, true, true, false, false)), r(6L).toString)
   }
 
+  test("c4Gate: line rules and doc rules trip on their planted violators") {
+    import spark.implicits._
+    def toks(n: Int) = (0 until n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, toks(24)), // 4 full lines; line 1 loses punct ((1+1)%3=2) -> 3 kept
+      (2L, toks(10)), // line 0 unpunctuated, line 1 only 4 words -> 0 kept
+      (3L, toks(24)), // 3%17=3 -> lorem ipsum planted on line 0
+      (7L, toks(24)), // 7%19=7 -> " {" planted on line 1
+      (12L, toks(61)) // (12*7+9)%11=5 -> "javascript" planted on line 9
+    ).toDF("doc_id", "text")
+    val r = TextFunctions.c4Gate(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // doc 1: clean; kept lines are i=0,2,3 (line 1 fails terminal punct)
+    assert(r(1L).getLong(1) == 4L && r(1L).getLong(2) == 3L && r(1L).getBoolean(6))
+    assert(r(1L).getString(7) ==
+      "w0 w1 w2 w3 w4 w5.\nw12 w13 w14 w15 w16 w17.\nw18 w19 w20 w21 w22 w23.")
+    // doc 2: no line survives (unpunctuated / short) -> c_sentences fails
+    assert(r(2L).getLong(2) == 0L && !r(2L).getBoolean(5) && !r(2L).getBoolean(6))
+    // doc 3: lorem line is otherwise keepable, but the DOC rule drops the page
+    assert(r(3L).getBoolean(3) && r(3L).getLong(2) == 3L && !r(3L).getBoolean(6))
+    assert(r(3L).getString(7).startsWith("w0 w1 w2 w3 w4 w5 lorem ipsum."))
+    // doc 7: brace lands on a line that also fails punct; doc still dropped
+    assert(r(7L).getBoolean(4) && !r(7L).getBoolean(6))
+    assert(!r(7L).getString(7).contains("{"), "brace line must not be kept")
+    // doc 12: javascript line dropped, rest keep; 11 lines, kept = 6
+    assert(r(12L).getLong(1) == 11L && r(12L).getLong(2) == 6L && r(12L).getBoolean(6))
+    assert(!r(12L).getString(7).contains("javascript"))
+  }
+
+  test("gopherRepetition: top-gram coverage, dup-gram coverage, tie-break, vacuous-n") {
+    import spark.implicits._
+    // --- top-2-gram rule in isolation ---
+    val distinct20 = (0 until 20).map(i => f"t$i%02d").mkString(" ") // 59 chars
+    val top2 = TextFunctions.gopherRepetition(
+      Seq((1L, "a b a b a b"), (2L, distinct20)).toDF("doc_id", "text"),
+      ns = Seq(2)).collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: "a b"×3 of 5 bigrams covers 9 of 11 chars -> 900 > 11*20: fail
+    val r1 = top2(1L)
+    assert(r1.getLong(2) == 5L && r1.getLong(3) == 3L &&
+      r1.getString(4) == "a b" && r1.getLong(5) == 9L &&
+      r1.getLong(6) == 15L && r1.getLong(7) == 11L &&
+      !r1.getBoolean(8) && !r1.getBoolean(9), r1.toString)
+    // doc 2: all bigrams unique; tie-break = lexicographically largest gram;
+    // 5 chars of 59 -> 500 <= 59*20: pass
+    val r2 = top2(2L)
+    assert(r2.getLong(3) == 1L && r2.getString(4) == "t18 t19" &&
+      r2.getLong(6) == 0L && r2.getBoolean(8) && r2.getBoolean(9), r2.toString)
+
+    // --- dup-5-gram rule in isolation ---
+    val rep5 = ("p1 p2 p3 p4 p5" +: (0 until 10).map(i => f"f$i%01d0") :+
+      "p1 p2 p3 p4 p5").mkString(" ") // 20 tokens, 59 chars, X at j=0 and 15
+    val dup5 = TextFunctions.gopherRepetition(
+      Seq((3L, rep5), (4L, distinct20)).toDF("doc_id", "text"),
+      ns = Seq(5)).collect().map(r => r.getLong(0) -> r).toMap
+    // doc 3: the repeated 5-gram covers 2*14=28 chars -> 2800 > 59*15: fail
+    val r3 = dup5(3L)
+    assert(r3.getLong(2) == 16L && r3.getLong(3) == 2L &&
+      r3.getString(4) == "p1 p2 p3 p4 p5" && r3.getLong(6) == 28L &&
+      !r3.getBoolean(8) && !r3.getBoolean(9), r3.toString)
+    assert(dup5(4L).getLong(6) == 0L && dup5(4L).getBoolean(9))
+
+    // --- vacuous n (doc shorter than n) emits no row; composed verdict ---
+    val full = TextFunctions.gopherRepetition(
+      Seq((5L, "a b a b a b")).toDF("doc_id", "text")).collect()
+    assert(full.length == 5, s"n=2..6 only for a 6-token doc: ${full.length}")
+    assert(full.forall(!_.getBoolean(9)), "n=2 fail must poison keep_doc")
+    assert(full.count(_.getBoolean(8)) == 2, "dup rules n in {5,6} pass individually")
+  }
+
   test("encodingErrorSignal: replacement chars and control bands counted, keep = clean") {
     import spark.implicits._
     val docs = Seq(

@@ -225,6 +225,18 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!l.contains("seg#") && !l.contains("clean_text"), l)
   }
 
+  test("d48: gram counting is one combining shuffle; no join, no doc text in any exchange") {
+    val plan = planOf("d48_gopher_repetition")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"), plan)
+    // partial aggregation must run map-side before the (doc_id, n, gram)
+    // exchange — the corpus collapses to per-doc gram counts before moving
+    assert(plan.contains("partial_count") || plan.contains("partial count")
+      || plan.linesIterator.exists(l => l.contains("HashAggregate")
+           && l.contains("partial")), plan)
+    for (l <- plan.linesIterator if l.contains("hashpartitioning"))
+      assert(!l.contains("text#"), l) // grams move, whole documents never do
+  }
+
   test("d26: standing-corpus probe is a digest anti-join; no text column crosses it") {
     val plan = planOf("d26_incremental_dedup")
     assert(plan.contains("LeftAnti"), plan)
