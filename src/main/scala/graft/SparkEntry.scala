@@ -183,6 +183,19 @@ object SparkEntry {
       graft.corpus.Warc.cdx(s, p.toString).toDF()
         .orderBy("urlkey", "ts", "offset")
     }),
+    // WET export — the extracted-text artifact published beside each crawl
+    // segment (conversion records, per-record gzip members): WARC-shaped
+    // pages in, .warc.wet.gz bytes out in ONE shuffle-free stage, re-parsed
+    // here to per-record rows (the artifact must be lossless by read-back)
+    "x29_wet_export" -> ((s, _) => {
+      import s.implicits._
+      graft.corpus.Warc.wetExport(CorpusSource.pages(s, 140))
+        .flatMap(graft.corpus.Warc.wetRows _).toDF()
+        .select(col("url"), col("ts"),
+          length(col("text")).cast("long").as("n_chars"),
+          md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy("url")
+    }),
     // URL-level dedup — the FIRST dedup stage of a public crawl pipeline
     // (CDX canonical keys; RefinedWeb's url-normalized dedup before any
     // content pass): each golden-corpus url is exploded into five raw

@@ -360,4 +360,65 @@ object Warc {
       .select("content").as[Array[Byte]]
       .flatMap(cdxRows _)
   }
+
+  // ==================== WET export (conversion records) ==================
+
+  final case class WetDoc(url: String, ts: Timestamp, text: String)
+
+  /** WARC `conversion` record — the WET record type: extracted plain text
+    * standing in for the response it derives from (the public
+    * `.warc.wet.gz` artifact Common Crawl publishes per segment). The block
+    * is the raw UTF-8 text, no HTTP wrapper. */
+  def conversionRecord(url: String, date: String, text: Array[Byte]): Array[Byte] =
+    record(Seq(
+      "WARC-Type" -> "conversion",
+      "WARC-Target-URI" -> url,
+      "WARC-Date" -> date,
+      "Content-Type" -> "text/plain"), text)
+
+  /** One WET segment: warcinfo leader + a conversion record per doc, EACH
+    * its own gzip member (the seekable CC convention — [[gzipMembers]] and
+    * a CDX-style index work on a WET exactly as on a WARC). Empty input
+    * yields empty bytes: an empty partition writes no segment. */
+  def wetSegment(docs: Seq[WetDoc]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(1 << 20)
+    if (docs.nonEmpty) {
+      out.write(gzipMember(warcinfoRecord(formatDate(docs.head.ts))))
+      docs.foreach { d =>
+        out.write(gzipMember(conversionRecord(d.url, formatDate(d.ts),
+          d.text.getBytes(StandardCharsets.UTF_8))))
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Conversion records of a WET segment, parsed back to rows — the reader
+    * side of [[wetSegment]] (round-trip pinned byte-exactly in WarcSpec). */
+  def wetRows(raw: Array[Byte]): Vector[WetDoc] =
+    parseRecords(raw).filter(_.warcType == "conversion")
+      .map(r => WetDoc(r.targetUri, parseDate(r.date),
+        new String(r.block, StandardCharsets.UTF_8)))
+
+  /** The WET-extraction job: crawl pages in, `.warc.wet.gz` segment bytes
+    * out — ONE mapPartitions (parse upstream, row-local extraction with
+    * per-partition arena reuse, segment assembly at the partition boundary),
+    * zero shuffle: the same stage shape as [[graft.pipeline.Extract.run]],
+    * which is exactly how the public WET artifact is produced from a WARC
+    * segment. One segment per non-empty partition; record ORDER inside a
+    * segment follows partition order (segment grouping is a parallelism
+    * artifact — the RECORD SET is what's deterministic, and what x29
+    * verifies after re-parsing). */
+  def wetExport(pages: Dataset[PageRow],
+                cfg: graft.extract.ExtractConfig = graft.extract.ExtractConfig())
+      : Dataset[Array[Byte]] = {
+    import pages.sparkSession.implicits._
+    pages.mapPartitions { it =>
+      val state = new graft.extract.ExtractorState()
+      val docs = it.map { p =>
+        val e = graft.extract.Extractor.extract(p.url, p.html, cfg, state)
+        WetDoc(p.url, p.warc_ts, e.text)
+      }.toVector
+      if (docs.isEmpty) Iterator.empty else Iterator.single(wetSegment(docs))
+    }
+  }
 }

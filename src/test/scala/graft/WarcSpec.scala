@@ -131,4 +131,28 @@ class WarcSpec extends AnyFunSuite {
       assert(viaWarc(url) == text, s"extracted text must be byte-identical ($url)")
     }
   }
+
+  test("wetExport: WET round-trips url/ts/extracted-text byte-identically") {
+    import spark.implicits._
+    val segs = Warc.wetExport(CorpusSource.pages(spark, N)).collect()
+    assert(segs.nonEmpty && segs.forall(_.nonEmpty))
+    val rows = segs.flatMap(Warc.wetRows).map(d => d.url -> d).toMap
+    val direct = Extract.run(CorpusSource.pages(spark, N))
+      .map(d => (d.url, d.text)).collect().toMap
+    assert(rows.keySet == direct.keySet, "one conversion record per page")
+    val ts = (0 until N).map(i => Corpus.page(42L, i).row).map(p => p.url -> p.warc_ts).toMap
+    rows.foreach { case (url, d) =>
+      assert(d.text == direct(url), s"WET text must be byte-identical ($url)")
+      assert(d.ts == ts(url), s"capture ts must round-trip ($url)")
+    }
+    // the CC member convention holds for WET too: each segment tiles into
+    // per-record gzip members a CDX-style index could seek into
+    segs.foreach { seg =>
+      val members = Warc.gzipMembers(seg)
+      assert(members.map(_.length).sum == seg.length, "members tile the segment")
+      members.foreach(m => assert(Warc.parseRecords(m.bytes).size == 1))
+    }
+    // warcinfo leader is present but wetRows filters to conversion records
+    assert(segs.map(s => Warc.parseRecords(s).size).sum == N + segs.length)
+  }
 }
