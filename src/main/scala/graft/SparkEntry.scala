@@ -739,6 +739,19 @@ object SparkEntry {
       val rules = RobotsFunctions.d38Rules.toDF("host", "prefix", "allow")
       RobotsFunctions.robotsFilter(urls, broadcast(rules))
     }),
+    // crawl-politeness scheduler — per-host fetch slots at the host's
+    // delay, host-affine worker shards (md5), per-host makespan; the step
+    // between the x26 frontier and the fetcher
+    "d49_crawl_schedule" -> ((s, dir) => {
+      val host = concat(col("source"), lit(".example.org"))
+      val urls = docs(s, dir).select(
+        host.as("host"),
+        concat(lit("https://"), host, lit("/p"),
+          col("doc_id").cast("string")).as("url"),
+        (lit(250L) * (substring(col("source"), 4, 10).cast("long") % 8 + 1))
+          .as("delay_ms"))
+      RobotsFunctions.crawlSchedule(urls, workers = 4)
+    }),
     // site-template line removal (oracle-checkable recast of x23): the
     // documents corpus has no repeated lines, so the sitewide chrome is
     // PLANTED — a nav and a footer line identical across every doc of a
@@ -1326,6 +1339,24 @@ object SparkEntry {
          |        AND n_stopwords >= 2) AS keep
          |FROM s ORDER BY doc_id""".stripMargin
     },
+    "d49_crawl_schedule" ->
+      """WITH u AS (SELECT source || '.example.org' AS host,
+        |                  'https://' || source || '.example.org/p'
+        |                    || CAST(doc_id AS VARCHAR) AS url,
+        |                  (250 * (CAST(substr(source, 4) AS BIGINT) % 8 + 1))
+        |                    ::BIGINT AS delay_ms
+        |           FROM documents),
+        |s AS (SELECT host, url, delay_ms,
+        |             (row_number() OVER (PARTITION BY host ORDER BY url) - 1)
+        |               ::BIGINT AS slot,
+        |             CAST(('0x' || substr(md5(host), 1, 8)) AS BIGINT) % 4
+        |               AS worker
+        |      FROM u)
+        |SELECT host, url, delay_ms, slot, worker,
+        |       (slot * delay_ms)::BIGINT AS fetch_at_ms,
+        |       (max(slot * delay_ms) OVER (PARTITION BY host))::BIGINT
+        |         AS host_makespan_ms
+        |FROM s ORDER BY host, slot""".stripMargin,
     "d48_gopher_repetition" ->
       """WITH t AS (SELECT doc_id, length(text)::BIGINT AS total_chars,
         |                  string_split(text, ' ') AS ws FROM documents),

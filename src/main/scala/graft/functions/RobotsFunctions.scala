@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** robots.txt handling (RFC 9309, public spec) — the crawl-politeness gate a
@@ -153,5 +154,39 @@ object RobotsFunctions {
       .select(col("doc_id"), col("url"),
         coalesce(col("a"), lit(true)).as("allowed"))
       .orderBy("doc_id")
+  }
+
+  /** Crawl-politeness SCHEDULER — the fetch-plan step between the frontier
+    * (x26) and the fetcher: a polite crawler serializes requests per host
+    * with that host's delay between them (public crawler methodology:
+    * Heritrix/Nutch politeness queues; the de-facto Crawl-delay convention).
+    * `urls` must have (url, host, delay_ms). Per host, urls fetch in url
+    * order: slot k fires at k × delay_ms (a RELATIVE schedule — the caller
+    * adds its epoch). Hosts are assigned to `workers` fetcher shards
+    * host-affinely (md5 of the host, the hashSplit discipline) so per-host
+    * serialization never needs cross-worker coordination. Emits the full
+    * plan plus per-host makespan — the knob a crawl planner balances
+    * shards by.
+    *
+    * Scale shape (10^9-url frontier): ONE host-keyed window does slotting
+    * (per-host sequential fetching is the POLITENESS constraint, so a
+    * per-host sort is irreducible work, not an engine artifact); the
+    * exchange carries (host, url) strings only; worker assignment and the
+    * makespan are row-local arithmetic / a same-key window over the slotted
+    * table — no second shuffle. A hot host (10^6 urls on one key) is a slow
+    * CRAWL, not a slow plan: its schedule is one partition's linear scan. */
+  def crawlSchedule(urls: DataFrame, workers: Int = 4): DataFrame = {
+    require(workers > 0, "workers must be positive")
+    val w = Window.partitionBy(col("host")).orderBy(col("url"))
+    val slot = (row_number().over(w) - 1).cast("long")
+    val worker = pmod(
+      conv(substring(md5(col("host").cast("binary")), 1, 8), 16, 10)
+        .cast("long"), lit(workers.toLong))
+    urls.select(col("host"), col("url"), col("delay_ms"),
+        slot.as("slot"), worker.as("worker"))
+      .withColumn("fetch_at_ms", col("slot") * col("delay_ms"))
+      .withColumn("host_makespan_ms",
+        max(col("fetch_at_ms")).over(Window.partitionBy(col("host"))))
+      .orderBy("host", "slot")
   }
 }

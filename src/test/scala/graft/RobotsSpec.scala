@@ -137,6 +137,40 @@ class RobotsSpec extends AnyFunSuite {
     assert(UrlKernel.host("/r?to=https://x.com/y") == "")
   }
 
+  test("crawlSchedule: per-host serialized slots, host-affine workers, makespan") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // three hosts of different sizes and delays, deliberately shuffled rows
+    val rows = Seq(
+      ("a.org", "https://a.org/3", 100L), ("b.org", "https://b.org/1", 250L),
+      ("a.org", "https://a.org/1", 100L), ("c.org", "https://c.org/1", 50L),
+      ("a.org", "https://a.org/2", 100L), ("b.org", "https://b.org/2", 250L))
+    val in = rows.toDF("host", "url", "delay_ms").repartition(5)
+    val out = RobotsFunctions.crawlSchedule(in, workers = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+
+    // per host: slots are 0..n-1 in url order, fetch_at = slot*delay,
+    // makespan = (n-1)*delay — the politeness serialization contract
+    val byHost = out.groupBy(_._1)
+    for ((h, rs) <- byHost) {
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (0L until rs.length).toSeq, h)
+      assert(sorted.map(_._2).toSeq == sorted.map(_._2).sorted.toSeq,
+        s"$h slots must follow url order")
+      assert(sorted.forall(r => r._6 == r._4 * r._3), h)
+      assert(rs.map(_._7).distinct.toSeq == Seq((rs.length - 1) * rs.head._3), h)
+      // host affinity: one worker per host, inside the shard range
+      assert(rs.map(_._5).distinct.length == 1 && rs.head._5 >= 0 &&
+        rs.head._5 < 4, h)
+    }
+    // worker assignment is the md5 discipline — stable across runs/partitioning
+    val again = RobotsFunctions.crawlSchedule(in.repartition(2), workers = 4)
+      .select(col("host"), col("worker")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byHost.keys.forall(h => again(h) == byHost(h).head._5))
+  }
+
   test("parse: UTF-8 BOM before the first User-agent line is stripped") {
     val rules = Robots.parse("\uFEFF" + "User-agent: *\nDisallow: /private/\n")
     assert(rules == Vector(Rule("/private/", allow = false)),
