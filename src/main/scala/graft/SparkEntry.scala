@@ -829,6 +829,10 @@ object SparkEntry {
     // the sandbox corpus exercises multiple buckets.
     "d29_shard_pack" -> ((s, dir) =>
       TextFunctions.shardPack(docs(s, dir), shardTokens = 1024L, bucketDocs = 64L)),
+    // concat-and-chunk sequence packing: 128-token sequences so documents
+    // genuinely straddle boundaries (multi-row explode per doc)
+    "d51_seq_pack" -> ((s, dir) =>
+      TextFunctions.seqPack(docs(s, dir), seqLen = 128L, bucketDocs = 64L)),
     // C4 repeated-span REMOVAL (Raffel et al. 2020 §2.2): segments occurring
     // in >= 2 distinct docs are dropped from the text itself — the rewrite
     // counterpart of d25's statistics. 4-token segments stand in for C4's
@@ -1904,6 +1908,27 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, start_tok,
         |       (start_tok // 1024)::BIGINT AS shard_id
         |FROM o ORDER BY doc_id""".stripMargin,
+    "d51_seq_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |                  len(string_split(text, ' '))::BIGINT AS n_tokens
+        |           FROM documents),
+        |o AS (SELECT doc_id, n_tokens,
+        |             COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING
+        |                      AND 1 PRECEDING), 0)::BIGINT AS start_tok
+        |      FROM t),
+        |e AS (SELECT doc_id, n_tokens, start_tok,
+        |             unnest(generate_series(start_tok // 128,
+        |               (start_tok + n_tokens - 1) // 128)) AS seq_id
+        |      FROM o),
+        |g AS (SELECT doc_id, seq_id, start_tok, n_tokens,
+        |             greatest(start_tok, seq_id * 128) AS seg_start FROM e)
+        |SELECT doc_id, seq_id::BIGINT AS seq_id,
+        |       (seg_start - seq_id * 128)::BIGINT AS start_in_seq,
+        |       (least(start_tok + n_tokens, (seq_id + 1) * 128)
+        |         - seg_start)::BIGINT AS n_in_seq,
+        |       (seg_start - start_tok)::BIGINT AS doc_tok_off
+        |FROM g ORDER BY doc_id, seq_id""".stripMargin,
     "d28_line_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |seg AS (SELECT doc_id,

@@ -818,6 +818,16 @@ object TextFunctions {
   def shardPack(docs: DataFrame, shardTokens: Long,
                 bucketDocs: Long = 4096L): DataFrame = {
     require(shardTokens >= 1 && bucketDocs >= 1, s"$shardTokens/$bucketDocs")
+    startToks(docs, bucketDocs)
+      .withColumn("shard_id", expr(s"start_tok div $shardTokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Global token start offset per doc in doc_id order — the two-level
+    * distributed prefix sum shared by [[shardPack]] (d29) and [[seqPack]]
+    * (d51); see shardPack's scaladoc for the scale argument. Returns
+    * (doc_id, n_tokens, start_tok). */
+  private def startToks(docs: DataFrame, bucketDocs: Long): DataFrame = {
     val t = docs.select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("n_tokens"),
       expr(s"doc_id div $bucketDocs").as("bkt"))
@@ -830,8 +840,36 @@ object TextFunctions {
       .select(col("doc_id"), col("n_tokens"),
         (col("bkt_off") + coalesce(sum(col("n_tokens")).over(wDoc), lit(0L)))
           .as("start_tok"))
-      .withColumn("shard_id", expr(s"start_tok div $shardTokens"))
-      .orderBy("doc_id")
+  }
+
+  /** Sequence packing — the concat-and-chunk training-batch layout (the
+    * GPT-style pretraining data step: concatenate the corpus in doc_id
+    * order, cut it into fixed `seqLen`-token sequences, and keep the
+    * doc→sequence span map that drives document-boundary attention masks).
+    * One output row per (document, sequence) incidence: `seq_id`, the
+    * document's span inside that sequence (`start_in_seq`, `n_in_seq`),
+    * and `doc_tok_off` — which slice of the document the span carries (a
+    * long document spans several sequences; a short one shares its
+    * sequence with neighbors).
+    *
+    * Scale shape: global offsets come from the SAME two-level prefix sum
+    * as [[shardPack]] (no single-partition window); the sequence explode
+    * is row-local, bounded by ceil(n_tokens/seqLen)+1 rows per doc, and
+    * emits scalars only. */
+  def seqPack(docs: DataFrame, seqLen: Long,
+              bucketDocs: Long = 4096L): DataFrame = {
+    require(seqLen >= 1 && bucketDocs >= 1, s"$seqLen/$bucketDocs")
+    startToks(docs, bucketDocs)
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        explode(sequence(expr(s"start_tok div $seqLen"),
+          expr(s"(start_tok + n_tokens - 1) div $seqLen"))).as("seq_id"))
+      .withColumn("seg_start", greatest(col("start_tok"), col("seq_id") * seqLen))
+      .select(col("doc_id"), col("seq_id"),
+        (col("seg_start") - col("seq_id") * seqLen).as("start_in_seq"),
+        (least(col("start_tok") + col("n_tokens"), (col("seq_id") + 1) * seqLen)
+          - col("seg_start")).as("n_in_seq"),
+        (col("seg_start") - col("start_tok")).as("doc_tok_off"))
+      .orderBy("doc_id", "seq_id")
   }
 
   /** Site-level template/boilerplate removal — the CROSS-PAGE signal a

@@ -424,6 +424,50 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("seqPack: spans tile every doc and every sequence, at any bucket size") {
+    import spark.implicits._
+    // token counts 3,1,4,1,5 -> starts 0,3,4,8,9 (14 total); L=4 ->
+    // seqs 0..3; doc 12 straddles 0|1, doc 14 straddles 2|3
+    val docs = Seq(
+      (10L, "a b c"), (11L, "d"), (12L, "e f g h"), (13L, "i"), (14L, "j k l m n")
+    ).toDF("doc_id", "text")
+    // (doc_id, seq_id, start_in_seq, n_in_seq, doc_tok_off)
+    val want = Seq(
+      (10L, 0L, 0L, 3L, 0L), (11L, 0L, 3L, 1L, 0L),
+      (12L, 1L, 0L, 4L, 0L), (13L, 2L, 0L, 1L, 0L),
+      (14L, 2L, 1L, 3L, 0L), (14L, 3L, 0L, 2L, 3L))
+    for (bkt <- Seq(1L, 2L, 100L)) {
+      val got = TextFunctions.seqPack(docs, seqLen = 4L, bucketDocs = bkt)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      assert(got.toSeq == want, s"bucketDocs=$bkt: ${got.mkString(";")}")
+    }
+    // tiling invariants: per doc the spans concatenate to the whole doc;
+    // per sequence the spans fill [0, L) back-to-back (last seq may be short)
+    val rows = TextFunctions.seqPack(docs, seqLen = 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    for ((d, rs) <- rows.groupBy(_._1)) {
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._5).toSeq ==
+        sorted.map(_._4).scanLeft(0L)(_ + _).init.toSeq, s"doc $d offsets")
+    }
+    for ((s, rs) <- rows.groupBy(_._2)) {
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.head._3 == 0L, s"seq $s must start at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 == b._3, s"seq $s gap")
+        case _ =>
+      }
+      assert(sorted.last._3 + sorted.last._4 <= 4L, s"seq $s overflow")
+    }
+    // no single-partition window over the doc table: every windowspec is
+    // bucket-partitioned (the d29 prefix-sum discipline)
+    val plan = TextFunctions.seqPack(docs, seqLen = 4L, bucketDocs = 2L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("windowspecdefinition(doc_id") && !l.contains("bkt")), plan)
+  }
+
   test("lineDedup: planted cross-doc segment removed from both docs, unique text intact") {
     import spark.implicits._
     // two docs share an 8-token boilerplate prefix (two 4-token segments);
