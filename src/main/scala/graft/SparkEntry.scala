@@ -303,6 +303,20 @@ object SparkEntry {
         (url, host, allowed)
       }.toDF("url", "host", "allowed").orderBy("url")
     }),
+    // robots.txt discovery records (x30): Sitemap lines (group-independent,
+    // first-occurrence dedup) and the `*`-group Crawl-delay in ms (first
+    // wins, fractional seconds) — the inputs that seed x26's frontier and
+    // d49's per-host delay
+    "x30_robots_discovery" -> ((s, _) => {
+      import s.implicits._
+      s.range(5).flatMap { h =>
+        val (maps, delay) =
+          graft.functions.Robots.discovery(CorpusSource.robotsTxt(h.toInt))
+        maps.zipWithIndex.map { case (m, i) =>
+          (s"h$h.example.org", i.toLong, m, delay) }
+      }.toDF("host", "sitemap_idx", "sitemap", "crawl_delay_ms")
+        .orderBy("host", "sitemap_idx")
+    }),
     // base-aware outlink resolution (x27): every <a href> RFC 3986-resolved
     // against the page's effective base (<base href> honored, first-wins) —
     // the full-URL frontier feed behind the x21 host graph; one codegen'd
@@ -857,6 +871,20 @@ object SparkEntry {
         expr("timestampadd(HOUR, CAST(doc_id * 37 % 1000 AS INT), " +
           "timestamp'2024-01-01 00:00:00')").as("warc_ts"),
         col("text")))),
+    // WARC revisit records over the d42 recrawl shape — payload content is
+    // keyed (url, revision bucket): the page changes as capture hours
+    // advance through 4 revision epochs, so captures within an epoch are
+    // IDENTICAL re-fetches and must become revisit records
+    "d52_revisit_records" -> ((s, dir) =>
+      DedupFunctions.revisitRecords(docs(s, dir).select(
+        col("doc_id"),
+        concat(col("source"), lit("/page"),
+          (col("doc_id") % 40).cast("string")).as("url"),
+        expr("timestampadd(HOUR, CAST(doc_id * 37 % 1000 AS INT), " +
+          "timestamp'2024-01-01 00:00:00')").as("warc_ts"),
+        concat(col("source"), lit("/page"),
+          (col("doc_id") % 40).cast("string"), lit("#rev"),
+          expr("(doc_id * 37 % 1000) div 250").cast("string")).as("text")))),
     // encoding-error/mojibake gate — the corpus is clean UTF-8, so damage is
     // PLANTED deterministically per doc_id (the d21/d24 fixture idiom):
     // replacement chars on %5 docs, a C0 bell on %7, a C1 byte on %11
@@ -1947,6 +1975,26 @@ object SparkEntry {
         |                           ORDER BY s2.i), '') AS clean_text
         |FROM s2 LEFT JOIN g ON s2.h = g.h
         |GROUP BY s2.doc_id ORDER BY s2.doc_id""".stripMargin,
+    "d52_revisit_records" ->
+      """WITH s AS (SELECT doc_id,
+        |                  source || '/page' || CAST(doc_id % 40 AS VARCHAR) AS url,
+        |                  TIMESTAMP '2024-01-01 00:00:00'
+        |                    + INTERVAL (CAST(doc_id * 37 % 1000 AS INT)) HOUR AS warc_ts,
+        |                  md5(source || '/page' || CAST(doc_id % 40 AS VARCHAR)
+        |                      || '#rev' || CAST((doc_id * 37 % 1000) // 250 AS VARCHAR))
+        |                    AS payload_digest
+        |           FROM documents),
+        |r AS (SELECT *,
+        |             row_number() OVER (PARTITION BY url, payload_digest
+        |                                ORDER BY warc_ts, doc_id) AS rn,
+        |             first_value(warc_ts) OVER (PARTITION BY url, payload_digest
+        |                                ORDER BY warc_ts, doc_id) AS first_ts
+        |      FROM s)
+        |SELECT doc_id, url, warc_ts,
+        |       CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS warc_type,
+        |       payload_digest,
+        |       CASE WHEN rn > 1 THEN first_ts END AS refers_to_ts
+        |FROM r ORDER BY url, warc_ts, doc_id""".stripMargin,
     "d42_snapshot_latest" ->
       """WITH s AS (SELECT doc_id,
         |                  source || '/page' || CAST(doc_id % 40 AS VARCHAR) AS url,

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline (SURVEY.md §2 +
@@ -201,6 +202,35 @@ object DedupFunctions {
         col("m.ts").as("kept_ts"),
         col("m.dg").as("kept_md5"))
       .orderBy("url")
+
+  /** WARC revisit records — fetch-time storage dedup (the WARC 1.1
+    * `revisit` record type with `WARC-Refers-To`; the Heritrix
+    * identical-payload-digest convention Common Crawl publishes): within a
+    * url, the FIRST capture of each distinct payload digest is stored as a
+    * full `response` record; every later capture with the same digest
+    * becomes a `revisit` record pointing at that original — the storage
+    * side of recrawl dedup, complementing [[latestSnapshot]]'s compaction.
+    * Input (doc_id, url, warc_ts, text); output one row per capture:
+    * (doc_id, url, warc_ts, warc_type, payload_digest, refers_to_ts).
+    *
+    * Scale shape: ONE window keyed (url, digest) ordered (warc_ts, doc_id)
+    * — the exchange carries (url, 32-hex digest, ts, id), never the page
+    * body; `first` over the same window supplies the referent timestamp so
+    * there is no second join or shuffle. */
+  def revisitRecords(captures: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("url"), col("payload_digest"))
+      .orderBy(col("warc_ts"), col("doc_id"))
+    captures.select(col("doc_id"), col("url"), col("warc_ts"),
+        md5(col("text").cast("binary")).as("payload_digest"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("first_ts", first(col("warc_ts")).over(w))
+      .select(col("doc_id"), col("url"), col("warc_ts"),
+        when(col("rn") === 1, lit("response")).otherwise(lit("revisit"))
+          .as("warc_type"),
+        col("payload_digest"),
+        when(col("rn") > 1, col("first_ts")).as("refers_to_ts"))
+      .orderBy("url", "warc_ts", "doc_id")
+  }
 
   /** Exact dedup by content digest: groups of identical texts, keeper = min
     * doc_id (deterministic). Shuffles the 16-byte digest, not the document. */

@@ -109,6 +109,54 @@ object Robots {
     }
     if (bestLen < 0) true else bestAllow
   }
+
+  /** Discovery records of a robots.txt body — the two directives [[parse]]
+    * deliberately skips:
+    *  - `Sitemap:` (sitemaps.org protocol; GROUP-INDEPENDENT per the spec,
+    *    collected anywhere in the file, file order, first occurrence wins
+    *    on duplicates) — the standard sitemap-discovery path that seeds the
+    *    x26 frontier;
+    *  - `Crawl-delay:` from the `*` group (de-facto directive, seconds,
+    *    fractional values occur in the wild) — the per-host delay the d49
+    *    politeness scheduler consumes, returned in ms; the FIRST value in
+    *    a `*` group wins (documented choice), non-numeric values ignored.
+    * Same lexical rules as [[parse]]: BOM strip, `#` comments, trimmed
+    * case-insensitive keys. */
+  def discovery(txt0: String): (Vector[String], Option[Long]) = {
+    val txt = if (txt0.nonEmpty && txt0.charAt(0) == '\uFEFF') txt0.substring(1) else txt0
+    val maps = Vector.newBuilder[String]
+    val seen = new java.util.HashSet[String]()
+    var delay: Option[Long] = None
+    var inStar = false
+    var inAgentRun = false
+    txt.linesIterator.foreach { line0 =>
+      val hash = line0.indexOf('#')
+      val line = (if (hash >= 0) line0.substring(0, hash) else line0).trim
+      if (line.nonEmpty) {
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val key = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(colon + 1).trim
+          key match {
+            case "user-agent" =>
+              if (!inAgentRun) { inStar = false; inAgentRun = true }
+              if (value == "*") inStar = true
+            case "sitemap" =>
+              inAgentRun = false
+              if (value.nonEmpty && seen.add(value)) maps += value
+            case "crawl-delay" =>
+              inAgentRun = false
+              if (inStar && delay.isEmpty && value.nonEmpty)
+                try delay = Some(math.round(value.toDouble * 1000.0))
+                catch { case _: NumberFormatException => }
+            case _ =>
+              inAgentRun = false
+          }
+        }
+      }
+    }
+    (maps.result(), delay)
+  }
 }
 
 object RobotsFunctions {

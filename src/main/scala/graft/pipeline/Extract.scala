@@ -167,11 +167,16 @@ object CorpusSource {
   /** Authored robots.txt body for frontier host `h` — exercises comments,
     * a non-`*` group that must be ignored, consecutive-User-agent group
     * formation, an empty Disallow (no rule), an unknown directive, and the
-    * RFC-required `*` wildcard / `$` anchor rules. Deterministic text. */
+    * RFC-required `*` wildcard / `$` anchor rules. Discovery records (x30):
+    * a Sitemap INSIDE the non-`*` group (group-independent per
+    * sitemaps.org), a trailing duplicate Sitemap (first wins), an even-host
+    * second sitemap, and two Crawl-delays in the `*` group (first wins;
+    * odd hosts get a fractional-seconds value). Deterministic text. */
   def robotsTxt(h: Int): String =
     s"""# robots for host $h
        |User-agent: googlebot
        |Disallow: /
+       |Sitemap: https://h$h.example.org/sitemap.xml
        |
        |User-Agent: *
        |Disallow: /private/
@@ -179,10 +184,13 @@ object CorpusSource {
        |Disallow: /*.json$$
        |Disallow: /tmp*
        |Disallow:
-       |Crawl-delay: 5
+       |Crawl-delay: ${if (h % 2 == 0) "5" else "2.5"}
+       |Crawl-delay: 99
        |
        |User-agent: ignored-agent
        |Disallow: /data/
+       |${if (h % 2 == 0) s"Sitemap: https://h$h.example.org/sitemap-news.xml" else ""}
+       |Sitemap: https://h$h.example.org/sitemap.xml
        |""".stripMargin
 
   /** Authored frontier URL `i` (host h{i%5}.example.org) — the six path

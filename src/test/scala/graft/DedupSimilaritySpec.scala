@@ -468,6 +468,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
       l.contains("windowspecdefinition(doc_id") && !l.contains("bkt")), plan)
   }
 
+  test("revisitRecords: identical re-fetches become revisit records pointing at the original") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val caps = Seq(
+      // url A: v1, v1 again (revisit), v2 (new response), v1 a third time
+      // (revisit pointing at the FIRST v1, not the latest capture)
+      (1L, "a/p", ts(1), "v1"), (2L, "a/p", ts(2), "v1"),
+      (3L, "a/p", ts(3), "v2"), (4L, "a/p", ts(4), "v1"),
+      // url B shares url-A's content v1 — digests dedup WITHIN a url only
+      (5L, "b/p", ts(1), "v1"))
+      .toDF("doc_id", "url", "warc_ts", "text").repartition(3)
+    val out = DedupFunctions.revisitRecords(caps).collect()
+      .map(r => r.getLong(0) -> ((r.getString(3), Option(r.getTimestamp(5)))))
+      .toMap
+    assert(out(1L) == (("response", None)))
+    assert(out(2L) == (("revisit", Some(ts(1)))))
+    assert(out(3L) == (("response", None)))
+    assert(out(4L) == (("revisit", Some(ts(1)))), "refers to the ORIGINAL")
+    assert(out(5L) == (("response", None)), "per-url digest scope")
+    // same-instant duplicate captures: doc_id breaks the tie deterministically
+    val tie = Seq((7L, "c/p", ts(1), "x"), (6L, "c/p", ts(1), "x"))
+      .toDF("doc_id", "url", "warc_ts", "text")
+    val t = DedupFunctions.revisitRecords(tie).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(t(6L) == "response" && t(7L) == "revisit")
+  }
+
   test("lineDedup: planted cross-doc segment removed from both docs, unique text intact") {
     import spark.implicits._
     // two docs share an 8-token boilerplate prefix (two 4-token segments);

@@ -176,4 +176,32 @@ class RobotsSpec extends AnyFunSuite {
     assert(rules == Vector(Rule("/private/", allow = false)),
       "a BOM must not make the politeness gate fail open")
   }
+
+  test("discovery: sitemaps group-independent + first-dup wins; crawl-delay from * group") {
+    // even host: sitemap inside the googlebot group + news sitemap + a
+    // trailing duplicate of the first; delay 5s, second value ignored
+    val (m0, d0) = Robots.discovery(CorpusSource.robotsTxt(0))
+    assert(m0 == Vector("https://h0.example.org/sitemap.xml",
+      "https://h0.example.org/sitemap-news.xml"), m0.toString)
+    assert(d0 == Some(5000L))
+    // odd host: one sitemap (dup removed), fractional-seconds delay
+    val (m1, d1) = Robots.discovery(CorpusSource.robotsTxt(1))
+    assert(m1 == Vector("https://h1.example.org/sitemap.xml"), m1.toString)
+    assert(d1 == Some(2500L))
+  }
+
+  test("discovery: non-* crawl-delay ignored; bad values skipped; BOM; comments") {
+    // delay only in a non-* group \u2192 none for us
+    assert(Robots.discovery(
+      "User-agent: googlebot\nCrawl-delay: 7\nUser-agent: *\nDisallow: /x/\n")
+      ._2.isEmpty)
+    // non-numeric delay skipped, later good value in the same group wins
+    assert(Robots.discovery(
+      "User-agent: *\nCrawl-delay: fast\nCrawl-delay: 1.25\n")
+      ._2 == Some(1250L))
+    // BOM + comment stripping apply to discovery lines too
+    val (m, d) = Robots.discovery(
+      "\uFEFFSitemap: https://a.example/s.xml # primary\nUser-agent: *\nCrawl-delay: 2 # s\n")
+    assert(m == Vector("https://a.example/s.xml") && d == Some(2000L))
+  }
 }
