@@ -785,6 +785,26 @@ object SparkEntry {
       DomainFunctions.registrableDomain(
         docs(s, dir).select(col("doc_id"), host.as("host")))
     }),
+    // per-domain contribution cap (8 pages) over the SAME host synthesis —
+    // source ≡ doc_id (mod 20) correlates with the case selector (mod 8),
+    // so each (case, source) domain holds ~12 docs and the cap genuinely
+    // trims EVERY domain (204/500 dropped at sf0.001), hardest on the
+    // www.ck / suffix-only github.io hot keys (~31 captures each)
+    "d53_domain_cap" -> ((s, dir) => {
+      val host = expr(
+        """CASE CAST(doc_id % 8 AS INT)
+          |  WHEN 0 THEN source || '.com'
+          |  WHEN 1 THEN 'www.' || source || '.co.uk'
+          |  WHEN 2 THEN source || '.github.io'
+          |  WHEN 3 THEN 'a.b.' || source || '.ck'
+          |  WHEN 4 THEN CASE WHEN doc_id % 16 = 4 THEN 'www.ck'
+          |              ELSE 'github.io' END
+          |  WHEN 5 THEN source || '.ac.jp'
+          |  WHEN 6 THEN 'blog.' || source || '.org'
+          |  ELSE source || '.xyz' END""".stripMargin)
+      DomainFunctions.domainCap(
+        docs(s, dir).select(col("doc_id"), host.as("host")), maxPerDomain = 8)
+    }),
     // site-template line removal (oracle-checkable recast of x23): the
     // documents corpus has no repeated lines, so the sitewide chrome is
     // PLANTED — a nav and a footer line identical across every doc of a
@@ -1149,6 +1169,60 @@ object SparkEntry {
     base + rounds
   }
 
+  /** Shared d50 oracle CTE chain ending in `sel(doc_id, host,
+    * public_suffix, registrable)` — d50 selects it directly, d53 windows
+    * over it (one string so the two can never drift). */
+  private val d50OracleBody: String =
+    """WITH h AS (SELECT doc_id,
+      |  CASE CAST(doc_id % 8 AS INT)
+      |    WHEN 0 THEN source || '.com'
+      |    WHEN 1 THEN 'www.' || source || '.co.uk'
+      |    WHEN 2 THEN source || '.github.io'
+      |    WHEN 3 THEN 'a.b.' || source || '.ck'
+      |    WHEN 4 THEN CASE WHEN doc_id % 16 = 4 THEN 'www.ck'
+      |                ELSE 'github.io' END
+      |    WHEN 5 THEN source || '.ac.jp'
+      |    WHEN 6 THEN 'blog.' || source || '.org'
+      |    ELSE source || '.xyz' END AS host FROM documents),
+      |rules(match_str, is_exc, rule_labels, delta) AS (VALUES
+      |  ('com', false, 1, 0), ('org', false, 1, 0), ('net', false, 1, 0),
+      |  ('io', false, 1, 0), ('github.io', false, 2, 0),
+      |  ('uk', false, 1, 0), ('co.uk', false, 2, 0),
+      |  ('ac.uk', false, 2, 0), ('jp', false, 1, 0),
+      |  ('ac.jp', false, 2, 0), ('us', false, 1, 0),
+      |  ('ck', false, 2, -1), ('www.ck', true, 2, 1)),
+      |lab AS (SELECT doc_id, host, string_split(host, '.') AS ls,
+      |               len(string_split(host, '.')) AS n FROM h),
+      |cand AS (SELECT doc_id, ls, n,
+      |                unnest(generate_series(1, n)) AS k FROM lab),
+      |c2 AS (SELECT doc_id, ls, n, k,
+      |              array_to_string(list_slice(ls, k, n), '.') AS suffix
+      |       FROM cand),
+      |m AS (SELECT c.doc_id, r.is_exc, r.rule_labels, c.ls, c.n,
+      |             c.k - CASE r.delta WHEN -1 THEN 1 WHEN 1 THEN -1
+      |                   ELSE 0 END AS ps_pos
+      |      FROM c2 c JOIN rules r ON c.suffix = r.match_str
+      |      WHERE (r.delta <> -1 OR c.k >= 2)),
+      |m2 AS (SELECT doc_id, is_exc, rule_labels, ps_pos,
+      |              array_to_string(list_slice(ls, ps_pos, n), '.') AS ps,
+      |              CASE WHEN ps_pos >= 2 THEN
+      |                array_to_string(list_slice(ls, ps_pos - 1, n), '.')
+      |              END AS reg
+      |       FROM m WHERE ps_pos <= n),
+      |best AS (SELECT doc_id, ps, reg, row_number() OVER (
+      |           PARTITION BY doc_id
+      |           ORDER BY is_exc DESC, rule_labels DESC, ps_pos) AS rn
+      |         FROM m2),
+      |sel AS (SELECT l.doc_id, l.host,
+      |       coalesce(b.ps, l.ls[l.n]) AS public_suffix,
+      |       CASE WHEN b.ps IS NOT NULL THEN b.reg
+      |            WHEN l.n >= 2 THEN
+      |              array_to_string(list_slice(l.ls, l.n - 1, l.n), '.')
+      |       END AS registrable
+      |FROM lab l LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+      |  USING (doc_id))
+      |""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_filter_project" ->
       """SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber, l_quantity,
@@ -1409,55 +1483,18 @@ object SparkEntry {
         |         AS host_makespan_ms
         |FROM s ORDER BY host, slot""".stripMargin,
     "d50_registrable_domain" ->
-      """WITH h AS (SELECT doc_id,
-        |  CASE CAST(doc_id % 8 AS INT)
-        |    WHEN 0 THEN source || '.com'
-        |    WHEN 1 THEN 'www.' || source || '.co.uk'
-        |    WHEN 2 THEN source || '.github.io'
-        |    WHEN 3 THEN 'a.b.' || source || '.ck'
-        |    WHEN 4 THEN CASE WHEN doc_id % 16 = 4 THEN 'www.ck'
-        |                ELSE 'github.io' END
-        |    WHEN 5 THEN source || '.ac.jp'
-        |    WHEN 6 THEN 'blog.' || source || '.org'
-        |    ELSE source || '.xyz' END AS host FROM documents),
-        |rules(match_str, is_exc, rule_labels, delta) AS (VALUES
-        |  ('com', false, 1, 0), ('org', false, 1, 0), ('net', false, 1, 0),
-        |  ('io', false, 1, 0), ('github.io', false, 2, 0),
-        |  ('uk', false, 1, 0), ('co.uk', false, 2, 0),
-        |  ('ac.uk', false, 2, 0), ('jp', false, 1, 0),
-        |  ('ac.jp', false, 2, 0), ('us', false, 1, 0),
-        |  ('ck', false, 2, -1), ('www.ck', true, 2, 1)),
-        |lab AS (SELECT doc_id, host, string_split(host, '.') AS ls,
-        |               len(string_split(host, '.')) AS n FROM h),
-        |cand AS (SELECT doc_id, ls, n,
-        |                unnest(generate_series(1, n)) AS k FROM lab),
-        |c2 AS (SELECT doc_id, ls, n, k,
-        |              array_to_string(list_slice(ls, k, n), '.') AS suffix
-        |       FROM cand),
-        |m AS (SELECT c.doc_id, r.is_exc, r.rule_labels, c.ls, c.n,
-        |             c.k - CASE r.delta WHEN -1 THEN 1 WHEN 1 THEN -1
-        |                   ELSE 0 END AS ps_pos
-        |      FROM c2 c JOIN rules r ON c.suffix = r.match_str
-        |      WHERE (r.delta <> -1 OR c.k >= 2)),
-        |m2 AS (SELECT doc_id, is_exc, rule_labels, ps_pos,
-        |              array_to_string(list_slice(ls, ps_pos, n), '.') AS ps,
-        |              CASE WHEN ps_pos >= 2 THEN
-        |                array_to_string(list_slice(ls, ps_pos - 1, n), '.')
-        |              END AS reg
-        |       FROM m WHERE ps_pos <= n),
-        |best AS (SELECT doc_id, ps, reg, row_number() OVER (
-        |           PARTITION BY doc_id
-        |           ORDER BY is_exc DESC, rule_labels DESC, ps_pos) AS rn
-        |         FROM m2)
-        |SELECT l.doc_id, l.host,
-        |       coalesce(b.ps, l.ls[l.n]) AS public_suffix,
-        |       CASE WHEN b.ps IS NOT NULL THEN b.reg
-        |            WHEN l.n >= 2 THEN
-        |              array_to_string(list_slice(l.ls, l.n - 1, l.n), '.')
-        |       END AS registrable
-        |FROM lab l LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
-        |  USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+      (d50OracleBody + "SELECT * FROM sel ORDER BY doc_id"),
+    "d53_domain_cap" ->
+      (d50OracleBody +
+        """, keyed AS (SELECT doc_id,
+          |    coalesce(registrable, host) AS domain_key FROM sel),
+          |r AS (SELECT doc_id, domain_key,
+          |        row_number() OVER (PARTITION BY domain_key
+          |                           ORDER BY doc_id)::BIGINT AS site_rank
+          |      FROM keyed)
+          |SELECT doc_id, domain_key, site_rank,
+          |       (site_rank <= 8) AS kept
+          |FROM r ORDER BY doc_id""".stripMargin),
     "d48_gopher_repetition" ->
       """WITH t AS (SELECT doc_id, length(text)::BIGINT AS total_chars,
         |                  string_split(text, ' ') AS ws FROM documents),

@@ -62,6 +62,33 @@ object DomainFunctions {
       } else (r, false, r.count(_ == '.') + 1, 0)
     }
 
+  /** Per-domain contribution cap — the anti-domination gate of RefinedWeb /
+    * CCNet-style curation: no registrable domain may contribute more than
+    * `maxPerDomain` pages to the corpus (subdomain farms and SEO mills
+    * otherwise swamp the token budget). Keys on [[registrableDomain]]'s
+    * output (the whole point: `a.blog.example.co.uk` and
+    * `www.example.co.uk` spend ONE budget); hosts that ARE a public suffix
+    * (registrable NULL) fall back to the host itself as their key. Keep
+    * order is doc_id (deterministic); emits every row with its rank and
+    * verdict so the audit trail survives (the d44 per-rule-verdict
+    * discipline).
+    *
+    * Scale shape: d50's shape plus ONE domain_key-keyed window over
+    * (doc_id, key-string) rows. A mega-domain is one partition's linear
+    * scan — and is exactly the row this operator exists to trim. */
+  def domainCap(hosts: DataFrame, maxPerDomain: Int,
+                rules: Seq[String] = d50Rules): DataFrame = {
+    require(maxPerDomain >= 1, s"maxPerDomain=$maxPerDomain")
+    registrableDomain(hosts, rules)
+      .select(col("doc_id"),
+        coalesce(col("registrable"), col("host")).as("domain_key"))
+      .withColumn("site_rank", row_number().over(
+        Window.partitionBy(col("domain_key")).orderBy(col("doc_id")))
+        .cast("long"))
+      .withColumn("kept", col("site_rank") <= maxPerDomain)
+      .orderBy("doc_id")
+  }
+
   /** `hosts` must have (doc_id, host). Returns (doc_id, host,
     * public_suffix, registrable) for every input row. `rules` defaults to
     * the stand-in table; pass the full PSL in production. */

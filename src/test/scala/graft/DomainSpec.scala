@@ -67,6 +67,34 @@ class DomainSpec extends AnyFunSuite {
     assert(out(15L) == ("xyz", Some("example.xyz")))
   }
 
+  test("domainCap: one budget per registrable domain, doc_id keep order, NULL-reg fallback") {
+    import spark.implicits._
+    // 6 pages spread over subdomains of ONE registrable domain, 2 pages on
+    // another, plus 3 pages whose host IS a public suffix (NULL registrable
+    // → keyed by host)
+    val hosts = (Seq(
+      1L -> "www.example.co.uk", 2L -> "blog.example.co.uk",
+      3L -> "a.b.example.co.uk", 4L -> "example.co.uk",
+      5L -> "shop.example.co.uk", 6L -> "m.example.co.uk",
+      7L -> "other.com", 8L -> "www.other.com") ++
+      Seq(9L, 10L, 11L).map(_ -> "github.io"))
+      .toDF("doc_id", "host").repartition(4)
+    val out = DomainFunctions.domainCap(hosts, maxPerDomain = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // subdomains all spend example.co.uk's budget; keep order is doc_id
+    assert(out(1L) == (("example.co.uk", 1L, true)))
+    assert(out(2L) == (("example.co.uk", 2L, true)))
+    for (d <- 3L to 6L)
+      assert(out(d)._1 == "example.co.uk" && !out(d)._3, s"doc $d over cap")
+    assert(out(7L) == (("other.com", 1L, true)))
+    assert(out(8L) == (("other.com", 2L, true)))
+    // public-suffix hosts budget under the host key
+    assert(out(9L) == (("github.io", 1L, true)))
+    assert(out(10L) == (("github.io", 2L, true)))
+    assert(out(11L) == (("github.io", 3L, false)))
+  }
+
   test("registrableDomain: partition-invariant and window exchange is array-free") {
     import spark.implicits._
     val hosts = (0L until 64L)
