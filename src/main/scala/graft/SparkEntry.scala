@@ -905,6 +905,21 @@ object SparkEntry {
         concat(col("source"), lit("/page"),
           (col("doc_id") % 40).cast("string"), lit("#rev"),
           expr("(doc_id * 37 % 1000) div 250").cast("string")).as("text")))),
+    // adaptive-recrawl priority over the d52 capture synthesis, except
+    // pages 0-7 of each source change on EVERY capture (rev = doc_id) —
+    // those flag hot; the epoch-revisioned rest (~2-4 versions over ~12
+    // captures) stay stable, so both verdicts genuinely occur
+    "d54_recrawl_priority" -> ((s, dir) =>
+      RobotsFunctions.recrawlPriority(docs(s, dir).select(
+        concat(col("source"), lit("/page"),
+          (col("doc_id") % 40).cast("string")).as("url"),
+        expr("timestampadd(HOUR, CAST(doc_id * 37 % 1000 AS INT), " +
+          "timestamp'2024-01-01 00:00:00')").as("warc_ts"),
+        concat(col("source"), lit("/page"),
+          (col("doc_id") % 40).cast("string"), lit("#rev"),
+          expr("CASE WHEN doc_id % 40 < 8 THEN doc_id " +
+            "ELSE (doc_id * 37 % 1000) div 250 END").cast("string"))
+          .as("text")))),
     // encoding-error/mojibake gate — the corpus is clean UTF-8, so damage is
     // PLANTED deterministically per doc_id (the d21/d24 fixture idiom):
     // replacement chars on %5 docs, a C0 bell on %7, a C1 byte on %11
@@ -2012,6 +2027,26 @@ object SparkEntry {
         |                           ORDER BY s2.i), '') AS clean_text
         |FROM s2 LEFT JOIN g ON s2.h = g.h
         |GROUP BY s2.doc_id ORDER BY s2.doc_id""".stripMargin,
+    "d54_recrawl_priority" ->
+      """WITH s AS (SELECT source || '/page' || CAST(doc_id % 40 AS VARCHAR) AS url,
+        |                  TIMESTAMP '2024-01-01 00:00:00'
+        |                    + INTERVAL (CAST(doc_id * 37 % 1000 AS INT)) HOUR AS warc_ts,
+        |                  md5(source || '/page' || CAST(doc_id % 40 AS VARCHAR)
+        |                      || '#rev' || CAST(CASE WHEN doc_id % 40 < 8
+        |                        THEN doc_id
+        |                        ELSE (doc_id * 37 % 1000) // 250 END AS VARCHAR))
+        |                    AS digest
+        |           FROM documents),
+        |v AS (SELECT url, digest, count(*)::BIGINT AS n,
+        |             min(warc_ts) AS lo, max(warc_ts) AS hi
+        |      FROM s GROUP BY url, digest),
+        |u AS (SELECT url, sum(n)::BIGINT AS n_captures,
+        |             count(*)::BIGINT AS n_versions,
+        |             min(lo) AS first_ts, max(hi) AS last_ts
+        |      FROM v GROUP BY url)
+        |SELECT url, n_captures, n_versions, first_ts, last_ts,
+        |       (2 * (n_versions - 1) >= n_captures - 1) AS hot
+        |FROM u ORDER BY url""".stripMargin,
     "d52_revisit_records" ->
       """WITH s AS (SELECT doc_id,
         |                  source || '/page' || CAST(doc_id % 40 AS VARCHAR) AS url,

@@ -204,6 +204,40 @@ object RobotsFunctions {
       .orderBy("doc_id")
   }
 
+  /** Adaptive-recrawl priority — the capture-history side of crawl
+    * scheduling (change-frequency estimation à la Cho & Garcia-Molina,
+    * "Effective Page Refresh Policies for Web Crawlers", TODS 2003): a url
+    * whose payload digest changed in most observed intervals should be
+    * re-fetched sooner than one that never changes. Input captures
+    * (url, warc_ts, text) — the same contract as [[DedupFunctions
+    * .revisitRecords]]; output one row per url: capture/version counts,
+    * observation span, and the `hot` verdict (changed in ≥ half its
+    * intervals, exact integer arithmetic `2·(versions−1) ≥ captures−1` —
+    * the d37 rational-threshold discipline, so engines agree at
+    * boundaries). A single-capture url is vacuously hot (0 ≥ 0): no
+    * interval evidence yet, so the policy explores it — the standard
+    * cold-start choice.
+    *
+    * Scale shape: TWO narrow combining aggregations — (url, digest) first
+    * (the d52 key, map-side combine collapses identical re-fetches before
+    * anything moves), then url; the exchanges carry (url, 32-hex digest,
+    * two timestamps, a count). No window, no text, no countDistinct
+    * expand. */
+  def recrawlPriority(captures: DataFrame): DataFrame =
+    captures
+      .select(col("url"), md5(col("text").cast("binary")).as("digest"),
+        col("warc_ts"))
+      .groupBy(col("url"), col("digest"))
+      .agg(count(lit(1)).as("n"), min(col("warc_ts")).as("lo"),
+        max(col("warc_ts")).as("hi"))
+      .groupBy(col("url"))
+      .agg(sum(col("n")).cast("long").as("n_captures"),
+        count(lit(1)).cast("long").as("n_versions"),
+        min(col("lo")).as("first_ts"), max(col("hi")).as("last_ts"))
+      .withColumn("hot",
+        lit(2) * (col("n_versions") - 1) >= col("n_captures") - 1)
+      .orderBy("url")
+
   /** Crawl-politeness SCHEDULER — the fetch-plan step between the frontier
     * (x26) and the fetcher: a polite crawler serializes requests per host
     * with that host's delay between them (public crawler methodology:

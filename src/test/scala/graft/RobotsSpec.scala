@@ -177,6 +177,30 @@ class RobotsSpec extends AnyFunSuite {
       "a BOM must not make the politeness gate fail open")
   }
 
+  test("recrawlPriority: change-ratio verdicts, exact boundary, cold-start hot") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val caps = Seq(
+      // A: 4 captures, 2 versions -> 2·1 < 3, stable
+      ("a", ts(1), "v1"), ("a", ts(2), "v1"), ("a", ts(3), "v2"), ("a", ts(4), "v1"),
+      // B: 3 captures, 3 versions -> 4 >= 2, hot
+      ("b", ts(1), "v1"), ("b", ts(2), "v2"), ("b", ts(3), "v3"),
+      // C: boundary 2·(2−1) == (3−1) -> hot (the >= edge)
+      ("c", ts(1), "v1"), ("c", ts(2), "v1"), ("c", ts(3), "v2"),
+      // D: single capture -> vacuously hot (cold-start explore)
+      ("d", ts(5), "v1"))
+      .toDF("url", "warc_ts", "text").repartition(3)
+    val out = RobotsFunctions.recrawlPriority(caps).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getTimestamp(3), r.getTimestamp(4),
+          r.getBoolean(5)))).toMap
+    assert(out("a") == ((4L, 2L, ts(1), ts(4), false)))
+    assert(out("b") == ((3L, 3L, ts(1), ts(3), true)))
+    assert(out("c") == ((3L, 2L, ts(1), ts(3), true)))
+    assert(out("d") == ((1L, 1L, ts(5), ts(5), true)))
+  }
+
   test("discovery: sitemaps group-independent + first-dup wins; crawl-delay from * group") {
     // even host: sitemap inside the googlebot group + news sitemap + a
     // trailing duplicate of the first; delay 5s, second value ignored
