@@ -135,13 +135,18 @@ object DomainFunctions {
 
     // implicit `*` fallback: public suffix = last label. The fallback keys
     // on the MATCH being absent (ps null), not on reg being null — a matched
-    // host that IS a public suffix has reg legitimately NULL.
-    labeled.join(best, Seq("doc_id"), "left")
+    // host that IS a public suffix has reg legitimately NULL. Fallback
+    // values are materialized as scalars BEFORE the rejoin so the labels
+    // array never rides the doc_id exchange (plan-pinned).
+    val base = labeled.select(col("doc_id"), col("host"),
+      element_at(col("ls"), -1).as("fb_ps"),
+      when(col("n") >= 2,
+        array_join(slice(col("ls"), col("n") - 1, lit(2)), ".")).as("fb_reg"))
+    base.join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("host"),
-        coalesce(col("ps"), element_at(col("ls"), -1)).as("public_suffix"),
-        when(col("ps").isNotNull, col("reg"))
-          .otherwise(when(col("n") >= 2, array_join(slice(col("ls"),
-            col("n") - 1, lit(2)), "."))).as("registrable"))
+        coalesce(col("ps"), col("fb_ps")).as("public_suffix"),
+        when(col("ps").isNotNull, col("reg")).otherwise(col("fb_reg"))
+          .as("registrable"))
       .orderBy("doc_id")
   }
 }

@@ -103,12 +103,13 @@ class DomainSpec extends AnyFunSuite {
     val b = DomainFunctions.registrableDomain(hosts.repartition(13)).collect()
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
     assert(a.forall(_.getString(3) == s"example.co.uk"))
-    // the labels array must not ride any exchange: candidate rows shrink to
-    // strings before the doc_id window
+    // the labels array dies in the scan stage: the projection above the
+    // doc_id rejoin (which computes the final columns from whatever crossed
+    // that exchange) must consume fb_* fallback strings, never ls
     val plan = DomainFunctions.registrableDomain(hosts)
       .queryExecution.executedPlan.toString
-    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
-    assert(exchanges.nonEmpty)
-    assert(!exchanges.exists(_.contains("ls#")), exchanges.mkString("\n"))
+    val finals = plan.linesIterator.filter(_.contains("AS public_suffix#")).toSeq
+    assert(finals.nonEmpty, plan)
+    assert(!finals.exists(_.contains("ls#")), finals.mkString("\n"))
   }
 }

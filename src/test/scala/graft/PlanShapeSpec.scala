@@ -306,4 +306,44 @@ class PlanShapeSpec extends AnyFunSuite {
     for (l <- plan.linesIterator if l.contains("hashpartitioning"))
       assert(!l.contains("text#"), l)
   }
+
+  test("d49: schedule is ONE host-keyed window shuffle; slot/worker/makespan add none") {
+    val plan = planOf("d49_crawl_schedule")
+    assert(!plan.contains("Join"), plan)
+    // slotting + makespan both key on host: one hash exchange total (plus
+    // the presentation sort's range partitioning)
+    assert(plan.linesIterator.count(_.contains("hashpartitioning")) == 1, plan)
+  }
+
+  test("d52: revisit digest computed scan-side; one (url, digest) window, no body in exchanges") {
+    val plan = planOf("d52_revisit_records")
+    assert(!plan.contains("Join"), plan)
+    assert(plan.linesIterator.count(_.contains("hashpartitioning")) == 1, plan)
+    for (l <- plan.linesIterator if l.contains("hashpartitioning"))
+      assert(!l.contains("text#"), l)
+  }
+
+  test("d54: two combining aggs — (url,digest) then url — with map-side partials, no window") {
+    val plan = planOf("d54_recrawl_priority")
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.linesIterator.count(_.contains("hashpartitioning")) == 2, plan)
+    for (l <- plan.linesIterator if l.contains("hashpartitioning"))
+      assert(!l.contains("text#"), l)
+  }
+
+  test("d50/d53: PSL rules join broadcasts; no labels array in any hash exchange") {
+    for (name <- Seq("d50_registrable_domain", "d53_domain_cap")) {
+      val plan = planOf(name)
+      // the rules dim must broadcast; the doc_id rejoin may sort-merge (both
+      // sides O(docs)) but what crosses its exchange must be scalars — the
+      // projection ABOVE the join (computing the final public_suffix /
+      // registrable) must consume fb_* fallback strings, never the labels
+      // array, which dies in the scan stage
+      assert(plan.contains("BroadcastHashJoin"), s"$name:\n$plan")
+      for (l <- plan.linesIterator if l.contains("AS public_suffix#"))
+        assert(!l.contains("ls#"), s"$name: $l")
+    }
+  }
 }
