@@ -771,17 +771,7 @@ object SparkEntry {
     // (*.ck), exception (!www.ck), host == suffix (github.io → NULL
     // registrable), and the implicit `*` fallback (.xyz)
     "d50_registrable_domain" -> ((s, dir) => {
-      val host = expr(
-        """CASE CAST(doc_id % 8 AS INT)
-          |  WHEN 0 THEN source || '.com'
-          |  WHEN 1 THEN 'www.' || source || '.co.uk'
-          |  WHEN 2 THEN source || '.github.io'
-          |  WHEN 3 THEN 'a.b.' || source || '.ck'
-          |  WHEN 4 THEN CASE WHEN doc_id % 16 = 4 THEN 'www.ck'
-          |              ELSE 'github.io' END
-          |  WHEN 5 THEN source || '.ac.jp'
-          |  WHEN 6 THEN 'blog.' || source || '.org'
-          |  ELSE source || '.xyz' END""".stripMargin)
+      val host = expr(d50HostCaseSql)
       DomainFunctions.registrableDomain(
         docs(s, dir).select(col("doc_id"), host.as("host")))
     }),
@@ -791,17 +781,7 @@ object SparkEntry {
     // trims EVERY domain (204/500 dropped at sf0.001), hardest on the
     // www.ck / suffix-only github.io hot keys (~31 captures each)
     "d53_domain_cap" -> ((s, dir) => {
-      val host = expr(
-        """CASE CAST(doc_id % 8 AS INT)
-          |  WHEN 0 THEN source || '.com'
-          |  WHEN 1 THEN 'www.' || source || '.co.uk'
-          |  WHEN 2 THEN source || '.github.io'
-          |  WHEN 3 THEN 'a.b.' || source || '.ck'
-          |  WHEN 4 THEN CASE WHEN doc_id % 16 = 4 THEN 'www.ck'
-          |              ELSE 'github.io' END
-          |  WHEN 5 THEN source || '.ac.jp'
-          |  WHEN 6 THEN 'blog.' || source || '.org'
-          |  ELSE source || '.xyz' END""".stripMargin)
+      val host = expr(d50HostCaseSql)
       DomainFunctions.domainCap(
         docs(s, dir).select(col("doc_id"), host.as("host")), maxPerDomain = 8)
     }),
@@ -1184,28 +1164,35 @@ object SparkEntry {
     base + rounds
   }
 
+  /** d50/d53 host synthesis — ONE string consumed by BOTH engines (the
+    * d38Rules discipline): Spark via `expr`, DuckDB via interpolation into
+    * [[d50OracleBody]], so the corpus definition can never drift. Covers
+    * every PSL rule shape: 1-label and multi-label suffixes, wildcard
+    * (*.ck), exception (!www.ck), host == suffix, and the implicit-`*`
+    * fallback (.xyz). */
+  private val d50HostCaseSql: String =
+    """CASE CAST(doc_id % 8 AS INT)
+      |  WHEN 0 THEN source || '.com'
+      |  WHEN 1 THEN 'www.' || source || '.co.uk'
+      |  WHEN 2 THEN source || '.github.io'
+      |  WHEN 3 THEN 'a.b.' || source || '.ck'
+      |  WHEN 4 THEN CASE WHEN doc_id % 16 = 4 THEN 'www.ck'
+      |              ELSE 'github.io' END
+      |  WHEN 5 THEN source || '.ac.jp'
+      |  WHEN 6 THEN 'blog.' || source || '.org'
+      |  ELSE source || '.xyz' END""".stripMargin
+
   /** Shared d50 oracle CTE chain ending in `sel(doc_id, host,
     * public_suffix, registrable)` — d50 selects it directly, d53 windows
     * over it (one string so the two can never drift). */
   private val d50OracleBody: String =
-    """WITH h AS (SELECT doc_id,
-      |  CASE CAST(doc_id % 8 AS INT)
-      |    WHEN 0 THEN source || '.com'
-      |    WHEN 1 THEN 'www.' || source || '.co.uk'
-      |    WHEN 2 THEN source || '.github.io'
-      |    WHEN 3 THEN 'a.b.' || source || '.ck'
-      |    WHEN 4 THEN CASE WHEN doc_id % 16 = 4 THEN 'www.ck'
-      |                ELSE 'github.io' END
-      |    WHEN 5 THEN source || '.ac.jp'
-      |    WHEN 6 THEN 'blog.' || source || '.org'
-      |    ELSE source || '.xyz' END AS host FROM documents),
+    s"""WITH h AS (SELECT doc_id,
+      |  $d50HostCaseSql AS host FROM documents),
       |rules(match_str, is_exc, rule_labels, delta) AS (VALUES
-      |  ('com', false, 1, 0), ('org', false, 1, 0), ('net', false, 1, 0),
-      |  ('io', false, 1, 0), ('github.io', false, 2, 0),
-      |  ('uk', false, 1, 0), ('co.uk', false, 2, 0),
-      |  ('ac.uk', false, 2, 0), ('jp', false, 1, 0),
-      |  ('ac.jp', false, 2, 0), ('us', false, 1, 0),
-      |  ('ck', false, 2, -1), ('www.ck', true, 2, 1)),
+      |  ${graft.functions.DomainFunctions.parseRules(
+            graft.functions.DomainFunctions.d50Rules)
+         .map { case (m, e, l, d) => s"('$m', $e, $l, $d)" }
+         .mkString(", ")}),
       |lab AS (SELECT doc_id, host, string_split(host, '.') AS ls,
       |               len(string_split(host, '.')) AS n FROM h),
       |cand AS (SELECT doc_id, ls, n,

@@ -79,7 +79,10 @@ object DomainFunctions {
   def domainCap(hosts: DataFrame, maxPerDomain: Int,
                 rules: Seq[String] = d50Rules): DataFrame = {
     require(maxPerDomain >= 1, s"maxPerDomain=$maxPerDomain")
-    registrableDomain(hosts, rules)
+    // compose over the UNORDERED derivation: the domain_key hash exchange
+    // right below would destroy a presentation sort anyway — paying a
+    // global range-partition + sort first is pure waste at corpus scale
+    registrableDomainUnordered(hosts, rules)
       .select(col("doc_id"),
         coalesce(col("registrable"), col("host")).as("domain_key"))
       .withColumn("site_rank", row_number().over(
@@ -90,9 +93,15 @@ object DomainFunctions {
   }
 
   /** `hosts` must have (doc_id, host). Returns (doc_id, host,
-    * public_suffix, registrable) for every input row. `rules` defaults to
-    * the stand-in table; pass the full PSL in production. */
-  def registrableDomain(hosts: DataFrame, rules: Seq[String] = d50Rules): DataFrame = {
+    * public_suffix, registrable) for every input row, ordered by doc_id.
+    * `rules` defaults to the stand-in table; pass the full PSL in
+    * production. Internal compositions ([[domainCap]]) use the unordered
+    * variant and skip the presentation sort. */
+  def registrableDomain(hosts: DataFrame, rules: Seq[String] = d50Rules): DataFrame =
+    registrableDomainUnordered(hosts, rules).orderBy("doc_id")
+
+  private def registrableDomainUnordered(
+      hosts: DataFrame, rules: Seq[String]): DataFrame = {
     val spark = hosts.sparkSession
     import spark.implicits._
     val ruleDf = parseRules(rules).toDF("match_str", "is_exc", "rule_labels", "delta")
@@ -147,6 +156,5 @@ object DomainFunctions {
         coalesce(col("ps"), col("fb_ps")).as("public_suffix"),
         when(col("ps").isNotNull, col("reg")).otherwise(col("fb_reg"))
           .as("registrable"))
-      .orderBy("doc_id")
   }
 }

@@ -32,12 +32,21 @@ object Robots {
     * case-insensitive, an EMPTY Disallow value is no rule at all, and
     * unknown directives (Crawl-delay, Sitemap, …) are skipped inside and
     * outside groups. */
-  def parse(txt0: String): Vector[Rule] = {
+  def parse(txt0: String): Vector[Rule] = scan(txt0)._1
+
+  /** The ONE lexer + group state machine behind [[parse]] and
+    * [[discovery]] — a single pass collects `*`-group rules, Sitemap lines,
+    * and the `*`-group Crawl-delay together, so the two surfaces can never
+    * diverge on lexing (BOM, comments, key folding) or group formation. */
+  private def scan(txt0: String): (Vector[Rule], Vector[String], Option[Long]) = {
     // strip a UTF-8 BOM: real-world robots.txt files saved by Windows
     // tooling lead with U+FEFF, which would glue onto the first key and
-    // silently drop the whole * group — the gate must not fail open on it
+    // silently drop the whole * group -- the gate must not fail open on it
     val txt = if (txt0.nonEmpty && txt0.charAt(0) == '\uFEFF') txt0.substring(1) else txt0
     val out = Vector.newBuilder[Rule]
+    val maps = Vector.newBuilder[String]
+    val seen = new java.util.HashSet[String]()
+    var delay: Option[Long] = None
     var inStar = false       // current group names agent *
     var inAgentRun = false   // still collecting consecutive User-agent lines
     txt.linesIterator.foreach { line0 =>
@@ -58,13 +67,27 @@ object Robots {
                 out += Rule(value, allow = key == "allow")
               // empty Disallow ("everything allowed") adds no rule; an empty
               // Allow is equally vacuous
+            case "sitemap" =>
+              inAgentRun = false
+              if (value.nonEmpty && seen.add(value)) maps += value
+            case "crawl-delay" =>
+              inAgentRun = false
+              if (inStar && delay.isEmpty && value.nonEmpty)
+                try {
+                  val v = value.toDouble
+                  // finite + non-negative only: a negative/NaN/Infinity
+                  // delay would run the d49 schedule backwards or drop the
+                  // politeness gap entirely
+                  if (java.lang.Double.isFinite(v) && v >= 0)
+                    delay = Some(math.round(v * 1000.0))
+                } catch { case _: NumberFormatException => }
             case _ =>
               inAgentRun = false // any other directive ends a user-agent run
           }
         }
       }
     }
-    out.result()
+    (out.result(), maps.result(), delay)
   }
 
   /** RFC 9309 pattern match of `path` against `pattern`: literal prefix
@@ -119,43 +142,14 @@ object Robots {
     *  - `Crawl-delay:` from the `*` group (de-facto directive, seconds,
     *    fractional values occur in the wild) — the per-host delay the d49
     *    politeness scheduler consumes, returned in ms; the FIRST value in
-    *    a `*` group wins (documented choice), non-numeric values ignored.
+    *    a `*` group wins (documented choice); non-numeric, negative, and
+    *    non-finite values are ignored (a bad delay must not poison the
+    *    d49 schedule).
     * Same lexical rules as [[parse]]: BOM strip, `#` comments, trimmed
     * case-insensitive keys. */
   def discovery(txt0: String): (Vector[String], Option[Long]) = {
-    val txt = if (txt0.nonEmpty && txt0.charAt(0) == '\uFEFF') txt0.substring(1) else txt0
-    val maps = Vector.newBuilder[String]
-    val seen = new java.util.HashSet[String]()
-    var delay: Option[Long] = None
-    var inStar = false
-    var inAgentRun = false
-    txt.linesIterator.foreach { line0 =>
-      val hash = line0.indexOf('#')
-      val line = (if (hash >= 0) line0.substring(0, hash) else line0).trim
-      if (line.nonEmpty) {
-        val colon = line.indexOf(':')
-        if (colon > 0) {
-          val key = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
-          val value = line.substring(colon + 1).trim
-          key match {
-            case "user-agent" =>
-              if (!inAgentRun) { inStar = false; inAgentRun = true }
-              if (value == "*") inStar = true
-            case "sitemap" =>
-              inAgentRun = false
-              if (value.nonEmpty && seen.add(value)) maps += value
-            case "crawl-delay" =>
-              inAgentRun = false
-              if (inStar && delay.isEmpty && value.nonEmpty)
-                try delay = Some(math.round(value.toDouble * 1000.0))
-                catch { case _: NumberFormatException => }
-            case _ =>
-              inAgentRun = false
-          }
-        }
-      }
-    }
-    (maps.result(), delay)
+    val (_, maps, delay) = scan(txt0)
+    (maps, delay)
   }
 }
 

@@ -223,6 +223,13 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.discovery(
       "User-agent: *\nCrawl-delay: fast\nCrawl-delay: 1.25\n")
       ._2 == Some(1250L))
+    // negative / NaN / Infinity must not poison the schedule — all skipped
+    for (bad <- Seq("-1", "NaN", "Infinity", "-Infinity"))
+      assert(Robots.discovery(s"User-agent: *\nCrawl-delay: $bad\n")._2.isEmpty,
+        bad)
+    assert(Robots.discovery(
+      "User-agent: *\nCrawl-delay: -3\nCrawl-delay: 2\n")._2 == Some(2000L),
+      "a rejected value must not consume the first-wins slot")
     // BOM + comment stripping apply to discovery lines too
     val (m, d) = Robots.discovery(
       "\uFEFFSitemap: https://a.example/s.xml # primary\nUser-agent: *\nCrawl-delay: 2 # s\n")
