@@ -1239,6 +1239,107 @@ case class HeadMetaExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_gopher_rep(text STRING) -> ARRAY<STRUCT<n, n_grams, top_count,
+  * top_gram, top_chars, dup_chars>>`: the per-document Gopher A1.2
+  * repetition statistics (Rae et al. 2021 table A1) for every gram width in
+  * `ns`, computed ROW-LOCALLY — repetition is a per-document property, so
+  * the d48 combining (doc_id, n, gram) exchange (the first implementation;
+  * ~9 × n_tokens gram rows per document shuffled) is unnecessary work at
+  * any scale: one hash-map pass per width replaces it and the whole gate
+  * becomes scan-shaped. Widths wider than the token count are omitted
+  * (matching the relational form, which produced no rows for them).
+  *
+  * Exact parity contract with the relational form (oracle-pinned):
+  * tokens = `split(text, ' ')` regex semantics (empties kept); the top gram
+  * ties break by UNSIGNED UTF-8 byte order (Spark's `max(struct(c, gram))`
+  * string ordering, NOT Java's UTF-16 compareTo); char counts are code
+  * points (Spark `length`).
+  *
+  * CodegenFallback is deliberate: the kernel builds per-width hash maps and
+  * an array of structs — object-heavy work Janino codegen cannot improve.
+  */
+case class GopherRepExpr(child: Expression, ns: Seq[Int])
+    extends UnaryExpression with CodegenFallback {
+
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("n_grams", LongType, nullable = false),
+    StructField("top_count", LongType, nullable = false),
+    StructField("top_gram", StringType, nullable = false),
+    StructField("top_chars", LongType, nullable = false),
+    StructField("dup_chars", LongType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got ${child.dataType}")
+  override def prettyName: String = "graft_gopher_rep"
+
+  /** Unsigned UTF-8 byte comparison — Spark's string ordering. */
+  private def cmpUtf8(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val m = math.min(x.length, y.length)
+    while (i < m) {
+      val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private def codePoints(s: String): Long =
+    s.codePointCount(0, s.length).toLong
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val len = toks.length
+    val out = new Array[Any](ns.count(_ <= len))
+    var oi = 0
+    ns.foreach { n =>
+      if (n <= len) {
+        val counts = new java.util.HashMap[String, Long]()
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j + n <= len) {
+          sb.setLength(0)
+          var k = 0
+          while (k < n) {
+            if (k > 0) sb.append(' ')
+            sb.append(toks(j + k))
+            k += 1
+          }
+          counts.merge(sb.toString, 1L, java.lang.Long.sum(_, _))
+          j += 1
+        }
+        var topGram: String = null
+        var topCount = 0L
+        var dupChars = 0L
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val c = e.getValue.longValue()
+          if (c > topCount ||
+              (c == topCount && cmpUtf8(e.getKey, topGram) > 0)) {
+            topCount = c; topGram = e.getKey
+          }
+          if (c >= 2) dupChars += c * codePoints(e.getKey)
+        }
+        out(oi) = InternalRow(n, (len - n + 1).toLong, topCount,
+          UTF8String.fromString(topGram), topCount * codePoints(topGram),
+          dupChars)
+        oi += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GopherRepExpr =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
   import org.apache.spark.sql.graftshim.ColumnBridge
 
@@ -1262,6 +1363,9 @@ object GraftExpressions {
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(c), SimHash64Kernel.HI_SEED))
   def langBest(c: Column): Column =
     ColumnBridge.column(LangBestExpr(ColumnBridge.expression(c)))
+  /** No SQL registration: `ns` is a plan-side Scala parameter. */
+  def gopherRep(c: Column, ns: Seq[Int]): Column =
+    ColumnBridge.column(GopherRepExpr(ColumnBridge.expression(c), ns))
   def urlCanon(c: Column): Column =
     ColumnBridge.column(UrlCanonExpr(ColumnBridge.expression(c)))
   def urlHost(c: Column): Column =

@@ -1069,43 +1069,38 @@ object TextFunctions {
   def gopherRepetition(docs: DataFrame, ns: Seq[Int] = 2 to 10): DataFrame = {
     require(ns.nonEmpty && ns.forall(gopherRepetitionPct.contains),
       s"ns must be within ${gopherRepetitionPct.keys.toSeq.sorted}")
-    val base = docs.select(col("doc_id"),
-      length(col("text")).cast("long").as("total_chars"),
-      tokens(col("text")).as("ws"))
-    val gramArrays = ns.map { n =>
-      when(size(col("ws")) >= n,
-        transform(sequence(lit(0), size(col("ws")) - n),
-          j => struct(lit(n).as("n"),
-            concat_ws(" ", slice(col("ws"), j + 1, lit(n))).as("gram"))))
-        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+    // repetition is a PER-DOCUMENT property: the graft_gopher_rep kernel
+    // computes every width's stats in one row-local pass, so the whole gate
+    // is scan-shaped — the first implementation's combining (doc_id, n,
+    // gram) exchange (~9 × n_tokens rows per doc) is gone; the oracle and
+    // the hand-computed spec pin bit-equality with the relational form
+    def pctOf(n: Column): Column = ns.tail.foldLeft(
+        when(n === ns.head, lit(gopherRepetitionPct(ns.head)))) {
+      (acc, w) => acc.when(n === w, lit(gopherRepetitionPct(w)))
     }
-    val gc = base.select(col("doc_id"), col("total_chars"),
-        explode(concat(gramArrays: _*)).as("g"))
-      .groupBy(col("doc_id"), col("total_chars"),
-        col("g.n").as("n"), col("g.gram").as("gram"))
-      .agg(count(lit(1)).as("c"))
-    val pct = ns.tail.foldLeft(
-        when(col("n") === ns.head, lit(gopherRepetitionPct(ns.head)))) {
-      (acc, n) => acc.when(col("n") === n, lit(gopherRepetitionPct(n)))
-    }
-    val per = gc.groupBy(col("doc_id"), col("total_chars"), col("n"))
-      .agg(sum(col("c")).cast("long").as("n_grams"),
-        max(struct(col("c"), col("gram"))).as("top"),
-        sum(when(col("c") >= 2, col("c") * length(col("gram")))
-          .otherwise(0L)).cast("long").as("dup_chars"))
-    val topChars = (col("top.c") * length(col("top.gram"))).cast("long")
-    val cPass = when(col("n") <= 4, topChars * 100 <= col("total_chars") * pct)
-      .otherwise(col("dup_chars") * 100 <= col("total_chars") * pct)
-    per.select(col("doc_id"), col("n"),
-        col("n_grams"),
-        col("top.c").cast("long").as("top_count"),
-        col("top.gram").as("top_gram"),
-        topChars.as("top_chars"),
-        col("dup_chars"), col("total_chars"),
-        cPass.as("c_pass"))
-      .withColumn("keep_doc",
-        min(when(col("c_pass"), 1).otherwise(0))
-          .over(Window.partitionBy("doc_id")) === 1)
+    def cPass(e: Column, totalChars: Column): Column =
+      when(e.getField("n") <= 4,
+        e.getField("top_chars") * 100 <= totalChars * pctOf(e.getField("n")))
+        .otherwise(
+          e.getField("dup_chars") * 100 <= totalChars * pctOf(e.getField("n")))
+    docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("total_chars"),
+        graft.expressions.GraftExpressions
+          .gopherRep(col("text"), ns).as("rep"))
+      // keep verdict BEFORE the explode: row-local forall, no doc_id window
+      .withColumn("keep_doc", forall(col("rep"),
+        e => cPass(e, col("total_chars"))))
+      .select(col("doc_id"), col("total_chars"), col("keep_doc"),
+        explode(col("rep")).as("r"))
+      .select(col("doc_id"), col("r.n").as("n"),
+        col("r.n_grams").as("n_grams"),
+        col("r.top_count").as("top_count"),
+        col("r.top_gram").as("top_gram"),
+        col("r.top_chars").as("top_chars"),
+        col("r.dup_chars").as("dup_chars"),
+        col("total_chars"),
+        cPass(col("r"), col("total_chars")).as("c_pass"),
+        col("keep_doc"))
       .orderBy("doc_id", "n")
   }
 }

@@ -225,16 +225,15 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!l.contains("seg#") && !l.contains("clean_text"), l)
   }
 
-  test("d48: gram counting is one combining shuffle; no join, no doc text in any exchange") {
+  test("d48: repetition gate is scan-shaped — row-local kernel, zero hash exchange") {
     val plan = planOf("d48_gopher_repetition")
     assert(!plan.contains("CartesianProduct") && !plan.contains("Join"), plan)
-    // partial aggregation must run map-side before the (doc_id, n, gram)
-    // exchange — the corpus collapses to per-doc gram counts before moving
-    assert(plan.contains("partial_count") || plan.contains("partial count")
-      || plan.linesIterator.exists(l => l.contains("HashAggregate")
-           && l.contains("partial")), plan)
-    for (l <- plan.linesIterator if l.contains("hashpartitioning"))
-      assert(!l.contains("text#"), l) // grams move, whole documents never do
+    // the graft_gopher_rep kernel computes every width per document in the
+    // scan stage; no aggregation, no window, no (doc_id, n, gram) exchange
+    // — the only exchange is the presentation sort's range partitioning
+    assert(plan.contains("graft_gopher_rep"), plan)
+    assert(!plan.contains("hashpartitioning"), plan)
+    assert(!plan.contains("Window"), plan)
   }
 
   test("d26: standing-corpus probe is a digest anti-join; no text column crosses it") {
