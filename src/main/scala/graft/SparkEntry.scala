@@ -628,6 +628,13 @@ object SparkEntry {
     "d06_minhash_sig" -> ((s, dir) => TextFunctions.minhashSignature(docs(s, dir), 4)),
     "d07_lsh_pairs" -> ((s, dir) => DedupFunctions.lshCandidatePairs(docs(s, dir), 4)),
     "d08_jaccard_pairs" -> ((s, dir) => DedupFunctions.jaccardPairs(docs(s, dir), 0.5)),
+    // incremental NEAR-dup dedup: standing corpus = doc_id < 250 (the d26
+    // batch-split idiom), new crawl = the rest; 182 verified cross-split
+    // near-dup pairs exist at sf0.001, so drops genuinely occur
+    "d55_incremental_lsh" -> ((s, dir) =>
+      DedupFunctions.incrementalLshDedup(
+        docs(s, dir).filter(col("doc_id") < 250),
+        docs(s, dir).filter(col("doc_id") >= 250), minJaccard = 0.5)),
     // banded MinHash-LSH: 4 bands × 2 rows — the production threshold knob
     // (a pair must agree on BOTH minhashes of some band)
     "d43_lsh_banded" -> ((s, dir) =>
@@ -1606,6 +1613,41 @@ object SparkEntry {
         |               / (len(ua.ws) + len(ub.ws) - len(list_intersect(ua.ws, ub.ws))), 4) AS jaccard
         |  FROM cands JOIN u ua ON doc_a = ua.doc_id JOIN u ub ON doc_b = ub.doc_id) p
         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "d55_incremental_lsh" ->
+      """WITH t AS (SELECT doc_id, doc_id < 250 AS standing,
+        |                  string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, standing,
+        |              unnest(list_transform(range(len(ws) - 2),
+        |                     i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS s
+        |       FROM t WHERE len(ws) >= 3),
+        |sig AS (SELECT doc_id, standing,
+        |               min(md5('0:' || s)) AS mh0, min(md5('1:' || s)) AS mh1,
+        |               min(md5('2:' || s)) AS mh2, min(md5('3:' || s)) AS mh3
+        |        FROM sh GROUP BY doc_id, standing),
+        |bands AS (SELECT doc_id, standing,
+        |                 unnest([mh0, mh1, mh2, mh3]) AS band FROM sig),
+        |cands AS (SELECT DISTINCT b.doc_id AS bid, s.doc_id AS sid
+        |          FROM bands b JOIN bands s ON b.band = s.band
+        |          WHERE NOT b.standing AND s.standing),
+        |u AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+        |      FROM documents),
+        |v AS (SELECT bid,
+        |             round(len(list_intersect(ua.ws, ub.ws))::DOUBLE
+        |                   / (len(ua.ws) + len(ub.ws)
+        |                      - len(list_intersect(ua.ws, ub.ws))), 4) AS j
+        |      FROM cands JOIN u ua ON bid = ua.doc_id
+        |                 JOIN u ub ON sid = ub.doc_id),
+        |p AS (SELECT bid, count(*)::BIGINT AS n_candidates,
+        |             sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END)::BIGINT
+        |               AS n_neardups
+        |      FROM v GROUP BY bid)
+        |SELECT d.doc_id,
+        |       coalesce(p.n_candidates, 0)::BIGINT AS n_candidates,
+        |       coalesce(p.n_neardups, 0)::BIGINT AS n_neardups,
+        |       (coalesce(p.n_neardups, 0) = 0) AS keep
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+        |LEFT JOIN p ON d.doc_id = p.bid
+        |ORDER BY d.doc_id""".stripMargin,
     "d09_simhash16" -> {
       val votes = (0 until 16).map(d =>
         s"sum(CASE WHEN substr(h, ${d + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$d")

@@ -240,14 +240,66 @@ object DedupFunctions {
         count(lit(1)).as("group_size"))
       .orderBy("content_md5")
 
+  /** (doc_id, band) rows from the k single-hash MinHash bands — the shared
+    * banding step of [[lshCandidatePairsRaw]] (self-join) and
+    * [[incrementalLshDedup]] (batch×standing join); sub-shingle docs (null
+    * signatures) never band. */
+  private def bandsOf(docs: DataFrame, k: Int): DataFrame =
+    TextFunctions.minhashSignature(docs, k)
+      .select(col("doc_id"),
+        explode(array((0 until k).map(s => col(s"mh$s")): _*)).as("band"))
+      .filter(col("band").isNotNull)
+
   /** LSH candidate pairs without the final ORDER BY (composition surface:
     * jaccardPairs consumes this; an orderBy here would be a wasted sort). */
-  private[graft] def lshCandidatePairsRaw(docs: DataFrame, k: Int): DataFrame = {
-    val sig = TextFunctions.minhashSignature(docs, k)
-    val bands = sig.select(col("doc_id"),
-      explode(array((0 until k).map(s => col(s"mh$s")): _*)).as("band"))
-      .filter(col("band").isNotNull)
-    pairsFromBands(bands)
+  private[graft] def lshCandidatePairsRaw(docs: DataFrame, k: Int): DataFrame =
+    pairsFromBands(bandsOf(docs, k))
+
+  /** Incremental NEAR-dup dedup — the recurring-crawl tier for near
+    * duplicates, completing [[incrementalDedup]]/[[bloomIncrementalDedup]]'s
+    * exact-digest tiers: each new crawl batch dedups against what the
+    * corpus already holds (a fresh crawl vs all prior crawls). Band
+    * candidates come from a batch×standing band EQUI-join — no standing
+    * self-pairs (the standing side was deduped when it was built) and no
+    * batch self-pairs (that is [[lshCandidatePairs]]/[[dedupComponents]]'
+    * job); candidates verify with exact token-set Jaccard (the
+    * [[jaccardPairs]] discipline, shared constants). Returns every batch
+    * doc with its audit counts: (doc_id, n_candidates, n_neardups, keep)
+    * where keep = no standing near-dup at `minJaccard`.
+    *
+    * Scale shape: the standing side ships (doc_id, band 32-hex) only — at
+    * 10^12 standing docs that signature index is persisted once and
+    * appended per crawl (the d26 standing-index discipline), so per-crawl
+    * cost is O(batch bands + band-matched candidates); the verify joins
+    * are candidate-bounded equi-joins and the band exchange never carries
+    * text. */
+  def incrementalLshDedup(standing: DataFrame, batch: DataFrame,
+                          minJaccard: Double, k: Int = 4): DataFrame = {
+    val cands = bandsOf(batch, k).as("b")
+      .join(bandsOf(standing, k).as("s"), col("b.band") === col("s.band"))
+      .select(col("b.doc_id").as("bid"), col("s.doc_id").as("sid"))
+      .distinct()
+    def toks(d: DataFrame) = d.select(col("doc_id"),
+      array_distinct(TextFunctions.tokens(col("text"))).as("ws"))
+    val verified = cands
+      .join(toks(batch).as("a"), col("bid") === col("a.doc_id"))
+      .join(toks(standing).as("c"), col("sid") === col("c.doc_id"))
+      .select(col("bid"),
+        size(array_intersect(col("a.ws"), col("c.ws"))).cast("double").as("inter"),
+        (size(col("a.ws")) + size(col("c.ws"))).cast("double").as("sizes"))
+      .select(col("bid"),
+        round(col("inter") / (col("sizes") - col("inter")), 4).as("jaccard"))
+    val perDoc = verified.groupBy(col("bid"))
+      .agg(count(lit(1)).cast("long").as("n_candidates"),
+        sum(when(col("jaccard") >= minJaccard, 1L).otherwise(0L))
+          .cast("long").as("n_neardups"))
+    batch.select(col("doc_id"))
+      .join(perDoc, col("doc_id") === col("bid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_neardups"), lit(0L)).as("n_neardups"))
+      .withColumn("keep", col("n_neardups") === 0L)
+      .orderBy("doc_id")
   }
 
   /** LSH candidate pairs from MinHash signatures: docs sharing ANY of the k

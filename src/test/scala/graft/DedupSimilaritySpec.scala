@@ -468,6 +468,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
       l.contains("windowspecdefinition(doc_id") && !l.contains("bkt")), plan)
   }
 
+  test("incrementalLshDedup: batch near-dups of STANDING docs drop; batch-internal dups keep") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val standing = Seq(
+      1L -> base,
+      2L -> "one two three four five six seven eight nine ten").toDF("doc_id", "text")
+    val batch = Seq(
+      // exact copy of standing doc 1 -> candidate + jaccard 1.0 -> drop
+      10L -> base,
+      // near-dup of standing doc 1 (one token changed) -> drop
+      11L -> "alpha beta gamma delta epsilon zeta eta theta iota NEW",
+      // unique -> keep
+      12L -> "completely different words with no shingle overlap at all",
+      // two batch-internal dups of each other, unseen by standing -> BOTH
+      // keep (intra-batch dedup is d07/d20's job, not this tier's)
+      13L -> "unique batch content repeated verbatim in a sibling row here",
+      14L -> "unique batch content repeated verbatim in a sibling row here")
+      .toDF("doc_id", "text").repartition(3)
+    val out = DedupFunctions.incrementalLshDedup(standing, batch, 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(10L)._3 == false && out(10L)._2 >= 1L, out(10L).toString)
+    assert(out(11L)._3 == false, out(11L).toString)
+    assert(out(12L) == ((0L, 0L, true)), out(12L).toString)
+    assert(out(13L)._3 && out(14L)._3, "intra-batch dups must both keep")
+    assert(out.size == 5, "every batch doc gets an audit row")
+  }
+
   test("revisitRecords: identical re-fetches become revisit records pointing at the original") {
     import spark.implicits._
     import java.sql.Timestamp
