@@ -353,6 +353,34 @@ object SparkEntry {
       }.toDF("sitemap_url", "loc", "lastmod", "is_index", "allowed")
         .orderBy("loc")
     }),
+    // the full crawl PLAN — the loop's composition surface (the x13/d18
+    // idiom): x30 discovery supplies each host's Crawl-delay, the x26
+    // frontier supplies canonicalized robots-allowed urls, and the d49
+    // scheduler turns both into per-host fetch slots on md5-affine worker
+    // shards. Disallowed urls never reach the schedule.
+    "x31_crawl_plan" -> ((s, _) => {
+      import s.implicits._
+      val delays = (0 until 5).map { h =>
+        val d = graft.functions.Robots.discovery(CorpusSource.robotsTxt(h))._2
+        s"h$h.example.org" -> d.getOrElse(1000L)
+      }.toDF("host", "delay_ms")
+      val bc = s.sparkContext.broadcast(CorpusSource.frontierRuleMap)
+      val frontier = CorpusSource.sitemapPages(s, 40).mapPartitions { it =>
+        val arena = new graft.htmltok.TokenArena()
+        it.flatMap { p =>
+          graft.functions.Sitemaps.parse(p.html, arena).flatMap { e =>
+            val canon = graft.expressions.UrlKernel.canonical(e.loc)
+            val host = graft.expressions.UrlKernel.host(canon)
+            val allowed = graft.functions.Robots.decide(
+              graft.expressions.UrlKernel.path(canon),
+              bc.value.getOrElse(host, Vector.empty))
+            if (allowed && host.nonEmpty) Some((canon, host)) else None
+          }
+        }
+      }.toDF("url", "host").distinct()
+      RobotsFunctions.crawlSchedule(
+        frontier.join(broadcast(delays), Seq("host")), workers = 4)
+    }),
     // head-metadata extraction (WAT Head-record shape: title, metas,
     // rel=canonical, html lang) — one row-local kernel pass, zero shuffle;
     // first-wins duplicates and script-body phantom metas pinned in

@@ -177,6 +177,36 @@ class RobotsSpec extends AnyFunSuite {
       "a BOM must not make the politeness gate fail open")
   }
 
+  test("x31 crawl plan: only allowed urls scheduled, discovery delays wired, per-host slots") {
+    val rows = SparkEntry.queries("x31_crawl_plan")(spark, "")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // every scheduled url passed the robots gate (re-checked independently)
+    val ruleMap = CorpusSource.frontierRuleMap
+    for ((h, u, _, _, _) <- rows)
+      assert(Robots.decide(graft.expressions.UrlKernel.path(u),
+        ruleMap.getOrElse(h, Vector.empty)), u)
+    // delays come from the x30 discovery records, per host
+    for ((h, _, d, _, _) <- rows) {
+      val idx = h.stripPrefix("h").takeWhile(_.isDigit).toInt
+      val want = Robots.discovery(CorpusSource.robotsTxt(idx))._2.get
+      assert(d == want, s"$h delay $d != $want")
+    }
+    // per host: slots 0..n-1 in url order (the d49 politeness contract)
+    for ((h, rs) <- rows.groupBy(_._1)) {
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (0L until rs.length).toSeq, h)
+      assert(sorted.map(_._2).toSeq == sorted.map(_._2).sorted.toSeq, h)
+      assert(rs.map(_._5).distinct.length == 1, s"$h one worker shard")
+    }
+    // determinism: a second run is identical (the x-surface contract)
+    val again = SparkEntry.queries("x31_crawl_plan")(spark, "")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("recrawlPriority: change-ratio verdicts, exact boundary, cold-start hot") {
     import spark.implicits._
     import java.sql.Timestamp
