@@ -127,9 +127,6 @@ object TextFunctions {
       .orderBy("doc_id")
   }
 
-  /** Word bigrams of a token array column (empty when <2 tokens). */
-  def bigrams(ws: Column): Column = shinglesN(ws, 2)
-
   /** Token-repetition quality signals — the Gopher-rule repetition family
     * (Rae et al. 2021, "Scaling Language Models: ... Gopher", §A1.1: pages
     * dominated by one token or one n-gram are boilerplate/spam and get
@@ -137,39 +134,50 @@ object TextFunctions {
     * (type–token ratio), most-frequent-token fraction, and most-frequent-
     * bigram fraction, each rounded to 4dp for cross-engine determinism.
     *
-    * Shape: two narrow shuffles of (doc_id, gram) pairs with map-side
-    * combine (the d06 shape — grams, never text, cross the exchange), then a
-    * doc_id equi-join of the two small aggregated sides. No UDFs; scales as
-    * token count, not document size squared. */
-  /** Token-side repetition stats only — one gram aggregation, no bigram
-    * pass. This IS the repetition gate's input (d18): a composition that
-    * filters on token-side columns alone should not pay for the bigram
-    * explode [[repetitionSignals]] adds for the full d14 signal set. */
-  def tokenRepetition(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).cast("long").as("n_tokens"),
-        count(lit(1)).cast("long").as("n_distinct"),
-        max(col("c")).as("m"))
-      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-        round(col("n_distinct").cast("double") / col("n_tokens"), 4).as("distinct_ratio"),
-        round(col("m").cast("double") / col("n_tokens"), 4).as("top_token_frac"))
+    * Shape: ROW-LOCAL — repetition is a per-document property, so the
+    * original (doc_id, gram) shuffles (one per width, map-side combined)
+    * were unnecessary work at any scale; the `graft_gopher_rep` kernel (the
+    * d48 rewrite, one hash-map pass per width) plus `array_distinct` for the
+    * type count make the whole signal set scan-shaped. The fractions keep
+    * the exact relational arithmetic (same doubles, same 4dp round), so the
+    * DuckDB oracle match is unchanged. */
+  /** Token-side repetition stats only — no bigram pass. This IS the
+    * repetition gate's input (d18): a composition that filters on
+    * token-side columns alone should not pay for the bigram width
+    * [[repetitionSignals]] adds for the full d14 signal set. */
+  def tokenRepetition(docs: DataFrame): DataFrame = {
+    import graft.expressions.GraftExpressions
+    docs.where(col("text").isNotNull) // relational form drops null-text docs
+      .select(col("doc_id"),
+        get(GraftExpressions.gopherRep(col("text"), Seq(1)), lit(0)).as("r1"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct"))
+      .select(col("doc_id"),
+        col("r1.n_grams").as("n_tokens"),
+        col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("r1.n_grams"), 4)
+          .as("distinct_ratio"),
+        round(col("r1.top_count").cast("double") / col("r1.n_grams"), 4)
+          .as("top_token_frac"))
+  }
 
   def repetitionSignals(docs: DataFrame): DataFrame = {
-    val bg = docs.select(col("doc_id"), explode(bigrams(tokens(col("text")))).as("bg"))
-    val bgAgg = bg.groupBy(col("doc_id"), col("bg"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).cast("long").as("n_bigrams"), max(col("c")).as("mb"))
-    tokenRepetition(docs).join(bgAgg, Seq("doc_id"), "left")
+    import graft.expressions.GraftExpressions
+    val rep = GraftExpressions.gopherRep(col("text"), Seq(1, 2))
+    docs.where(col("text").isNotNull)
       .select(col("doc_id"),
-        col("n_tokens"), col("n_distinct"), col("distinct_ratio"),
-        col("top_token_frac"),
-        coalesce(col("n_bigrams"), lit(0L)).cast("long").as("n_bigrams"),
-        coalesce(round(col("mb").cast("double") / col("n_bigrams"), 4), lit(0.0))
-          .as("top_bigram_frac"))
+        get(rep, lit(0)).as("r1"), // width 1: always present (≥1 token)
+        get(rep, lit(1)).as("r2"), // width 2: null when the doc has 1 token
+        size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct"))
+      .select(col("doc_id"),
+        col("r1.n_grams").as("n_tokens"),
+        col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("r1.n_grams"), 4)
+          .as("distinct_ratio"),
+        round(col("r1.top_count").cast("double") / col("r1.n_grams"), 4)
+          .as("top_token_frac"),
+        coalesce(col("r2.n_grams"), lit(0L)).cast("long").as("n_bigrams"),
+        coalesce(round(col("r2.top_count").cast("double") / col("r2.n_grams"), 4),
+          lit(0.0)).as("top_bigram_frac"))
       .orderBy("doc_id")
   }
 

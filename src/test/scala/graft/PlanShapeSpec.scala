@@ -236,6 +236,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("d14: repetition signals are scan-shaped — kernel widths 1+2, zero hash exchange") {
+    val plan = planOf("d14_repetition")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"), plan)
+    // graft_gopher_rep(widths 1,2) + array_distinct replace the original two
+    // (doc_id, gram) shuffles and the doc_id equi-join (d48's rationale:
+    // repetition is a per-document property); the only exchange left is the
+    // presentation sort's range partitioning
+    assert(plan.contains("graft_gopher_rep"), plan)
+    assert(!plan.contains("hashpartitioning"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+  }
+
   test("d26: standing-corpus probe is a digest anti-join; no text column crosses it") {
     val plan = planOf("d26_incremental_dedup")
     assert(plan.contains("LeftAnti"), plan)
