@@ -44,6 +44,30 @@ object SparkEntry {
   private def orders(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/orders.parquet")
 
+  /** Shared x26/x31 discovery walk: distributed sitemap parse (same
+    * tokenizer, arena reuse per partition; urlset vs sitemapindex, CDATA
+    * locs, entity decode), url canonicalization, then the RFC 9309 robots
+    * gate — ONE definition so the two surfaces cannot diverge. One row per
+    * sitemap entry: (sitemap_url, loc, lastmod, is_index, allowed, host).
+    * Zero shuffle — row-local until the caller's own presentation step. */
+  private def frontierEntries(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(CorpusSource.frontierRuleMap)
+    CorpusSource.sitemapPages(s, 40).mapPartitions { it =>
+      val arena = new graft.htmltok.TokenArena()
+      it.flatMap { p =>
+        graft.functions.Sitemaps.parse(p.html, arena).map { e =>
+          val canon = graft.expressions.UrlKernel.canonical(e.loc)
+          val host = graft.expressions.UrlKernel.host(canon)
+          val allowed = graft.functions.Robots.decide(
+            graft.expressions.UrlKernel.path(canon),
+            bc.value.getOrElse(host, Vector.empty))
+          (p.url, canon, e.lastmod, e.index, allowed, host)
+        }
+      }
+    }.toDF("sitemap_url", "loc", "lastmod", "is_index", "allowed", "host")
+  }
+
   /** Flagship: full extraction pipeline over the synthesized golden corpus
     * (tokenize → arena DOM → block features → rule cascade → ordered spans →
     * assembled text). Driver smoke-checks rows > 0.
@@ -335,49 +359,28 @@ object SparkEntry {
     // per partition; urlset vs sitemapindex, CDATA locs, entity decode),
     // url canonicalization, then the RFC 9309 robots gate. Zero shuffle
     // until the final ORDER BY; closed-form rows pinned in RobotsSpec.
-    "x26_sitemap_frontier" -> ((s, _) => {
-      import s.implicits._
-      val bc = s.sparkContext.broadcast(CorpusSource.frontierRuleMap)
-      CorpusSource.sitemapPages(s, 40).mapPartitions { it =>
-        val arena = new graft.htmltok.TokenArena()
-        it.flatMap { p =>
-          graft.functions.Sitemaps.parse(p.html, arena).map { e =>
-            val canon = graft.expressions.UrlKernel.canonical(e.loc)
-            val host = graft.expressions.UrlKernel.host(canon)
-            val allowed = graft.functions.Robots.decide(
-              graft.expressions.UrlKernel.path(canon),
-              bc.value.getOrElse(host, Vector.empty))
-            (p.url, canon, e.lastmod, e.index, allowed)
-          }
-        }
-      }.toDF("sitemap_url", "loc", "lastmod", "is_index", "allowed")
-        .orderBy("loc")
-    }),
+    "x26_sitemap_frontier" -> ((s, _) =>
+      frontierEntries(s)
+        .select("sitemap_url", "loc", "lastmod", "is_index", "allowed")
+        .orderBy("loc")),
     // the full crawl PLAN — the loop's composition surface (the x13/d18
     // idiom): x30 discovery supplies each host's Crawl-delay, the x26
-    // frontier supplies canonicalized robots-allowed urls, and the d49
-    // scheduler turns both into per-host fetch slots on md5-affine worker
-    // shards. Disallowed urls never reach the schedule.
+    // frontier (the SAME frontierEntries walk — one definition, so the
+    // gate cannot diverge between the two surfaces) supplies canonicalized
+    // robots-allowed PAGE urls, and the d49 scheduler turns both into
+    // per-host fetch slots on md5-affine worker shards. Disallowed urls
+    // never reach the schedule, and sitemap-INDEX shard locs (is_index —
+    // discovery artifacts, not fetchable pages) never consume a politeness
+    // slot.
     "x31_crawl_plan" -> ((s, _) => {
       import s.implicits._
       val delays = (0 until 5).map { h =>
         val d = graft.functions.Robots.discovery(CorpusSource.robotsTxt(h))._2
         s"h$h.example.org" -> d.getOrElse(1000L)
       }.toDF("host", "delay_ms")
-      val bc = s.sparkContext.broadcast(CorpusSource.frontierRuleMap)
-      val frontier = CorpusSource.sitemapPages(s, 40).mapPartitions { it =>
-        val arena = new graft.htmltok.TokenArena()
-        it.flatMap { p =>
-          graft.functions.Sitemaps.parse(p.html, arena).flatMap { e =>
-            val canon = graft.expressions.UrlKernel.canonical(e.loc)
-            val host = graft.expressions.UrlKernel.host(canon)
-            val allowed = graft.functions.Robots.decide(
-              graft.expressions.UrlKernel.path(canon),
-              bc.value.getOrElse(host, Vector.empty))
-            if (allowed && host.nonEmpty) Some((canon, host)) else None
-          }
-        }
-      }.toDF("url", "host").distinct()
+      val frontier = frontierEntries(s)
+        .filter(col("allowed") && !col("is_index") && col("host") =!= "")
+        .select(col("loc").as("url"), col("host")).distinct()
       RobotsFunctions.crawlSchedule(
         frontier.join(broadcast(delays), Seq("host")), workers = 4)
     }),

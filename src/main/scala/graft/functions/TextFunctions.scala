@@ -162,12 +162,17 @@ object TextFunctions {
 
   def repetitionSignals(docs: DataFrame): DataFrame = {
     import graft.expressions.GraftExpressions
-    val rep = GraftExpressions.gopherRep(col("text"), Seq(1, 2))
+    // the kernel array is projected ONCE, then indexed from the projected
+    // column: CollapseProject never inlines a non-cheap expression into two
+    // references, so the per-row hash-map pass runs exactly once
     docs.where(col("text").isNotNull)
       .select(col("doc_id"),
-        get(rep, lit(0)).as("r1"), // width 1: always present (≥1 token)
-        get(rep, lit(1)).as("r2"), // width 2: null when the doc has 1 token
+        GraftExpressions.gopherRep(col("text"), Seq(1, 2)).as("rep"),
         size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct"))
+      .select(col("doc_id"),
+        get(col("rep"), lit(0)).as("r1"), // width 1: always present (≥1 token)
+        get(col("rep"), lit(1)).as("r2"), // width 2: null when the doc has 1 token
+        col("n_distinct"))
       .select(col("doc_id"),
         col("r1.n_grams").as("n_tokens"),
         col("n_distinct"),
@@ -1070,10 +1075,13 @@ object TextFunctions {
     * (chars × 100 vs total_chars × pct). Docs shorter than n contribute no
     * (doc_id, n) row: the rule is vacuous there in both engines.
     *
-    * Scale shape: grams explode row-locally (bounded by |ns| × tokens per
-    * doc); ONE combining (doc_id, n, gram) shuffle does the counting
-    * map-side, the per-(doc_id, n) reduce and the doc-verdict window both
-    * key on doc_id — no exchange ever carries text larger than one n-gram. */
+    * Scale shape: ZERO shuffle until the presentation sort — the
+    * `graft_gopher_rep` kernel computes every width's (n_grams, top gram,
+    * coverage chars) in one row-local hash-map pass per width, and the
+    * threshold compares plus the composed verdict are row-local projections
+    * over that array. The first implementation's combining (doc_id, n,
+    * gram) exchange (~|ns| × n_tokens rows per doc) is gone — 8.5× at
+    * sf0.1, bit-equal by oracle. */
   def gopherRepetition(docs: DataFrame, ns: Seq[Int] = 2 to 10): DataFrame = {
     require(ns.nonEmpty && ns.forall(gopherRepetitionPct.contains),
       s"ns must be within ${gopherRepetitionPct.keys.toSeq.sorted}")

@@ -187,6 +187,16 @@ class RobotsSpec extends AnyFunSuite {
     for ((h, u, _, _, _) <- rows)
       assert(Robots.decide(graft.expressions.UrlKernel.path(u),
         ruleMap.getOrElse(h, Vector.empty)), u)
+    // the schedule is EXACTLY x26's allowed non-index locs: sitemap-INDEX
+    // shard urls are discovery artifacts and must not consume fetch slots
+    val frontier = SparkEntry.queries("x26_sitemap_frontier")(spark, "")
+      .collect().map(r => (r.getString(1), r.getBoolean(3), r.getBoolean(4)))
+    val wantUrls = frontier.collect { case (loc, idx, ok)
+      if ok && !idx && graft.expressions.UrlKernel.host(loc).nonEmpty => loc
+    }.toSet
+    assert(frontier.exists(_._2), "fixture must contain index entries")
+    assert(rows.map(_._2).toSet == wantUrls,
+      "scheduled urls != x26 allowed non-index locs")
     // delays come from the x30 discovery records, per host
     for ((h, _, d, _, _) <- rows) {
       val idx = h.stripPrefix("h").takeWhile(_.isDigit).toInt
