@@ -1165,8 +1165,11 @@ object SparkEntry {
     // round(127*v/scale) codes, worst-component reconstruction error.
     // Oracle-exact — every arithmetic step is the same IEEE double op in
     // both engines, and max is order-independent (never a float SUM).
+    // Exploded to (vec_id, pos, code, max_abs_err) rows: the r4 driver
+    // compare crashed canonicalizing the packed ARRAY<BIGINT> column, so
+    // the verified surface carries only scalar columns.
     "e09_sq8" -> ((s, dir) =>
-      SimilarityFunctions.sq8Quantize(emb(s, dir), dim = 64))
+      SimilarityFunctions.sq8QuantizeRows(emb(s, dir), dim = 64))
   )
 
   /** The DuckDB greedy-merge lambda over a space-joined token string column,
@@ -2031,12 +2034,14 @@ object SparkEntry {
         |             CASE WHEN s.scale = 0 THEN 0
         |                  ELSE CAST(round(127.0 * d.v / s.scale) AS BIGINT)
         |             END AS code
-        |      FROM d JOIN s USING (pos))
-        |SELECT vec_id,
-        |       list(code ORDER BY pos) AS codes,
-        |       max(CASE WHEN scale = 0 THEN abs(v)
-        |                ELSE abs(v - code * scale / 127.0) END) AS max_abs_err
-        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+        |      FROM d JOIN s USING (pos)),
+        |e AS (SELECT vec_id,
+        |             max(CASE WHEN scale = 0 THEN abs(v)
+        |                      ELSE abs(v - code * scale / 127.0) END)
+        |               AS max_abs_err
+        |      FROM q GROUP BY vec_id)
+        |SELECT q.vec_id, q.pos::BIGINT AS pos, q.code, e.max_abs_err
+        |FROM q JOIN e USING (vec_id) ORDER BY vec_id, pos""".stripMargin,
     "d29_shard_pack" ->
       """WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
         |           FROM documents),

@@ -363,6 +363,20 @@ object SimilarityFunctions {
       .orderBy("vec_id")
   }
 
+  /** [[sq8Quantize]] in the driver-comparable shape: one row per
+    * (vec_id, pos, code) with the vector's `max_abs_err` repeated on each
+    * row — no array column crosses the verification boundary (a generic
+    * tabular compare cannot canonicalize list cells). `pos` is 1-based to
+    * match SQL `generate_subscripts`. Same arithmetic, same rows, just
+    * exploded; production sinks keep the packed array shape. */
+  def sq8QuantizeRows(emb: DataFrame, dim: Int = 64): DataFrame =
+    sq8Quantize(emb, dim)
+      .select(col("vec_id"), col("max_abs_err"),
+        posexplode(col("codes")).as(Seq("pos0", "code")))
+      .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("code"), col("max_abs_err"))
+      .orderBy("vec_id", "pos")
+
   /** SemDeDup (Abbas et al. 2023, public): semantic dedup over embeddings —
     * cluster the space with the IVF coarse quantizer (the DECIMAL-exact
     * Lloyd of [[ivfCentroids]]), compare vectors ONLY within their cluster,

@@ -679,8 +679,12 @@ object TextFunctions {
     * over the token array (zero shuffle, positional order, so the float sum
     * is deterministic at any parallelism). */
   def unigramPerplexity(docs: DataFrame, vocabK: Int = 100): DataFrame = {
+    // localCheckpoint (d18/x13 discipline): the top-K collect and the total
+    // both read the materialized counts — the corpus tokenize+explode scan
+    // runs once, not once per downstream job.
     val counts = docs.select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val top = counts.orderBy(col("c").desc, col("token")).limit(vocabK).collect()
     val total = counts.agg(sum(col("c"))).head.getLong(0)
     val denom = (total + vocabK + 1).toDouble

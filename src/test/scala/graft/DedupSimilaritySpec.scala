@@ -409,6 +409,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(r.exists(_.getSeq[Long](1).exists(c => math.abs(c) == 127L)))
   }
 
+  test("sq8QuantizeRows: exploded shape round-trips to the packed codes") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val packed = SimilarityFunctions.sq8Quantize(emb, dim = 64).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getDouble(2)))).toMap
+    val rows = SimilarityFunctions.sq8QuantizeRows(emb, dim = 64).collect()
+    assert(rows.length == packed.size * 64)
+    val byVec = rows.groupBy(_.getLong(0))
+    for ((vid, (codes, err)) <- packed) {
+      val vr = byVec(vid).sortBy(_.getLong(1))
+      assert(vr.map(_.getLong(1)).toSeq == (1L to 64L), s"vec $vid pos set")
+      assert(vr.map(_.getLong(2)).toSeq == codes, s"vec $vid codes")
+      assert(vr.forall(_.getDouble(3) == err), s"vec $vid err")
+    }
+  }
+
   test("shardPack: offsets are the exact prefix sum at any bucket size") {
     import spark.implicits._
     // token counts 3,1,4,1,5 -> starts 0,3,4,8,9; B=4 -> shards 0,0,1,2,2

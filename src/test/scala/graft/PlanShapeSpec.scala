@@ -242,8 +242,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // graft_gopher_rep(widths 1,2) + array_distinct replace the original two
     // (doc_id, gram) shuffles and the doc_id equi-join (d48's rationale:
     // repetition is a per-document property); the only exchange left is the
-    // presentation sort's range partitioning
-    assert(plan.contains("graft_gopher_rep"), plan)
+    // presentation sort's range partitioning. Exactly ONE kernel occurrence:
+    // the signals share a single per-row pass via CollapseProject's
+    // non-cheap heuristic — a count guards against an optimizer change
+    // silently duplicating the hash-map pass per referencing column.
+    assert(plan.split("graft_gopher_rep", -1).length - 1 == 1, plan)
     assert(!plan.contains("hashpartitioning"), plan)
     assert(!plan.contains("HashAggregate"), plan)
   }

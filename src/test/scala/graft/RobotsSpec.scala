@@ -190,7 +190,8 @@ class RobotsSpec extends AnyFunSuite {
     // the schedule is EXACTLY x26's allowed non-index locs: sitemap-INDEX
     // shard urls are discovery artifacts and must not consume fetch slots
     val frontier = SparkEntry.queries("x26_sitemap_frontier")(spark, "")
-      .collect().map(r => (r.getString(1), r.getBoolean(3), r.getBoolean(4)))
+      .select("loc", "is_index", "allowed") // by name: robust to reorder
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2)))
     val wantUrls = frontier.collect { case (loc, idx, ok)
       if ok && !idx && graft.expressions.UrlKernel.host(loc).nonEmpty => loc
     }.toSet
