@@ -109,11 +109,13 @@ object SparkEntry {
           col("emptyDocs"), col("truncatedDocs"), col("unparsedDocs"))
         .orderBy("bucket")
     }),
-    // multimodal: binary payload metadata + decoded features — image-container
-    // rows (PNG/JPEG/GIF/BMP fixtures) get REAL header-parse dims, the rest
-    // keep the labeled stub. The raw array<float> feature stays in the
-    // library API (mediaMeta); the query surface projects it to a scalar
-    // because the driver's pandas sort cannot hash ndarray cells
+    // multimodal: binary payload metadata + decoded features — decodable
+    // image rows (half the PNG/JPEG/GIF/BMP fixtures are real ImageIO
+    // images) get REAL pixel statistics (channel means/std/entropy,
+    // decoded=true); header-only fixtures keep real header-parse dims with
+    // the labeled digest fallback. The raw array<float> feature stays in
+    // the library API (mediaMeta); the query surface projects it to a
+    // scalar because the driver's pandas sort cannot hash ndarray cells
     // (CORRECTNESS_r01 x05 harness error).
     "x05_multimodal_meta" -> ((s, _) =>
       MultimodalFunctions.mediaMeta(

@@ -81,6 +81,34 @@ object MediaFixtures {
     out.toByteArray
   }
 
+  /** REAL decodable image (PNG/JPEG/GIF/BMP via JDK ImageIO): a
+    * deterministic RGB gradient pattern — pixel (x, y) =
+    * (x·7+seed, y·13+seed, x+y+seed) mod 256 per channel — so decoded
+    * per-image statistics are a pure function of (kind, w, h, seed).
+    * Complements the header-only fixtures above: those exercise the
+    * header-parse path, these exercise the full ImageIO pixel-decode path
+    * (functions/MultimodalFunctions.decode). */
+  def realImage(kind: String, w: Int, h: Int, seed: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (x * 7 + seed) & 0xff
+        val g = (y * 13 + seed) & 0xff
+        val b = (x + y + seed) & 0xff
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream(w * h / 4 + 1024)
+    val ok = javax.imageio.ImageIO.write(img, kind, out)
+    require(ok, s"no ImageIO writer for $kind")
+    out.toByteArray
+  }
+
   /** BMP file header + BITMAPINFOHEADER(w, h). */
   def bmp(w: Int, h: Int, extraBytes: Int = 64): Array[Byte] = {
     val out = new ByteArrayOutputStream(64 + extraBytes)

@@ -6,11 +6,15 @@ import graft.model.PageRow
 
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata.
   *
-  * The real decoders (image/audio codecs) are NOT in this container, so the
-  * decode step is a clearly-marked deterministic STUB; everything Spark-side —
-  * schema, per-partition batching shape (the batch-of-crops pattern from
+  * Image payloads get a REAL pixel decode via JDK ImageIO (PNG/JPEG/GIF/BMP —
+  * no native deps), emitting per-image statistics (channel means, gray
+  * stddev, histogram entropy) for multimodal quality gating — the analog of
+  * the reference's DecodeImage (ppocr/data/imaug/operators.py:29-61).
+  * Undecodable or non-image payloads keep the clearly-labeled deterministic
+  * digest fallback (`decoded = false`, the lineage flag). The per-partition
+  * batching shape (the batch-of-crops pattern from
   * tools/infer/predict_rec.py:569-601: accumulate a fixed-size batch, process,
-  * scatter back), partitioning, column types — is real and tested.
+  * scatter back) and column types are the real contract throughout.
   */
 object MultimodalFunctions {
 
@@ -19,13 +23,14 @@ object MultimodalFunctions {
       n_bytes: Long,
       kind: String, // "png"|"jpeg"|"gif"|"bmp"|"pdf"|"html"|"empty"|"other" — magic-byte sniff
       content_md5: String,
-      width: Int, // REAL header-parse dims for image containers; stub otherwise
+      width: Int, // decoded dims when decoded; else REAL header-parse dims; else stub
       height: Int,
-      feature: Array[Float] // STUB embedding (8-dim)
+      feature: Array[Float], // real pixel stats when decoded=true; digest stub otherwise
+      decoded: Boolean // lineage: true iff the pixels were actually decoded
   )
 
-  /** Batch size for the (stubbed) decoder — the real decoder would want dense
-    * batches, like the reference's rec_batch_num=6 crop batches. */
+  /** Batch size for the decoder — dense batches amortize codec setup, like
+    * the reference's rec_batch_num=6 crop batches. */
   val decodeBatch = 64
 
   private def sniff(b: Array[Byte]): String =
@@ -38,23 +43,82 @@ object MultimodalFunctions {
     else if (ImageHeaders.isBmp(b)) "bmp" // after html: 'B' can't open a tag
     else "other"
 
-  /** Decode step: image-container dimensions are REAL header reads (PNG IHDR,
-    * JPEG SOFn, GIF screen descriptor, BMP info header — see ImageHeaders; no
-    * codec involved, exactly what the reference's DecodeImage reports,
-    * ppocr/data/imaug/operators.py:29-61). Pixels/features stay a
-    * clearly-labeled deterministic STUB (no codecs in this environment); the
-    * batch signature (batch in → per-item dims + feature vector out) is the
-    * real contract. Non-image payloads keep digest-derived stub dims. */
-  private def stubDecode(batch: Array[(String, Array[Byte], String, Array[Byte])])
+  /** Real per-image pixel statistics from a decoded image, the 8-dim
+    * quality-gating feature vector:
+    * [meanR, meanG, meanB, meanGray, stddevGray, grayEntropy/8,
+    *  min(w,h)/max(w,h), 1.0] — every term normalized to [0, 1]; the last
+    * component mirrors the `decoded` flag so a feature consumer can mask
+    * stub rows without joining the metadata. Gray = integer ITU-R 601 luma
+    * ((299r + 587g + 114b) / 1000, exact integer division), entropy =
+    * Shannon bits over the 256-bin gray histogram. All-integer histogram +
+    * double reduction in a fixed order: bit-deterministic at any
+    * parallelism. */
+  private def pixelFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val hist = new Array[Long](256)
+    var sr = 0L; var sg = 0L; var sb = 0L; var sgray = 0L; var sgray2 = 0L
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+      val gray = (299 * r + 587 * g + 114 * b) / 1000
+      sr += r; sg += g; sb += b; sgray += gray; sgray2 += gray.toLong * gray
+      hist(gray) += 1
+      i += 1
+    }
+    val n = px.length.toDouble
+    val mean = sgray / n
+    val variance = math.max(0.0, sgray2 / n - mean * mean)
+    var entropy = 0.0
+    var k = 0
+    while (k < 256) {
+      if (hist(k) > 0) {
+        val p = hist(k) / n
+        entropy -= p * (math.log(p) / math.log(2.0))
+      }
+      k += 1
+    }
+    Array(
+      (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
+      (mean / 255.0).toFloat, (math.sqrt(variance) / 255.0).toFloat,
+      (entropy / 8.0).toFloat,
+      (math.min(w, h).toDouble / math.max(w, h)).toFloat, 1.0f)
+  }
+
+  /** Decode step. Image-kind payloads go through a REAL JDK ImageIO pixel
+    * decode (PNG/JPEG/GIF/BMP, the reference's DecodeImage analog,
+    * ppocr/data/imaug/operators.py:29-61): decoded dims + per-image pixel
+    * statistics ([[pixelFeatures]]), `decoded = true`. Payloads ImageIO
+    * cannot decode fall back to REAL header-parse dims (PNG IHDR, JPEG SOFn,
+    * GIF screen descriptor, BMP info header — see ImageHeaders) and, failing
+    * that, digest-derived stub dims; both fallbacks keep the labeled
+    * deterministic digest feature with `decoded = false` — never a silent
+    * fake. The batch signature (batch in → per-item dims + feature vector
+    * out) is the production decoder contract. */
+  private def decode(batch: Array[(String, Array[Byte], String, Array[Byte])])
       : Array[MediaMeta] =
     batch.map { case (url, payload, kind, digest) =>
-      val (w, h) = ImageHeaders.dims(payload) match {
-        case Some(d) => (d.width, d.height)
-        case None => (64 + (digest(0) & 0x7f) * 16, 64 + (digest(1) & 0x7f) * 16)
+      val real: Option[MediaMeta] =
+        if (kind == "png" || kind == "jpeg" || kind == "gif" || kind == "bmp") {
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            if (img == null) None
+            else Some(MediaMeta(url, payload.length.toLong, kind,
+              digest.map("%02x".format(_)).mkString,
+              img.getWidth, img.getHeight, pixelFeatures(img), decoded = true))
+          } catch { case _: Exception => None } // truncated/corrupt → fallback
+        } else None
+      real.getOrElse {
+        val (w, h) = ImageHeaders.dims(payload) match {
+          case Some(d) => (d.width, d.height)
+          case None => (64 + (digest(0) & 0x7f) * 16, 64 + (digest(1) & 0x7f) * 16)
+        }
+        val feat = Array.tabulate(8)(i => (digest(i) & 0xff).toFloat / 255.0f)
+        MediaMeta(url, if (payload == null) 0L else payload.length.toLong, kind,
+          digest.map("%02x".format(_)).mkString, w, h, feat, decoded = false)
       }
-      val feat = Array.tabulate(8)(i => (digest(i) & 0xff).toFloat / 255.0f)
-      MediaMeta(url, if (payload == null) 0L else payload.length.toLong, kind,
-        digest.map("%02x".format(_)).mkString, w, h, feat)
     }
 
   /** Resize planning on media metadata — the EXACT arithmetic of the
@@ -108,8 +172,9 @@ object MultimodalFunctions {
     }.toDF("url", "frame_idx", "frame_ts_ms", "feature")
   }
 
-  /** Metadata + stub-decoded features for every page payload, batched per
-    * partition. No shuffle: scan → mapPartitions → rows. */
+  /** Metadata + decoded features for every page payload, batched per
+    * partition (real ImageIO pixel decode for image kinds, labeled digest
+    * fallback otherwise). No shuffle: scan → mapPartitions → rows. */
   def mediaMeta(pages: Dataset[PageRow]): DataFrame = {
     import pages.sparkSession.implicits._
     pages.mapPartitions { it =>
@@ -120,7 +185,7 @@ object MultimodalFunctions {
           val digest = md.digest(if (p.html == null) Array.emptyByteArray else p.html)
           (p.url, p.html, sniff(p.html), digest)
         }.toArray
-        stubDecode(batch)
+        decode(batch)
       }
     }.toDF()
   }

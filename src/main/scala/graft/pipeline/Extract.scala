@@ -45,12 +45,18 @@ object CorpusSource {
     spark.range(n).mapPartitions(_.map { i =>
       val idx = i.toInt
       val (w, h) = mediaDims(idx)
-      val payload = (idx % 4) match {
-        case 0 => graft.corpus.MediaFixtures.png(w, h, 256 + idx)
-        case 1 => graft.corpus.MediaFixtures.jpeg(w, h, 256 + idx)
-        case 2 => graft.corpus.MediaFixtures.gif(w, h, 64 + idx)
-        case _ => graft.corpus.MediaFixtures.bmp(w, h, 64 + idx)
-      }
+      // alternate rounds: header-only payloads (exercise the header-parse
+      // fallback) vs REAL ImageIO-decodable images (exercise pixel decode)
+      val kinds = Seq("png", "jpeg", "gif", "bmp")
+      val payload =
+        if ((idx / 4) % 2 == 1)
+          graft.corpus.MediaFixtures.realImage(kinds(idx % 4), w, h, seed = idx)
+        else (idx % 4) match {
+          case 0 => graft.corpus.MediaFixtures.png(w, h, 256 + idx)
+          case 1 => graft.corpus.MediaFixtures.jpeg(w, h, 256 + idx)
+          case 2 => graft.corpus.MediaFixtures.gif(w, h, 64 + idx)
+          case _ => graft.corpus.MediaFixtures.bmp(w, h, 64 + idx)
+        }
       val url = String.format(java.util.Locale.ROOT,
         "https://img.example.org/m%04d", Integer.valueOf(idx))
       PageRow(url, new java.sql.Timestamp(1577836800000L + idx.toLong * 3600000L),

@@ -87,6 +87,78 @@ class MultimodalSpec extends AnyFunSuite {
     assert(metas.exists { case (u, (k, _, _)) => !u.startsWith("https://img.") && k == "html" })
   }
 
+  test("mediaMeta: real pixel decode — features match hand-computed statistics") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    def bytesOf(img: BufferedImage, fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no writer for $fmt")
+      out.toByteArray
+    }
+    // 2x1 black|white: meanR=G=B=127.5/255=0.5; grays {0,255} -> mean 0.5,
+    // stddev 127.5/255=0.5, entropy 1 bit -> 1/8; aspect min/max = 1/2
+    val bw = new BufferedImage(2, 1, BufferedImage.TYPE_INT_RGB)
+    bw.setRGB(0, 0, 0x000000); bw.setRGB(1, 0, 0xffffff)
+    // 3x3 solid (10,20,30): gray = (299*10+587*20+114*30)/1000 = 18 (int div)
+    val solid = new BufferedImage(3, 3, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 3; y <- 0 until 3) solid.setRGB(x, y, (10 << 16) | (20 << 8) | 30)
+    // 16x16 solid mid-gray JPEG: lossy, but a uniform block round-trips close
+    val gray = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 16; y <- 0 until 16) gray.setRGB(x, y, 0x808080)
+    val pages = Seq(
+      ("https://px.example.org/bw.png", bytesOf(bw, "png")),
+      ("https://px.example.org/bw.gif", bytesOf(bw, "gif")), // 2 colors: exact palette
+      ("https://px.example.org/solid.bmp", bytesOf(solid, "bmp")),
+      ("https://px.example.org/gray.jpg", bytesOf(gray, "jpeg")),
+      // header-only fixture: ImageIO cannot decode -> labeled fallback
+      ("https://px.example.org/hdr.png", graft.corpus.MediaFixtures.png(800, 600))
+    ).map { case (u, b) =>
+      graft.model.PageRow(u, new java.sql.Timestamp(1577836800000L), b, null, null)
+    }.toDS()
+    val rows = MultimodalFunctions.mediaMeta(pages).collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(2), r.getInt(4), r.getInt(5),
+          r.getSeq[Float](6).toArray, r.getBoolean(7)))).toMap
+    def close(got: Array[Float], want: Array[Double], tol: Double): Unit =
+      for (i <- want.indices)
+        assert(math.abs(got(i) - want(i)) <= tol,
+          s"feature[$i]: got ${got(i)}, want ${want(i)} (tol $tol): ${got.mkString(",")}")
+    val (kBw, wBw, hBw, fBw, dBw) = rows("https://px.example.org/bw.png")
+    assert((kBw, wBw, hBw, dBw) == (("png", 2, 1, true)))
+    close(fBw, Array(0.5, 0.5, 0.5, 0.5, 0.5, 1.0 / 8, 0.5, 1.0), 1e-6)
+    val (kG, wG, hG, fG, dG) = rows("https://px.example.org/bw.gif")
+    assert((kG, wG, hG, dG) == (("gif", 2, 1, true)))
+    close(fG, Array(0.5, 0.5, 0.5, 0.5, 0.5, 1.0 / 8, 0.5, 1.0), 1e-6)
+    val (kS, wS, hS, fS, dS) = rows("https://px.example.org/solid.bmp")
+    assert((kS, wS, hS, dS) == (("bmp", 3, 3, true)))
+    close(fS, Array(10.0 / 255, 20.0 / 255, 30.0 / 255, 18.0 / 255, 0, 0, 1.0, 1.0), 1e-6)
+    val (kJ, wJ, hJ, fJ, dJ) = rows("https://px.example.org/gray.jpg")
+    assert((kJ, wJ, hJ, dJ) == (("jpeg", 16, 16, true)))
+    close(fJ, Array(128.0 / 255, 128.0 / 255, 128.0 / 255, 128.0 / 255,
+      0, 0, 1.0, 1.0), 0.02) // DCT tolerance: uniform block, near-lossless
+    // undecodable: header dims recovered, digest feature, decoded=false
+    val (kH, wH, hH, fH, dH) = rows("https://px.example.org/hdr.png")
+    assert((kH, wH, hH, dH) == (("png", 800, 600, false)))
+    assert(fH.forall(f => f >= 0.0f && f <= 1.0f))
+    // determinism: same inputs -> bit-identical features
+    val again = MultimodalFunctions.mediaMeta(pages).collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](6)).toMap
+    for ((u, (_, _, _, f, _)) <- rows)
+      assert(again(u).toArray.toSeq == f.toSeq, s"$u features not deterministic")
+  }
+
+  test("mediaMeta: mediaPages real-image rounds decode with authored dims") {
+    val pages = CorpusSource.mediaPages(spark, 24)
+    val rows = MultimodalFunctions.mediaMeta(pages).collect()
+      .map(r => r.getString(0) -> ((r.getInt(4), r.getInt(5), r.getBoolean(7)))).toMap
+    for ((url, (w, h, dec)) <- rows) {
+      val idx = url.drop(url.length - 4).toInt
+      assert((w, h) == CorpusSource.mediaDims(idx), url)
+      assert(dec == ((idx / 4) % 2 == 1), s"$url decoded=$dec") // real rounds decode
+    }
+    assert(rows.count(_._2._3) == 12)
+  }
+
   test("frameSample: per-frame rows, bounded, deterministic") {
     val pages = CorpusSource.pages(spark, 48)
     val frames = MultimodalFunctions.frameSample(pages, strideBytes = 1024, maxFrames = 5)
