@@ -442,6 +442,123 @@ object RealPdfGen {
     * text) and flag the document pdf_partial — never emit the ids as
     * mojibake. Used by RealPdfSpec, deliberately NOT in the golden corpus
     * (golden docs assert status "ok"). */
+  /** Minimal sfnt font program carrying only a `cmap` table (public TrueType
+    * layout), mapping each (char, gid) pair via format 4 (one single-char
+    * segment per pair + the mandatory 0xFFFF terminator) or format 12 (one
+    * group per pair). Enough structure for a cmap reader; expected text is
+    * authored from the mapping, never from running the parser under test. */
+  def buildTtfCmap(charToGid: Seq[(Int, Int)], format: Int = 4): Array[Byte] = {
+    val pairs = charToGid.sortBy(_._1)
+    def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val sub = new ByteArrayOutputStream()
+    def w16(v: Int): Unit = sub.write(be16(v), 0, 2)
+    def w32(v: Long): Unit = sub.write(be32(v), 0, 4)
+    if (format == 4) {
+      val segs = pairs.map { case (c, g) => (c, c, (g - c) & 0xffff) } :+
+        ((0xffff, 0xffff, 1)) // terminator segment (maps to gid 0)
+      val segCount = segs.length
+      val len = 16 + 8 * segCount
+      var sr = 2; var es = 0
+      while (sr * 2 <= segCount * 2) { sr *= 2; es += 1 }
+      w16(4); w16(len); w16(0) // format, length, language
+      w16(segCount * 2); w16(sr); w16(es - 1 max 0); w16(segCount * 2 - sr)
+      segs.foreach { case (_, e, _) => w16(e) }
+      w16(0) // reservedPad
+      segs.foreach { case (s, _, _) => w16(s) }
+      segs.foreach { case (_, _, d) => w16(d) }
+      segs.foreach(_ => w16(0)) // idRangeOffset: all delta-form
+    } else {
+      w16(12); w16(0); w32(16 + 12L * pairs.length); w32(0); w32(pairs.length)
+      pairs.foreach { case (c, g) => w32(c); w32(c); w32(g) }
+    }
+    val subBytes = sub.toByteArray
+    val out = new ByteArrayOutputStream()
+    // sfnt: version 1.0, ONE table; binary-search fields as the spec computes
+    out.write(be32(0x00010000L), 0, 4)
+    out.write(be16(1), 0, 2) // numTables
+    out.write(be16(16), 0, 2); out.write(be16(0), 0, 2); out.write(be16(0), 0, 2)
+    out.write("cmap".getBytes(StandardCharsets.US_ASCII), 0, 4)
+    out.write(be32(0), 0, 4) // checksum (not validated here)
+    out.write(be32(28), 0, 4) // offset: 12 header + 16 directory
+    out.write(be32(12L + subBytes.length), 0, 4) // length
+    // cmap header: version 0, 1 encoding record: (3, 1) -> subtable at +12
+    out.write(be16(0), 0, 2); out.write(be16(1), 0, 2)
+    out.write(be16(3), 0, 2); out.write(be16(1), 0, 2); out.write(be32(12), 0, 4)
+    out.write(subBytes, 0, subBytes.length)
+    out.toByteArray
+  }
+
+  /** Deterministic char → gid assignment for [[buildIdentityCidEmbedded]]:
+    * distinct chars of `text` in code-point order, gids from 0x40 up. */
+  def cidAssignment(text: String): Seq[(Int, Int)] =
+    text.distinct.sorted.zipWithIndex.map { case (c, i) => (c.toInt, 0x40 + i) }
+
+  /** Like [[buildIdentityCid]] (Identity-H composite font, NO /ToUnicode)
+    * but the descendant font embeds a real font program (/FontFile2, Flate)
+    * whose cmap covers `cidText` — the extractor can recover the show by
+    * reversing the embedded cmap. The glyph ids in the content stream come
+    * from [[cidAssignment]], so the expected text is authored. */
+  def buildIdentityCidEmbedded(pages: Seq[PageSpec], cidText: String,
+                               cmapFormat: Int = 4): Array[Byte] = {
+    val assign = cidAssignment(cidText).toMap
+    val showHex = cidText.map(c => f"${assign(c.toInt)}%04X").mkString
+    val ttf = buildTtfCmap(cidAssignment(cidText), cmapFormat)
+    val out = new ByteArrayOutputStream(4096)
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def put(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    def beginObj(num: Int): Unit = { offsets += out.size(); put(s"$num 0 obj\n") }
+    val n = pages.length
+    val cidNum = 3 + 2 * n
+    val descNum = cidNum + 1
+    val fdNum = cidNum + 2
+    val ffNum = cidNum + 3
+    put("%PDF-1.4\n")
+    beginObj(1)
+    put("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    val kids = pages.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    beginObj(2)
+    put(s"<< /Type /Pages /Kids [$kids] /Count $n >>\nendobj\n")
+    for ((p, i) <- pages.zipWithIndex) {
+      val pageNum = 3 + 2 * i
+      val contNum = 4 + 2 * i
+      beginObj(pageNum)
+      put(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 ${p.w} ${p.h}] " +
+        s"/Contents $contNum 0 R /Resources << /Font << /F1 << /Type /Font " +
+        s"/Subtype /Type1 /BaseFont /Helvetica >> /C2 $cidNum 0 R >> >> >>\nendobj\n")
+      val raw = contentFor(p) ++
+        s"BT\n/C2 12 Tf\n50 10 Td\n<$showHex> Tj\nET\n"
+          .getBytes(StandardCharsets.ISO_8859_1)
+      val (data, filter) =
+        if (p.compress) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
+      beginObj(contNum)
+      put(s"<< /Length ${data.length}$filter >>\nstream\n")
+      out.write(data)
+      put("\nendstream\nendobj\n")
+    }
+    beginObj(cidNum)
+    put("<< /Type /Font /Subtype /Type0 /BaseFont /GRAFT+CID " +
+      s"/Encoding /Identity-H /DescendantFonts [$descNum 0 R] >>\nendobj\n")
+    beginObj(descNum)
+    put("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GRAFT+CID " +
+      s"/CIDToGIDMap /Identity /FontDescriptor $fdNum 0 R >>\nendobj\n")
+    beginObj(fdNum)
+    put(s"<< /Type /FontDescriptor /FontName /GRAFT+CID /FontFile2 $ffNum 0 R >>\nendobj\n")
+    val ffData = deflate(ttf)
+    beginObj(ffNum)
+    put(s"<< /Length ${ffData.length} /Length1 ${ttf.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(ffData)
+    put("\nendstream\nendobj\n")
+    val xrefOff = out.size()
+    val total = offsets.length + 1
+    put(s"xref\n0 $total\n0000000000 65535 f \n")
+    for (o <- offsets)
+      put(String.format(java.util.Locale.ROOT, "%010d 00000 n \n", Integer.valueOf(o)))
+    put(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
   def buildIdentityCid(pages: Seq[PageSpec]): Array[Byte] = {
     val out = new ByteArrayOutputStream(4096)
     val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -555,6 +672,88 @@ object RealPdfGen {
         out.write(data)
         put("\nendstream\nendobj\n")
       }
+    }
+    val xrefOff = out.size()
+    val n = offsets.length + 1
+    put(s"xref\n0 $n\n0000000000 65535 f \n")
+    for (o <- offsets)
+      put(String.format(java.util.Locale.ROOT, "%010d 00000 n \n", Integer.valueOf(o)))
+    put(s"trailer\n<< /Size $n /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Content stream for one UPRIGHT PageSpec stored on a page that carries
+    * `/Rotate rot`: every baseline is emitted at the raw user-space position
+    * whose image under the viewer's clockwise rotation is the authored
+    * upright position, and per-line steps follow the rotated downward
+    * direction — so a conforming viewer (and the extractor's rotation
+    * normalization) sees the identical upright page. Inverse maps (stored
+    * page Ws×Hs, upright X,Y bottom-up): 90 → (Ws−Y, X); 180 → (Ws−X, Hs−Y);
+    * 270 → (Y, Hs−X). */
+  private def contentForRotated(p: PageSpec, rot: Int): Array[Byte] = {
+    val (ws, hs) = if (rot == 90 || rot == 270) (p.h, p.w) else (p.w, p.h)
+    val sb = new java.lang.StringBuilder()
+    for (b <- p.blocks) {
+      val leading = b.fontSize + 2
+      val yUp = p.h - b.yTop - b.fontSize // upright first-line baseline
+      val (x0, y0) = rot match {
+        case 90  => (ws - yUp, b.x)
+        case 180 => (ws - b.x, hs - yUp)
+        case 270 => (yUp, hs - b.x)
+        case _   => (b.x, yUp)
+      }
+      // upright downward step (0, -leading) in stored user space
+      val (dx, dy) = rot match {
+        case 90  => (leading, 0)
+        case 180 => (0, leading)
+        case 270 => (-leading, 0)
+        case _   => (0, -leading)
+      }
+      sb.append("BT\n/F1 ").append(b.fontSize).append(" Tf\n")
+        .append(x0).append(' ').append(y0).append(" Td\n")
+      for ((line, idx) <- b.lines.zipWithIndex) {
+        if (idx > 0) sb.append(dx).append(' ').append(dy).append(" Td\n")
+        if (idx % 2 == 0) sb.append('(').append(esc(line)).append(") Tj\n")
+        else sb.append("[<").append(hex(line)).append(">] TJ\n")
+      }
+      sb.append("ET\n")
+    }
+    sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  /** As [[build]] but every page is STORED rotated: the MediaBox axes swap
+    * for 90/270, the page dict carries `/Rotate rot`, and the content stream
+    * places text in raw (pre-rotation) user space — the upright twin of
+    * `build(pages)` under a conforming viewer. Exists so RealPdfSpec can
+    * assert byte-identical extraction between a page and its rotated twin. */
+  def buildRotated(pages: Seq[PageSpec], rot: Int): Array[Byte] = {
+    require(Seq(90, 180, 270).contains(rot), s"rot $rot")
+    val out = new ByteArrayOutputStream(4096)
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def put(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    def beginObj(num: Int): Unit = { offsets += out.size(); put(s"$num 0 obj\n") }
+    put("%PDF-1.4\n")
+    beginObj(1)
+    put("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    val kids = pages.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    beginObj(2)
+    put(s"<< /Type /Pages /Kids [$kids] /Count ${pages.length} >>\nendobj\n")
+    for ((p, i) <- pages.zipWithIndex) {
+      val pageNum = 3 + 2 * i
+      val contNum = 4 + 2 * i
+      val (ws, hs) = if (rot == 90 || rot == 270) (p.h, p.w) else (p.w, p.h)
+      beginObj(pageNum)
+      put(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 $ws $hs] " +
+        s"/Rotate $rot /Contents $contNum 0 R /Resources << /Font << /F1 " +
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> >> >> >>\nendobj\n")
+      val raw = contentForRotated(p, rot)
+      val (data, fdecl) =
+        if (!p.compress) (raw, "")
+        else (deflate(raw), " /Filter /FlateDecode")
+      beginObj(contNum)
+      put(s"<< /Length ${data.length}$fdecl >>\nstream\n")
+      out.write(data)
+      put("\nendstream\nendobj\n")
     }
     val xrefOff = out.size()
     val n = offsets.length + 1

@@ -50,7 +50,7 @@ object PdfBranch {
     * those pages) | "pdf_unparsed" (nothing decodable). Neither failure mode
     * is silent: lineage counts every status ≠ "ok" as unparsedDocs. */
   final case class PdfPages(pages: Vector[(Int, Vector[PBlock])], status: String,
-                            pagesTruncated: Boolean)
+                            pagesTruncated: Boolean, rotatedPages: Int = 0)
 
   /** Parse a (byte-capped) PDF payload: real PDFs via the from-scratch subset
     * parser (RealPdf), the %PDF-GRAFT mini format via the line parser. */
@@ -67,7 +67,9 @@ object PdfBranch {
             if (p.decodeFailures == 0 && p.unmappedShows == 0) "ok"
             else if (anyText) "pdf_partial" // text emitted, but some is missing
             else "pdf_unparsed"
-          PdfPages(pages, status, p.pagesTruncated)
+          // rotatedPages: how many pages carried /Rotate — their geometry
+          // was normalized upright before the XY-cut (lineage, not a loss)
+          PdfPages(pages, status, p.pagesTruncated, p.rotatedPages)
         case None => PdfPages(Vector.empty, "pdf_unparsed", pagesTruncated = false)
       }
     } else {

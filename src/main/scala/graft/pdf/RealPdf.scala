@@ -60,7 +60,8 @@ object RealPdf {
     * mojibake) and the document is flagged pdf_partial. */
   final case class Parsed(pages: Vector[Page], decodeFailures: Int,
                           unmappedShows: Int, pagesTruncated: Boolean,
-                          images: Vector[PdfImage] = Vector.empty)
+                          images: Vector[PdfImage] = Vector.empty,
+                          rotatedPages: Int = 0)
 
   /** One embedded image XObject occurrence (ISO 32000 §8.9.5): dictionary
     * metadata + the RAW stream bytes — for /DCTDecode the stream IS a complete
@@ -315,6 +316,26 @@ object RealPdf {
     (612.0, 792.0)
   }
 
+  /** /Rotate with /Parent inheritance (ISO 32000 §7.7.3.3) — the viewer's
+    * clockwise display rotation in degrees, normalized to {0, 90, 180, 270};
+    * anything malformed or non-multiple-of-90 reads as 0 (the spec default).
+    * The reference normalizes page orientation before layout analysis
+    * (ppstructure/predict_system.py:112-125); here the analog is rotating
+    * extracted geometry into upright coordinates before the XY-cut. */
+  private def pageRotate(page: PdfObj, objs: Map[Int, PdfObj]): Int = {
+    var cur: Option[PdfObj] = Some(page)
+    var hops = 0
+    while (cur.isDefined && hops < 32) {
+      firstGroup(raw"/Rotate\s+(-?\d+)", cur.get.dict) match {
+        case Some(v) =>
+          return v.toIntOption.map(r => ((r % 360) + 360) % 360)
+            .filter(_ % 90 == 0).getOrElse(0)
+        case None => cur = ref(cur.get.dict, "Parent").flatMap(objs.get); hops += 1
+      }
+    }
+    0
+  }
+
   // ---------------------------------------------------------------- streams
 
   /** One decoded content stream: `data` may be empty (genuinely empty stream)
@@ -500,14 +521,20 @@ object RealPdf {
     *    MacRoman/Standard, or an /Encoding dict with /Differences) — codes
     *    route through the 256-entry table (ISO 32000-1 Appendix D, see
     *    [[Encodings]]); null slots keep the Latin-ish fallback char.
-    *  - [[CidNoMapDec]]: a composite (Type0) font WITHOUT /ToUnicode — show
-    *    bytes are 2-byte glyph ids with no recoverable text; shows are
-    *    dropped and counted (→ pdf_partial), never emitted as mojibake.
+    *  - [[CidCmapDec]]: a composite (Type0, Identity-H) font WITHOUT
+    *    /ToUnicode whose embedded font program (/FontFile2) carries a
+    *    parsable Unicode cmap — glyph ids reverse through it to text
+    *    ([[TrueTypeCmap]]); gids absent from the cmap are dropped + counted.
+    *  - [[CidNoMapDec]]: a composite (Type0) font with NEITHER /ToUnicode
+    *    nor a usable embedded cmap — show bytes are 2-byte glyph ids with no
+    *    recoverable text; shows are dropped and counted (→ pdf_partial),
+    *    never emitted as mojibake.
     * A font with none of the above gets no entry (Latin-ish fallback, the
     * pre-existing behavior). */
   private[graft] sealed trait FontDec
   private[graft] final case class CMapDec(tu: ToUnicode) extends FontDec
   private[graft] final case class TableDec(table: Array[String]) extends FontDec
+  private[graft] final case class CidCmapDec(rev: Map[Int, String]) extends FontDec
   private[graft] case object CidNoMapDec extends FontDec
 
   // (?s): CMap sections span lines
@@ -758,6 +785,23 @@ object RealPdf {
           k += 1
         }
         sb.toString
+      case CidCmapDec(rev) =>
+        // 2-byte glyph ids reversed through the embedded font cmap; a gid
+        // the cmap doesn't cover drops (+flag), never mojibake
+        val sb = new java.lang.StringBuilder(t.length / 2)
+        var dropped = false
+        var k = 0
+        while (k + 1 < t.length) {
+          val code = (t.charAt(k) << 8) | (t.charAt(k + 1) & 0xff)
+          rev.get(code) match {
+            case Some(txt) => sb.append(txt)
+            case None => dropped = true
+          }
+          k += 2
+        }
+        if (k < t.length) dropped = true // odd trailing byte: malformed show
+        if (dropped) unmapped += 1
+        sb.toString
       case CidNoMapDec => // glyph ids, no mapping: drop + flag, never mojibake
         if (t.nonEmpty) unmapped += 1
         ""
@@ -981,8 +1025,37 @@ object RealPdf {
     *    indirect ref) → base table (Standard when unnamed — the spec default
     *    for non-symbolic Type1) overlaid with the Differences;
     *  - anything else → None (Latin-ish fallback, the pre-existing path). */
-  private def encodingDec(fontDict: String, objs: Map[Int, PdfObj]): Option[FontDec] = {
-    if (hasName(fontDict, "Subtype", "Type0")) return Some(CidNoMapDec)
+  /** Identity-H recovery: /DescendantFonts → /FontDescriptor → /FontFile2
+    * → the embedded TrueType cmap, reversed gid → text ([[TrueTypeCmap]]).
+    * Valid only under /CIDToGIDMap /Identity (the default — then the CID in
+    * the show string IS the gid the cmap indexes); a stream-valued
+    * CIDToGIDMap, a missing/undecodable font file, or an unparsable cmap
+    * falls back to the honest drop-and-flag [[CidNoMapDec]]. */
+  private def cidDec(fontDict: String, objs: Map[Int, PdfObj],
+      ttCache: scala.collection.mutable.HashMap[Int, Option[Map[Int, String]]]): FontDec = {
+    val rev = refArray(fontDict, "DescendantFonts").headOption
+      .flatMap(objs.get).flatMap { d =>
+        val gidIdentity = !d.dict.contains("/CIDToGIDMap") ||
+          hasName(d.dict, "CIDToGIDMap", "Identity")
+        if (!gidIdentity) None
+        else ref(d.dict, "FontDescriptor").flatMap(objs.get).flatMap { fd =>
+          ref(fd.dict, "FontFile2").flatMap { ffNum =>
+            // font programs are shared across pages: parse each once per doc
+            ttCache.getOrElseUpdate(ffNum, objs.get(ffNum).flatMap { ff =>
+              val dec = decodeStream(ff)
+              if (dec.failed) None else TrueTypeCmap.gidToText(dec.data)
+            })
+          }
+        }
+      }
+    rev.map(CidCmapDec.apply).getOrElse(CidNoMapDec)
+  }
+
+  private def encodingDec(fontDict: String, objs: Map[Int, PdfObj],
+      ttCache: scala.collection.mutable.HashMap[Int, Option[Map[Int, String]]])
+      : Option[FontDec] = {
+    if (hasName(fontDict, "Subtype", "Type0"))
+      return Some(cidDec(fontDict, objs, ttCache))
     // dict form FIRST: an inline `/Encoding << /Type /Encoding … >>` contains
     // "/Encoding /BaseEncoding" text the name-form regex would false-match
     subDict(fontDict, "Encoding", objs) match {
@@ -1037,7 +1110,9 @@ object RealPdf {
     }
 
   private def pageFonts(page: PdfObj, objs: Map[Int, PdfObj],
-      tuCache: scala.collection.mutable.HashMap[Int, Option[ToUnicode]]): Map[String, FontDec] = {
+      tuCache: scala.collection.mutable.HashMap[Int, Option[ToUnicode]],
+      ttCache: scala.collection.mutable.HashMap[Int, Option[Map[Int, String]]])
+      : Map[String, FontDec] = {
     pageResources(page, objs).flatMap(subDict(_, "Font", objs)) match {
       case None => Map.empty
       case Some(fd) =>
@@ -1056,7 +1131,8 @@ object RealPdf {
                 if (dec.failed) None else parseToUnicode(dec.data)
               }).map(CMapDec.apply)
             }
-            viaCMap.orElse(encodingDec(fo.dict, objs)).foreach(d => out += name -> d)
+            viaCMap.orElse(encodingDec(fo.dict, objs, ttCache))
+              .foreach(d => out += name -> d)
           }
         }
         out.result()
@@ -1078,10 +1154,26 @@ object RealPdf {
       var decodeFailures = objStmFailures
       var unmappedShows = 0
       val tuCache = scala.collection.mutable.HashMap.empty[Int, Option[ToUnicode]]
+      val ttCache = scala.collection.mutable.HashMap.empty[Int, Option[Map[Int, String]]]
       val images = Vector.newBuilder[PdfImage]
+      var rotatedPages = 0
       val out = pages.zipWithIndex.map { case (p, pageIdx) =>
         val (w, h) = pageBox(p, objs)
-        val fonts = pageFonts(p, objs, tuCache)
+        val rot = pageRotate(p, objs)
+        if (rot != 0) rotatedPages += 1
+        // upright (display) page dims: /Rotate 90/270 swap the MediaBox axes
+        val (rw, rh) = if (rot == 90 || rot == 270) (h, w) else (w, h)
+        // raw user coords -> upright display coords (clockwise viewer
+        // rotation `rot`): 90 maps (x,y)->(y, w-x); 180 -> (w-x, h-y);
+        // 270 -> (h-y, x). Applied to every geometry BEFORE the XY-cut so a
+        // rotated page reads in its upright order.
+        def upright(x: Double, y: Double): (Double, Double) = rot match {
+          case 90  => (y, w - x)
+          case 180 => (w - x, h - y)
+          case 270 => (h - y, x)
+          case _   => (x, y)
+        }
+        val fonts = pageFonts(p, objs, tuCache, ttCache)
         val contentRefs = refArray(p.dict, "Contents")
         val datas = contentRefs.flatMap { r =>
           objs.get(r).map { o =>
@@ -1108,7 +1200,20 @@ object RealPdf {
           }
         val scan = extractChunks(joined, fonts)
         unmappedShows += scan.unmapped
-        val chunks = scan.chunks
+        val chunks =
+          if (rot == 0) scan.chunks
+          else scan.chunks.map { c =>
+            val (ux, uy) = upright(c.x, c.y)
+            c.copy(x = ux, y = uy)
+          }
+        val places =
+          if (rot == 0) scan.places
+          else scan.places.map { q =>
+            val (ax, ay) = upright(q.x0, q.y0)
+            val (bx, by) = upright(q.x1, q.y1)
+            q.copy(x0 = math.min(ax, bx), y0 = math.min(ay, by),
+              x1 = math.max(ax, bx), y1 = math.max(ay, by))
+          }
         // embedded images: every /Resources /XObject image, with a placement
         // rect per Do occurrence (top-down coords, like PBlock) — an image the
         // content stream never drew still carries its payload (placed=false)
@@ -1125,22 +1230,23 @@ object RealPdf {
               firstGroup(raw"/ColorSpace\s*/([A-Za-z0-9]+)", o.dict).getOrElse(""),
               firstGroup(raw"/Filter\s*/([A-Za-z0-9]+)", o.dict).getOrElse("none"),
               data,
-              pl.map(_.x0).getOrElse(0.0), pl.map(q => h - q.y1).getOrElse(0.0),
+              pl.map(_.x0).getOrElse(0.0), pl.map(q => rh - q.y1).getOrElse(0.0),
               pl.map(q => q.x1 - q.x0).getOrElse(0.0),
               pl.map(q => q.y1 - q.y0).getOrElse(0.0),
               placed = pl.isDefined)
           }
-          for (pl <- scan.places; o <- byName.get(pl.name)) {
+          for (pl <- places; o <- byName.get(pl.name)) {
             drawn += pl.name
             images += mk(pl.name, o, Some(pl))
           }
           for ((name, o) <- imgObjs if !drawn.contains(name))
             images += mk(name, o, None)
         }
-        Page(math.round(w).toInt, math.round(h).toInt,
-          chunksToBlocks(chunks, h, off, math.min(payload.length, off + 1)))
+        Page(math.round(rw).toInt, math.round(rh).toInt,
+          chunksToBlocks(chunks, rh, off, math.min(payload.length, off + 1)))
       }
-      Some(Parsed(out, decodeFailures, unmappedShows, pagesTruncated, images.result()))
+      Some(Parsed(out, decodeFailures, unmappedShows, pagesTruncated,
+        images.result(), rotatedPages))
     } catch {
       case scala.util.control.NonFatal(_) => None
     }

@@ -41,6 +41,37 @@ class RealPdfSpec extends AnyFunSuite {
       "Headline.\n\nLeft one.\n\nLeft two.\n\nRight one.\n\nRight two.")
   }
 
+  test("/Rotate 90/180/270 pages extract byte-identically to the upright twin") {
+    // two-column layout + multi-line paragraph: the XY-cut must see upright
+    // geometry or the reading order scrambles
+    val blocks = Seq(
+      RealPdfGen.Placed(430, 150, 12, Seq("Right one.")),
+      RealPdfGen.Placed(50, 300, 12, Seq("Left two wraps", "onto a second line.")),
+      RealPdfGen.Placed(430, 300, 12, Seq("Right two.")),
+      RealPdfGen.Placed(50, 150, 12, Seq("Left one.")),
+      RealPdfGen.Placed(50, 40, 12, Seq("Headline.")))
+    val spec = Seq(RealPdfGen.PageSpec(800, 1200, blocks, compress = true))
+    val upright = Extractor.extract("u", RealPdfGen.build(spec))
+    assert(upright.status == "ok" && upright.text.startsWith("Headline."))
+    for (rot <- Seq(90, 180, 270)) {
+      val payload = RealPdfGen.buildRotated(spec, rot)
+      val twin = Extractor.extract("u", payload)
+      assert(twin.status == "ok", s"rot $rot: ${twin.status}")
+      assert(twin.text == upright.text, s"rot $rot text mismatch:\n${twin.text}")
+      assert(twin.spans.map(s => (s.tagPath, s.text)) ==
+        upright.spans.map(s => (s.tagPath, s.text)), s"rot $rot spans")
+      // lineage: the rotation is recorded, upright dims reported
+      val pp = PdfBranch.parsePayload(payload, ExtractConfig())
+      assert(pp.rotatedPages == 1, s"rot $rot not recorded")
+      assert(pp.pages.head._1 == 800, s"rot $rot pageW ${pp.pages.head._1}")
+      val parsed = RealPdf.parse(payload, 64).get
+      assert((parsed.pages.head.pageW, parsed.pages.head.pageH) == ((800, 1200)))
+    }
+    // a /Rotate 0 (or absent) page records nothing
+    assert(PdfBranch.parsePayload(RealPdfGen.build(spec), ExtractConfig())
+      .rotatedPages == 0)
+  }
+
   test("multi-page PDFs concatenate pages in tree order") {
     val pdf = RealPdfGen.build(Seq(
       RealPdfGen.PageSpec(800, 1200, Seq(RealPdfGen.Placed(50, 100, 12, Seq("Page one."))), compress = true),
@@ -140,6 +171,42 @@ class RealPdfSpec extends AnyFunSuite {
     assert(doc.text == "Readable Helvetica paragraph.")
     assert(doc.status == "pdf_partial", doc.status)
     assert(!doc.text.exists(c => c < 0x20 && c != '\n'), "control-char mojibake leaked")
+  }
+
+  test("Identity-H WITH embedded /FontFile2 cmap: glyph ids reverse to text, doc ok") {
+    val cidText = "Recovered cid text."
+    val pages = Seq(RealPdfGen.PageSpec(800, 1200, Seq(
+      RealPdfGen.Placed(50, 100, 12, Seq("Readable Helvetica paragraph."))), compress = true))
+    for (fmt <- Seq(4, 12)) { // both sfnt cmap subtable formats
+      val doc = Extractor.extract("u",
+        RealPdfGen.buildIdentityCidEmbedded(pages, cidText, cmapFormat = fmt))
+      assert(doc.status == "ok", s"format $fmt: ${doc.status}")
+      assert(doc.text == s"Readable Helvetica paragraph.\n\n$cidText",
+        s"format $fmt:\n${doc.text}")
+    }
+    // a gid OUTSIDE the embedded cmap still drops + flags (never mojibake):
+    // reuse the no-FontFile2 builder as the control — unchanged contract
+    val ctl = Extractor.extract("u", RealPdfGen.buildIdentityCid(pages))
+    assert(ctl.status == "pdf_partial" && ctl.text == "Readable Helvetica paragraph.")
+  }
+
+  test("TrueTypeCmap: authored tables parse exactly; corrupt tables refuse") {
+    import graft.pdf.TrueTypeCmap
+    val pairs = Seq(('A'.toInt, 0x40), ('b'.toInt, 0x41), (0x20AC, 0x42)) // incl. €
+    for (fmt <- Seq(4, 12)) {
+      val ttf = RealPdfGen.buildTtfCmap(pairs, fmt)
+      assert(TrueTypeCmap.charToGid(ttf).contains(pairs.toMap), s"format $fmt")
+      val rev = TrueTypeCmap.gidToText(ttf).get
+      assert(rev == Map(0x40 -> "A", 0x41 -> "b", 0x42 -> "€"), s"format $fmt")
+    }
+    // collision keeps the smallest char (deterministic)
+    val dup = RealPdfGen.buildTtfCmap(Seq(('a'.toInt, 7), ('Z'.toInt, 7)), 4)
+    assert(TrueTypeCmap.gidToText(dup).get.apply(7) == "Z")
+    // truncation / garbage never throws, never fabricates
+    val good = RealPdfGen.buildTtfCmap(pairs, 4)
+    for (n <- Seq(0, 4, 11, 20, 40, good.length - 1))
+      assert(TrueTypeCmap.charToGid(good.take(n)).isEmpty, s"truncated at $n")
+    assert(TrueTypeCmap.charToGid("not a font at all".getBytes("UTF-8")).isEmpty)
   }
 
   test("Identity-H-only page (no mappable text) is pdf_unparsed") {
@@ -435,7 +502,9 @@ class RealPdfSpec extends AnyFunSuite {
     val shapes = Seq[Array[Byte]](
       RealPdfGen.build(pages), RealPdfGen.buildObjStm(pages),
       RealPdfGen.buildObjStmPredicted(pages), RealPdfGen.buildToUnicode(pages),
-      RealPdfGen.buildLzw(pages))
+      RealPdfGen.buildLzw(pages),
+      RealPdfGen.buildIdentityCidEmbedded(pages, "Recovered cid text."),
+      RealPdfGen.buildRotated(pages, 90))
     val rng = new java.util.Random(7L)
     for (shape <- shapes; trial <- 0 until 60) {
       val mutated = shape.clone()
