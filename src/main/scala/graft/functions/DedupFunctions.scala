@@ -408,10 +408,10 @@ object DedupFunctions {
     * lineage stays O(1). Convergence is detected with a driver-side scalar
     * count (control plane, like ExtractPipeline's bucket probe). Real dedup
     * clusters are shallow (near-dup graphs are dense within a cluster —
-    * bands connect most members to the min directly), so rounds ≈ 2-4; for
-    * adversarial long-chain graphs the large-star/small-star algorithm
-    * (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond" —
-    * public) drops rounds to O(log n) with the same per-round join shape. */
+    * bands connect most members to the min directly), so rounds ≈ 2-4; if an
+    * adversarial long-chain graph exhausts `maxRounds`, the computation
+    * escapes to [[starComponents]] (large-star/small-star, O(log n) rounds,
+    * same per-round join shape) instead of failing. */
   def dedupComponents(docs: DataFrame, minJaccard: Double, k: Int = 4,
                       maxRounds: Int = 64): DataFrame = {
     val pairs = jaccardPairsRaw(docs, minJaccard, k).select(col("doc_a"), col("doc_b"))
@@ -424,11 +424,8 @@ object DedupFunctions {
       .localCheckpoint()
     var changed = 1L
     var round = 0
-    while (changed > 0) {
+    while (changed > 0 && round < maxRounds) {
       round += 1
-      require(round <= maxRounds,
-        s"dedupComponents did not converge in $maxRounds rounds — " +
-          "pathological chain graph; use large-star/small-star for this input")
       val viaNeighbors = edges.join(labels, edges("dst") === labels("id"))
         .select(col("src").as("id"), col("comp"))
       val next = labels.union(viaNeighbors)
@@ -440,8 +437,74 @@ object DedupFunctions {
         .filter(col("n.comp") < col("o.comp")).count()
       labels = next
     }
+    if (changed > 0)
+      // adversarial long-chain graph: min-propagation needs diameter rounds;
+      // escape to the O(log n) star shape (same two-long-columns round cost)
+      return starComponents(edges, docs.select(col("doc_id")))
     labels.select(col("id").as("doc_id"), col("comp").as("component_id"),
         (col("id") === col("comp")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
+  /** Connected components via alternating large-star/small-star rounds
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond" —
+    * public): O(log n) rounds on ANY graph, including the long-chain inputs
+    * where plain min-label propagation needs O(diameter) rounds. Each phase
+    * over the symmetric edge list:
+    *   large-star(u): every neighbor v > u re-attaches to
+    *                  m(u) = min(N(u) ∪ {u});
+    *   small-star(u): every neighbor v ≤ u, and u itself, attach to m(u).
+    * At the fixpoint every component is a star centered at its minimum id,
+    * so the label is just m(u). Result schema/order matches
+    * [[dedupComponents]]: (doc_id, component_id, is_keeper).
+    *
+    * Scale shape: per phase ONE (src → min dst) aggregation + ONE equi-join
+    * on src; all rows are two longs, text never appears. Convergence check
+    * is a canonical-edge-set diff (two longs per row, anti-join) — control
+    * plane, one scalar per phase pair. */
+  def starComponents(edgesIn: DataFrame, docs: DataFrame,
+                     maxRounds: Int = 64): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+    def canon(e: DataFrame): DataFrame =
+      e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+    // m(u) = min(N(u) ∪ {u}) over the current symmetric edges
+    def mTable(e: DataFrame): DataFrame =
+      e.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+    var edges = sym(edgesIn.select(col("src"), col("dst"))).localCheckpoint()
+    var done = edges.isEmpty
+    var round = 0
+    while (!done) {
+      round += 1
+      require(round <= maxRounds, // 2·log2(n) in theory — this cannot fire
+        s"starComponents did not converge in $maxRounds phase pairs")
+      val before = canon(edges).localCheckpoint()
+      val mL = mTable(edges)
+      val large = edges.filter(col("dst") > col("src"))
+        .join(mL, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+      edges = sym(large).localCheckpoint()
+      val mS = mTable(edges)
+      val small = edges.filter(col("dst") < col("src"))
+        .join(mS, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(mS.select(col("src"), col("m").as("dst")))
+      edges = sym(small).localCheckpoint()
+      val after = canon(edges)
+      // fixpoint: the canonical undirected edge set stopped moving
+      done = after.join(before, Seq("a", "b"), "left_anti").isEmpty &&
+        before.join(after, Seq("a", "b"), "left_anti").isEmpty
+    }
+    val labels = mTable(edges)
+    docs.select(col("doc_id"))
+      .join(labels.select(col("src").as("doc_id"), col("m")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("m"), col("doc_id")).as("component_id"))
+      .select(col("doc_id"), col("component_id"),
+        (col("doc_id") === col("component_id")).as("is_keeper"))
       .orderBy("doc_id")
   }
 

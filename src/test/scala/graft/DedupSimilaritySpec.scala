@@ -814,6 +814,61 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "singletons keep themselves")
   }
 
+  test("starComponents: long chains + random graphs match union-find; fallback engages") {
+    import spark.implicits._
+    // local union-find oracle
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    def check(n: Int, edges: Seq[(Long, Long)], tag: String): Unit = {
+      val ids = (0 until n).map(_.toLong).toDF("doc_id")
+      val e = edges.toDF("src", "dst")
+      val got = DedupFunctions.starComponents(e, ids)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      val want = unionFind(n, edges)
+      for (i <- 0 until n) {
+        assert(got(i.toLong)._1 == want(i.toLong), s"$tag: node $i")
+        assert(got(i.toLong)._2 == (want(i.toLong) == i.toLong), s"$tag keeper $i")
+      }
+    }
+    // the adversarial shape: a 200-node path (min-propagation needs ~200
+    // rounds; the star rounds need O(log n))
+    check(200, (0 until 199).map(i => (i.toLong, i.toLong + 1)), "path200")
+    // path emitted high-to-low (worst orientation) + isolated tail nodes
+    check(64, (0 until 50).map(i => (49L - i + 1, 49L - i)), "revpath+isolated")
+    // random sparse graphs, seeded
+    val rng = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 80
+      val edges = Seq.fill(60)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      check(n, edges, s"random$trial")
+    }
+    // empty edge set: everyone is their own keeper
+    check(5, Seq.empty, "empty")
+    // the dedupComponents maxRounds guard escapes to stars and still gets
+    // the transitive answer (same fixture as the chain test above)
+    def words(prefix: String, n: Int) = (0 until n).map(i => s"$prefix$i")
+    val aw = words("alpha", 24)
+    val bw = aw.take(16) ++ words("beta", 8)
+    val cw = words("gamma", 8) ++ bw.drop(8)
+    val docs = Seq(
+      (10L, aw.mkString(" ")), (20L, bw.mkString(" ")), (30L, cw.mkString(" ")),
+      (40L, words("delta", 24).mkString(" "))
+    ).toDF("doc_id", "text")
+    val viaFallback = DedupFunctions.dedupComponents(docs, 0.5, maxRounds = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(viaFallback(10L) == ((10L, true)) && viaFallback(20L) == ((10L, false)) &&
+      viaFallback(30L) == ((10L, false)) && viaFallback(40L) == ((40L, true)),
+      viaFallback.toString)
+  }
+
   test("crossDocSpans: shared span positions counted; short docs excluded") {
     import spark.implicits._
     def words(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
