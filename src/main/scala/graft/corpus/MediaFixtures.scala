@@ -91,6 +91,7 @@ object MediaFixtures {
   def realImage(kind: String, w: Int, h: Int, seed: Int = 0): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h) // bulk setRGB: per-pixel calls are ~10× slower
     var y = 0
     while (y < h) {
       var x = 0
@@ -98,11 +99,12 @@ object MediaFixtures {
         val r = (x * 7 + seed) & 0xff
         val g = (y * 13 + seed) & 0xff
         val b = (x + y + seed) & 0xff
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        px(y * w + x) = (r << 16) | (g << 8) | b
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     val out = new ByteArrayOutputStream(w * h / 4 + 1024)
     val ok = javax.imageio.ImageIO.write(img, kind, out)
     require(ok, s"no ImageIO writer for $kind")
