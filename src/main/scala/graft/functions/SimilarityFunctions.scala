@@ -344,7 +344,7 @@ object SimilarityFunctions {
     * production sink casts to TINYINT. The scales ride the plan as a literal
     * array: fine at dim 64; at production dims (768–1536) move them into a
     * kernel expression exactly as `graft_srp_buckets` did for plane weights. */
-  def sq8Quantize(emb: DataFrame, dim: Int = 64): DataFrame = {
+  private def sq8Raw(emb: DataFrame, dim: Int): DataFrame = {
     val v = col("embedding").cast("array<double>")
     val scales = emb.select(posexplode(v).as(Seq("pos", "x")))
       .groupBy(col("pos")).agg(max(abs(col("x"))).as("s"))
@@ -360,8 +360,10 @@ object SimilarityFunctions {
         .otherwise(abs(x - code(x, s) * s / lit(127.0)))
     })
     emb.select(col("vec_id"), codes.as("codes"), array_max(errs).as("max_abs_err"))
-      .orderBy("vec_id")
   }
+
+  def sq8Quantize(emb: DataFrame, dim: Int = 64): DataFrame =
+    sq8Raw(emb, dim).orderBy("vec_id")
 
   /** [[sq8Quantize]] in the driver-comparable shape: one row per
     * (vec_id, pos, code) with the vector's `max_abs_err` repeated on each
@@ -370,7 +372,7 @@ object SimilarityFunctions {
     * match SQL `generate_subscripts`. Same arithmetic, same rows, just
     * exploded; production sinks keep the packed array shape. */
   def sq8QuantizeRows(emb: DataFrame, dim: Int = 64): DataFrame =
-    sq8Quantize(emb, dim)
+    sq8Raw(emb, dim) // unordered core: ONE presentation sort, not sort→explode→resort
       .select(col("vec_id"), col("max_abs_err"),
         posexplode(col("codes")).as(Seq("pos0", "code")))
       .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
