@@ -726,7 +726,8 @@ object RealPdfGen {
     * places text in raw (pre-rotation) user space — the upright twin of
     * `build(pages)` under a conforming viewer. Exists so RealPdfSpec can
     * assert byte-identical extraction between a page and its rotated twin. */
-  def buildRotated(pages: Seq[PageSpec], rot: Int): Array[Byte] = {
+  def buildRotated(pages: Seq[PageSpec], rot: Int,
+                   inheritRotate: Boolean = false): Array[Byte] = {
     require(Seq(90, 180, 270).contains(rot), s"rot $rot")
     val out = new ByteArrayOutputStream(4096)
     val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -737,14 +738,18 @@ object RealPdfGen {
     put("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
     val kids = pages.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
     beginObj(2)
-    put(s"<< /Type /Pages /Kids [$kids] /Count ${pages.length} >>\nendobj\n")
+    // inheritRotate: /Rotate lives on the Pages NODE (ISO 32000 §7.7.3.4
+    // inheritable attribute) and reaches each page via /Parent
+    put(s"<< /Type /Pages /Kids [$kids] /Count ${pages.length}" +
+      (if (inheritRotate) s" /Rotate $rot" else "") + " >>\nendobj\n")
     for ((p, i) <- pages.zipWithIndex) {
       val pageNum = 3 + 2 * i
       val contNum = 4 + 2 * i
       val (ws, hs) = if (rot == 90 || rot == 270) (p.h, p.w) else (p.w, p.h)
       beginObj(pageNum)
       put(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 $ws $hs] " +
-        s"/Rotate $rot /Contents $contNum 0 R /Resources << /Font << /F1 " +
+        (if (inheritRotate) "" else s"/Rotate $rot ") +
+        s"/Contents $contNum 0 R /Resources << /Font << /F1 " +
         "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> >> >> >>\nendobj\n")
       val raw = contentForRotated(p, rot)
       val (data, fdecl) =

@@ -67,6 +67,11 @@ class RealPdfSpec extends AnyFunSuite {
       val parsed = RealPdf.parse(payload, 64).get
       assert((parsed.pages.head.pageW, parsed.pages.head.pageH) == ((800, 1200)))
     }
+    // /Rotate INHERITED from the Pages node (§7.7.3.4) behaves identically
+    val inherited = RealPdfGen.buildRotated(spec, 90, inheritRotate = true)
+    val twinI = Extractor.extract("u", inherited)
+    assert(twinI.status == "ok" && twinI.text == upright.text, twinI.text)
+    assert(PdfBranch.parsePayload(inherited, ExtractConfig()).rotatedPages == 1)
     // a /Rotate 0 (or absent) page records nothing
     assert(PdfBranch.parsePayload(RealPdfGen.build(spec), ExtractConfig())
       .rotatedPages == 0)
