@@ -145,6 +145,16 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getSeq[Float](6)).toMap
     for ((u, (_, _, _, f, _)) <- rows)
       assert(again(u).toArray.toSeq == f.toSeq, s"$u features not deterministic")
+    // a REAL image truncated mid-stream: decode fails, but the intact IHDR
+    // still yields header dims via the labeled fallback — never a crash,
+    // never a fabricated decode
+    val realPng = bytesOf(bw, "png")
+    val cutPages = Seq(graft.model.PageRow("https://px.example.org/cut.png",
+      new java.sql.Timestamp(1577836800000L),
+      java.util.Arrays.copyOf(realPng, 40), null, null)).toDS()
+    val cut = MultimodalFunctions.mediaMeta(cutPages).collect().head
+    assert(cut.getString(2) == "png" && !cut.getBoolean(7))
+    assert((cut.getInt(4), cut.getInt(5)) == ((2, 1)), "IHDR dims recovered")
   }
 
   test("mediaMeta: mediaPages real-image rounds decode with authored dims") {
