@@ -1110,8 +1110,13 @@ object TextFunctions {
       // keep verdict BEFORE the explode: row-local forall, no doc_id window
       .withColumn("keep_doc", forall(col("rep"),
         e => cPass(e, col("total_chars"))))
+      // explode_OUTER + cheap post-filter, not plain explode: explode's
+      // implicit (size(rep)>0 AND rep IS NOT NULL) guard gets pushed down
+      // past the projection and re-derives the KERNEL on text inside the
+      // scan filter — the hash-map pass would run 2-3x per row
       .select(col("doc_id"), col("total_chars"), col("keep_doc"),
-        explode(col("rep")).as("r"))
+        explode_outer(col("rep")).as("r"))
+      .where(col("r").isNotNull)
       .select(col("doc_id"), col("r.n").as("n"),
         col("r.n_grams").as("n_grams"),
         col("r.top_count").as("top_count"),

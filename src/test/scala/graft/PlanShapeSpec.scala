@@ -230,8 +230,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("Join"), plan)
     // the graft_gopher_rep kernel computes every width per document in the
     // scan stage; no aggregation, no window, no (doc_id, n, gram) exchange
-    // — the only exchange is the presentation sort's range partitioning
-    assert(plan.contains("graft_gopher_rep"), plan)
+    // — the only exchange is the presentation sort's range partitioning.
+    // Exactly ONE kernel occurrence: plain explode's implicit non-empty
+    // guard used to push down and re-derive the kernel inside the scan
+    // filter (2-3 evaluations per row) — explode_outer + post-filter keeps
+    // the hash-map pass single; this count catches a regression
+    assert(plan.split("graft_gopher_rep", -1).length - 1 == 1, plan)
     assert(!plan.contains("hashpartitioning"), plan)
     assert(!plan.contains("Window"), plan)
   }
