@@ -564,7 +564,11 @@ object DedupFunctions {
       s"bandBits must divide 64, got $bandBits")
     val nBands = 64 / bandBits
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val sig = simhash64Raw(nonTrivial(docs, minTokens))
+    // localCheckpoint: the signature table is the SELF-JOIN input — without
+    // materialization each side recomputes the kernel, and the join keys'
+    // pushed isnotnull re-derives it inside the scan filter (4 evaluations
+    // per row total). Production shape: the sig table IS a persisted index.
+    val sig = simhash64Raw(nonTrivial(docs, minTokens)).localCheckpoint()
     val bands = sig.select(col("doc_id"), col("simhash64"),
       posexplode(array((0 until nBands).map(b =>
         shiftrightunsigned(col("simhash64"), b * bandBits).bitwiseAND(lit(mask))): _*))
@@ -605,7 +609,8 @@ object DedupFunctions {
       s"bandBits must divide 64, got $bandBits")
     val perHalf = 64 / bandBits
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val sig = simhash128Raw(nonTrivial(docs, minTokens))
+    // localCheckpoint: same self-join materialization as [[simhashPairs]]
+    val sig = simhash128Raw(nonTrivial(docs, minTokens)).localCheckpoint()
     val bandCols =
       (0 until perHalf).map(b =>
         shiftrightunsigned(col("simhash_lo"), b * bandBits).bitwiseAND(lit(mask))) ++

@@ -207,9 +207,13 @@ object SimilarityFunctions {
                 iters: Int = 3, nProbe: Int = 4, dim: Int = 64): DataFrame = {
     val cents = ivfCentroids(emb, k, iters, dim)
     val v = col("embedding").cast("array<double>")
+    // localCheckpoint: this IS the inverted-list table an IVF index persists
+    // — without it the join key's pushed isnotnull re-derives the k×dim
+    // assignment kernel inside the scan filter (2 evaluations per row)
     val lists = emb.select(col("vec_id"), col("embedding"),
       element_at(graft.expressions.GraftExpressions.ivfNearest(v, cents, 1), 1)
         .as("list_id"))
+      .localCheckpoint()
     val probes = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
         explode(graft.expressions.GraftExpressions.ivfNearest(
@@ -303,8 +307,12 @@ object SimilarityFunctions {
     import graft.expressions.GraftExpressions.{ivfNearest, pqEncode, pqScore}
     val (coarse, cbs) = pqTrain(emb, k, m, ksub, iters, dim)
     val v = col("embedding").cast("array<double>")
+    // localCheckpoint: the code table IS the compressed corpus PQ persists —
+    // and the join key's pushed isnotnull would re-run the encode kernel
+    // inside the scan filter otherwise
     val enc = emb.select(col("vec_id"), pqEncode(v, coarse, cbs).as("enc"))
       .withColumn("list_id", element_at(col("enc"), 1))
+      .localCheckpoint()
     val probes = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), v.as("q"),
         explode(ivfNearest(v, coarse, nProbe)).as("list_id"))
@@ -398,8 +406,12 @@ object SimilarityFunctions {
     import graft.expressions.GraftExpressions.ivfNearest
     val cents = ivfCentroids(emb, k, iters, dim)
     val v = col("embedding").cast("array<double>")
+    // localCheckpoint: `lists` feeds BOTH self-join sides and the final
+    // keep-join — unmaterialized, the assignment kernel runs up to 7× per
+    // row (3 uses + pushed isnotnull join-key filters)
     val lists = emb.select(col("vec_id"), col("embedding"),
       element_at(ivfNearest(v, cents, 1), 1).as("list_id"))
+      .localCheckpoint()
     val dropped = lists.as("a").join(lists.as("b"),
         col("a.list_id") === col("b.list_id") &&
           col("b.vec_id") < col("a.vec_id"))
