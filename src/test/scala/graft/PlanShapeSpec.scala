@@ -111,9 +111,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan) // probes × encoded lists
-    // encode + ADC scoring are kernel expressions with codebooks as plan
-    // reference objects — no literal-array flood
-    assert(plan.contains("graft_pq_encode") && plan.contains("graft_pq_score"), plan)
+    // ADC scoring is a kernel expression with codebooks as plan reference
+    // objects — no literal-array flood. The ENCODE kernel no longer appears
+    // in the served plan: the code table is localCheckpoint-materialized
+    // (the compressed corpus PQ persists), so encode ran exactly once at
+    // materialization and the probe plan reads the checkpointed rows.
+    assert(plan.contains("graft_pq_score"), plan)
+    assert(!plan.contains("graft_pq_encode"), plan)
+    assert(plan.contains("Scan ExistingRDD"), plan) // the checkpointed codes
     assert(!plan.contains("0.0078125"), plan)
   }
 
