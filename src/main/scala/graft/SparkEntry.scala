@@ -124,6 +124,15 @@ object SparkEntry {
           round(aggregate(col("feature"), lit(0.0d), (acc, x) => acc + x.cast("double")), 4))
         .drop("feature")
         .orderBy("url")),
+    // audio: REAL JDK javax.sound WAV decode over authored PCM fixtures —
+    // format metadata + signal stats (RMS/peak/zcr, the silence/clipping
+    // quality screens); truncated/non-audio payloads take the labeled
+    // decoded=false fallback. Row-local, rows-only driver check (stats are
+    // spec-pinned against from-construction values in MultimodalSpec).
+    "x32_audio_meta" -> ((s, _) =>
+      MultimodalFunctions.audioMeta(
+          CorpusSource.audioPages(s, 64).union(CorpusSource.pages(s, 32)))
+        .orderBy("url")),
     // HTML mega-doc chunked extraction (skew handling; seam-exactness proven
     // in ChunkedExtractSpec — byte-identical text and spans vs single pass)
     "x09_chunked_extract" -> ((s, _) =>

@@ -111,6 +111,47 @@ object MediaFixtures {
     out.toByteArray
   }
 
+  /** REAL RIFF/WAVE file (PCM 16-bit little-endian), authored byte-by-byte
+    * so every expected statistic is known from construction: `square` wave
+    * of amplitude `amp` has RMS exactly `amp`, sine has RMS `amp/√2`. JDK
+    * javax.sound decodes WAV natively — the audio analog of [[realImage]].
+    * Sample k of the square wave = ±round(amp·32767); sine =
+    * round(amp·32767·sin(2π·freq·k/rate)). */
+  def wav(freqHz: Int, ms: Int, amp: Double, rate: Int = 8000,
+          channels: Int = 1, square: Boolean = true): Array[Byte] = {
+    val nFrames = rate * ms / 1000
+    val data = new Array[Byte](nFrames * channels * 2)
+    var k = 0
+    while (k < nFrames) {
+      val phase = freqHz.toDouble * k / rate
+      val s =
+        if (square) { if ((math.floor(phase * 2).toLong % 2) == 0) 1.0 else -1.0 }
+        else math.sin(2 * math.Pi * phase)
+      val v = math.round(amp * 32767 * s).toInt
+      var c = 0
+      while (c < channels) {
+        val off = (k * channels + c) * 2
+        data(off) = (v & 0xff).toByte
+        data(off + 1) = ((v >> 8) & 0xff).toByte
+        c += 1
+      }
+      k += 1
+    }
+    val out = new ByteArrayOutputStream(44 + data.length)
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
+    ascii("RIFF"); out.write(le32(36 + data.length), 0, 4); ascii("WAVE")
+    ascii("fmt "); out.write(le32(16), 0, 4)
+    out.write(le16(1), 0, 2) // PCM
+    out.write(le16(channels), 0, 2)
+    out.write(le32(rate), 0, 4)
+    out.write(le32(rate * channels * 2), 0, 4) // byte rate
+    out.write(le16(channels * 2), 0, 2) // block align
+    out.write(le16(16), 0, 2) // bits
+    ascii("data"); out.write(le32(data.length), 0, 4)
+    out.write(data, 0, data.length)
+    out.toByteArray
+  }
+
   /** BMP file header + BITMAPINFOHEADER(w, h). */
   def bmp(w: Int, h: Int, extraBytes: Int = 64): Array[Byte] = {
     val out = new ByteArrayOutputStream(64 + extraBytes)

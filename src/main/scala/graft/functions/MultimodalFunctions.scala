@@ -172,6 +172,86 @@ object MultimodalFunctions {
     }.toDF("url", "frame_idx", "frame_ts_ms", "feature")
   }
 
+  final case class AudioMeta(
+      url: String,
+      n_bytes: Long,
+      content_md5: String,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_frames: Long,
+      duration_ms: Long,
+      rms: Double, // over all samples, full-scale = 1.0
+      peak: Double,
+      zcr: Double, // channel-0 consecutive-sample sign-change fraction
+      decoded: Boolean)
+
+  /** REAL audio decode for WAV payloads via JDK javax.sound (PCM WAV needs
+    * no external codec — the audio analog of the ImageIO image path):
+    * format metadata + signal statistics (RMS, peak, zero-crossing rate)
+    * for audio-quality gating (silence/clipping screens). Non-RIFF or
+    * undecodable payloads, and formats other than 16-bit signed PCM, emit
+    * zeroed stats with `decoded = false` — labeled, never fabricated.
+    * No shuffle: scan → mapPartitions → rows. */
+  def audioMeta(pages: Dataset[PageRow]): DataFrame = {
+    import pages.sparkSession.implicits._
+    pages.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { p =>
+        val payload = if (p.html == null) Array.emptyByteArray else p.html
+        md.reset()
+        val digest = md.digest(payload).map("%02x".format(_)).mkString
+        val isRiff = payload.length >= 12 &&
+          payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+          payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
+          payload(10) == 'V' && payload(11) == 'E'
+        val real: Option[AudioMeta] = if (!isRiff) None else try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val f = in.getFormat
+          val ok = f.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            f.getSampleSizeInBits == 16
+          if (!ok) { in.close(); None }
+          else {
+            val bytes = in.readAllBytes(); in.close()
+            val ch = f.getChannels
+            val big = f.isBigEndian
+            val n = bytes.length / 2
+            var sum2 = 0.0; var peak = 0L; var flips = 0L; var prevSign = 0
+            var i = 0
+            while (i < n) {
+              val off = i * 2
+              val s =
+                if (big) ((bytes(off) << 8) | (bytes(off + 1) & 0xff)).toShort
+                else ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
+              val d = s.toDouble / 32768.0
+              sum2 += d * d
+              if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+              if (i % ch == 0) { // channel 0 only for zcr
+                val sign = java.lang.Integer.signum(s)
+                if (sign != 0 && prevSign != 0 && sign != prevSign) flips += 1
+                if (sign != 0) prevSign = sign
+              }
+              i += 1
+            }
+            val frames = n / ch
+            val rate = math.round(f.getSampleRate).toInt
+            Some(AudioMeta(p.url, payload.length.toLong, digest,
+              rate, ch, 16, frames.toLong,
+              frames.toLong * 1000L / rate,
+              math.sqrt(if (n == 0) 0.0 else sum2 / n),
+              peak.toDouble / 32768.0,
+              if (frames <= 1) 0.0 else flips.toDouble / (frames - 1),
+              decoded = true))
+          }
+        } catch { case _: Exception => None } // truncated/corrupt → fallback
+        real.getOrElse(AudioMeta(p.url, payload.length.toLong, digest,
+          0, 0, 0, 0L, 0L, 0.0, 0.0, 0.0, decoded = false))
+      }
+    }.toDF()
+  }
+
   /** Metadata + decoded features for every page payload, batched per
     * partition (real ImageIO pixel decode for image kinds, labeled digest
     * fallback otherwise). No shuffle: scan → mapPartitions → rows. */

@@ -64,6 +64,30 @@ object CorpusSource {
     })
   }
 
+  /** Deterministic audio-payload pages (REAL PCM-16 RIFF/WAVE bytes authored
+    * by `MediaFixtures.wav` — square or sine waves whose RMS/peak/zcr are
+    * known from construction) plus labeled non-decodable rows: every 6th
+    * payload is a truncated WAV (header intact, data cut), every 7th an
+    * HTML payload (not audio at all) — the audioMeta fallback set. */
+  def audioPages(spark: SparkSession, n: Long): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions(_.map { i =>
+      val idx = i.toInt
+      val full = graft.corpus.MediaFixtures.wav(
+        freqHz = 220 * (1 + idx % 4), ms = 40 + (idx % 5) * 20,
+        amp = 0.25 * (1 + idx % 3), rate = 8000,
+        channels = 1 + (idx % 2), square = idx % 2 == 0)
+      val payload =
+        if (idx % 6 == 5) java.util.Arrays.copyOf(full, 30) // truncated
+        else if (idx % 7 == 6) s"<html><body>not audio $idx</body></html>".getBytes("UTF-8")
+        else full
+      val url = String.format(java.util.Locale.ROOT,
+        "https://audio.example.org/a%04d", Integer.valueOf(idx))
+      PageRow(url, new java.sql.Timestamp(1577836800000L + idx.toLong * 3600000L),
+        payload, null, null)
+    })
+  }
+
   /** Deterministic link-graph corpus: page `i` lives on host `w{i%5}` and
     * carries an authored anchor set — one relative link (self-host edge),
     * one absolute cross-host link to `w{(i+1)%5}`, one protocol-relative

@@ -157,6 +157,74 @@ class MultimodalSpec extends AnyFunSuite {
     assert((cut.getInt(4), cut.getInt(5)) == ((2, 1)), "IHDR dims recovered")
   }
 
+  test("audioMeta: WAV statistics match from-construction values; fallbacks labeled") {
+    import spark.implicits._
+    import graft.corpus.MediaFixtures
+    // square wave amplitude 0.5 -> every sample = ±round(0.5*32767) = ±16384
+    // -> RMS = peak = 16384/32768 = 0.5 EXACTLY; sine 0.25 -> RMS ≈ 0.25/√2
+    val sq = MediaFixtures.wav(440, 100, 0.5, rate = 8000, square = true)
+    val sn = MediaFixtures.wav(440, 100, 0.25, rate = 8000, square = false)
+    val st = MediaFixtures.wav(330, 50, 0.5, rate = 8000, channels = 2)
+    val cut = java.util.Arrays.copyOf(sq, 30)
+    val pages = Seq(
+      ("https://au.example.org/sq.wav", sq), ("https://au.example.org/sn.wav", sn),
+      ("https://au.example.org/st.wav", st), ("https://au.example.org/cut.wav", cut),
+      ("https://au.example.org/html", "<html><body>x</body></html>".getBytes("UTF-8"))
+    ).map { case (u, b) =>
+      graft.model.PageRow(u, new java.sql.Timestamp(1577836800000L), b, null, null)
+    }.toDS()
+    val rows = MultimodalFunctions.audioMeta(pages).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rsq = rows("https://au.example.org/sq.wav")
+    assert(rsq.getBoolean(11), "square decodes")
+    assert((rsq.getInt(3), rsq.getInt(4), rsq.getInt(5)) == ((8000, 1, 16)))
+    assert(rsq.getLong(6) == 800L && rsq.getLong(7) == 100L) // frames, ms
+    // EXACT from-construction stats: sample k = round(0.5·32767·(±1)) —
+    // +16384 but −16383 (math.round is half-UP), so replicate the fixture
+    // formula rather than assuming a symmetric ±16384
+    def sgn(j: Int) = if ((math.floor(440.0 * j / 8000 * 2).toLong % 2) == 0) 1 else -1
+    val samples = (0 until 800).map(k => math.round(0.5 * 32767 * sgn(k)))
+    val expRms = math.sqrt(samples.map(v => (v / 32768.0) * (v / 32768.0)).sum / 800)
+    val expPeak = samples.map(math.abs).max / 32768.0
+    assert(rsq.getDouble(8) == expRms && rsq.getDouble(9) == expPeak,
+      s"rms=${rsq.getDouble(8)} want $expRms, peak=${rsq.getDouble(9)} want $expPeak")
+    assert(math.abs(rsq.getDouble(8) - 0.5) < 1e-4 && expPeak == 0.5)
+    // zcr from construction: sign flips where floor(2*440*k/8000) parity
+    // changes; count with the fixture's own sample formula, independently
+    val expFlips = (1 until 800).count { k =>
+      def sgn(j: Int) = if ((math.floor(440.0 * j / 8000 * 2).toLong % 2) == 0) 1 else -1
+      sgn(k) != sgn(k - 1)
+    }
+    assert(rsq.getDouble(10) == expFlips.toDouble / 799, s"zcr=${rsq.getDouble(10)}")
+    val rsn = rows("https://au.example.org/sn.wav")
+    assert(rsn.getBoolean(11))
+    assert(math.abs(rsn.getDouble(8) - 0.25 / math.sqrt(2.0)) < 2e-4,
+      s"sine rms=${rsn.getDouble(8)}") // quantization-limited
+    val rst = rows("https://au.example.org/st.wav")
+    assert(rst.getBoolean(11) && rst.getInt(4) == 2 && rst.getLong(6) == 400L)
+    assert(math.abs(rst.getDouble(8) - 0.5) < 1e-4,
+      "stereo duplicate channels keep the RMS")
+    // truncated WAV and non-audio payloads: labeled fallback, zeroed stats
+    for (u <- Seq("https://au.example.org/cut.wav", "https://au.example.org/html")) {
+      val r = rows(u)
+      assert(!r.getBoolean(11) && r.getDouble(8) == 0.0 && r.getInt(3) == 0, u)
+    }
+    // determinism
+    val again = MultimodalFunctions.audioMeta(pages).collect().map(_.toString).sorted
+    assert(again.toSeq == rows.values.map(_.toString).toSeq.sorted)
+  }
+
+  test("audioMeta: audioPages fixture set decodes per its index rule") {
+    val rows = MultimodalFunctions.audioMeta(CorpusSource.audioPages(spark, 42))
+      .collect().map(r => r.getString(0) -> r.getBoolean(11)).toMap
+    for ((url, dec) <- rows) {
+      val idx = url.drop(url.length - 4).toInt
+      val want = !(idx % 6 == 5 || idx % 7 == 6)
+      assert(dec == want, s"$url decoded=$dec want=$want")
+    }
+    assert(rows.values.count(identity) > 0 && rows.values.count(!_) > 0)
+  }
+
   test("mediaMeta: mediaPages real-image rounds decode with authored dims") {
     val pages = CorpusSource.mediaPages(spark, 24)
     val rows = MultimodalFunctions.mediaMeta(pages).collect()
