@@ -643,7 +643,12 @@ object DedupFunctions {
     * 16 bytes/row; the batch (a single crawl) is orders smaller. */
   def incrementalDedup(existing: DataFrame, batch: DataFrame): DataFrame = {
     val digest = md5(col("text").cast("binary"))
+    // localCheckpoint: the standing digest set is the PERSISTED index in
+    // production; unmaterialized, the anti-join's isnotnull(key) constraint
+    // substitutes through the projection and re-runs md5(text) in the
+    // standing scan filter (2× per standing row)
     val seen = existing.select(digest.as("content_md5")).distinct()
+      .localCheckpoint()
     batch.select(col("doc_id"), digest.as("content_md5"))
       .join(seen, Seq("content_md5"), "left_anti")
       .groupBy(col("content_md5"))
@@ -688,9 +693,14 @@ object DedupFunctions {
           s"(element_at(bloom, CAST(b$i DIV 64 AS INT) + 1)" +
           s" & shiftleft(1L, CAST(b$i % 64 AS INT))) != 0"))
     }
+    // localCheckpoint both reused tables: `flagged` feeds TWO filters (its
+    // md5 + k probes would run twice, re-derived inside each filter), and
+    // `seen` is the standing digest index ([[incrementalDedup]]'s rationale)
     val flagged = probed.select(col("doc_id"), col("content_md5"),
       (0 until nHashes).map(i => col(s"hit$i")).reduce(_ && _).as("might"))
+      .localCheckpoint()
     val seen = existing.select(digest.as("content_md5")).distinct()
+      .localCheckpoint()
     val maybe = flagged.filter(col("might"))
       .join(seen, Seq("content_md5"), "left_anti")
     flagged.filter(!col("might")).select(col("doc_id"), col("content_md5"))
