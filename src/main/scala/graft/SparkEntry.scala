@@ -133,6 +133,20 @@ object SparkEntry {
       MultimodalFunctions.audioMeta(
           CorpusSource.audioPages(s, 64).union(CorpusSource.pages(s, 32)))
         .orderBy("url")),
+    // formula branch: MathML → TeX-source regions (the reference's
+    // `equation` layout label + LaTeX recognizer grafted:
+    // ppstructure/predict_system.py:171-174). Row per formula span — raw
+    // source in `latex`, the assembled document text alongside shows the
+    // `$…$`/`$$…$$` render (recovery_to_markdown.py:170-171). Rows-only
+    // driver check; per-shape semantics are FormulaSpec-pinned.
+    "x33_formula_regions" -> ((s, _) =>
+      Extract.run(CorpusSource.mathPages(s, 96)).toDF()
+        .select(col("url"), col("text"), explode(col("spans")).as("sp"))
+        .filter(col("sp.label") === "formula")
+        .select(col("url"), col("sp.blockIdx").as("block_idx"),
+          col("sp.tagPath").as("tag_path"), col("sp.text").as("latex"),
+          col("text").as("doc_text"))
+        .orderBy("url", "block_idx")),
     // HTML mega-doc chunked extraction (skew handling; seam-exactness proven
     // in ChunkedExtractSpec — byte-identical text and spans vs single pass)
     "x09_chunked_extract" -> ((s, _) =>

@@ -29,6 +29,14 @@ final class DomArena(initialCapacity: Int = 512) {
   var inLink: Array[Boolean] = new Array[Boolean](initialCapacity)
   var inPre: Array[Boolean] = new Array[Boolean](initialCapacity)
   var blockAnchor: Array[Int] = new Array[Int](initialCapacity) // nearest block-level ancestor-or-self
+  // formula branch (MathML): nearest <math> ancestor-or-self (-1 = none),
+  // inside-any-<annotation>/-<annotation-xml> subtree, inside a TeX-encoded
+  // <annotation>, and per-<math>-root "a TeX annotation exists somewhere
+  // under me" (computed in one linear post-pass at the end of build)
+  var mathRoot: Array[Int] = new Array[Int](initialCapacity)
+  var inAnn: Array[Boolean] = new Array[Boolean](initialCapacity)
+  var inTexAnn: Array[Boolean] = new Array[Boolean](initialCapacity)
+  var mathHasTex: Array[Boolean] = new Array[Boolean](initialCapacity)
   var names: IndexedSeq[String] = Vector.empty // interned tag names (from TokenArena)
 
   def reset(): Unit = nNodes = 0
@@ -48,6 +56,10 @@ final class DomArena(initialCapacity: Int = 512) {
     inLink = java.util.Arrays.copyOf(inLink, cap)
     inPre = java.util.Arrays.copyOf(inPre, cap)
     blockAnchor = java.util.Arrays.copyOf(blockAnchor, cap)
+    mathRoot = java.util.Arrays.copyOf(mathRoot, cap)
+    inAnn = java.util.Arrays.copyOf(inAnn, cap)
+    inTexAnn = java.util.Arrays.copyOf(inTexAnn, cap)
+    mathHasTex = java.util.Arrays.copyOf(mathHasTex, cap)
     pathCache = java.util.Arrays.copyOf(pathCache, cap)
   }
 
@@ -113,6 +125,15 @@ final class DomArena(initialCapacity: Int = 512) {
       if (isElem && HtmlNames.isBlock(nm)) id
       else if (p >= 0) blockAnchor(p)
       else id
+    mathRoot(id) =
+      if (isElem && nm == "math") id
+      else if (p >= 0) mathRoot(p)
+      else -1
+    inAnn(id) = (p >= 0 && inAnn(p)) ||
+      (isElem && (nm == "annotation" || nm == "annotation-xml"))
+    inTexAnn(id) = (p >= 0 && inTexAnn(p)) ||
+      (isElem && nm == "annotation" && (fl & TokenFlags.TexEncoding) != 0)
+    mathHasTex(id) = false // set by build()'s post-pass (per-doc clean slate)
     pathCache(id) = null // invalidate any stale path from a previous document
     nNodes += 1
     id
@@ -185,6 +206,18 @@ final class DomArena(initialCapacity: Int = 512) {
       }
       i += 1
     }
+    // formula post-pass: mark each <math> root that carries a TeX-encoded
+    // <annotation> descendant (source-selection fact for the segmenter —
+    // prefer the TeX source, drop the presentation linearization). Linear in
+    // nodes; an element IS its own inTexAnn when it is the annotation, so the
+    // check below fires exactly on TeX-annotation elements.
+    var k = 0
+    while (k < nNodes) {
+      if (tagId(k) >= 0 && inTexAnn(k) && mathRoot(k) >= 0 &&
+          (flags(k) & TokenFlags.TexEncoding) != 0 && name(k) == "annotation")
+        mathHasTex(mathRoot(k)) = true
+      k += 1
+    }
     this
   }
 }
@@ -209,6 +242,9 @@ final class BlockArena(initialCapacity: Int = 256) {
   var segEnd: Array[Int] = new Array[Int](1024)
   var segInLink: Array[Boolean] = new Array[Boolean](1024)
   var segInPre: Array[Boolean] = new Array[Boolean](1024)
+  // formula branch: the <math> root this segment belongs to (-1 = plain text).
+  // Consecutive segments sharing one root form one math group in classify.
+  var segMathRoot: Array[Int] = new Array[Int](1024)
 
   def reset(): Unit = { nBlocks = 0; nSegs = 0; segOff(0) = 0 }
 
@@ -226,6 +262,7 @@ final class BlockArena(initialCapacity: Int = 256) {
     segEnd = java.util.Arrays.copyOf(segEnd, cap)
     segInLink = java.util.Arrays.copyOf(segInLink, cap)
     segInPre = java.util.Arrays.copyOf(segInPre, cap)
+    segMathRoot = java.util.Arrays.copyOf(segMathRoot, cap)
   }
 
   def startBlock(anchorNode: Int): Unit = {
@@ -238,13 +275,14 @@ final class BlockArena(initialCapacity: Int = 256) {
   }
 
   def addSeg(kind: Int, start: Int, end: Int, inLink: Boolean,
-             inPre: Boolean = false): Unit = {
+             inPre: Boolean = false, mathRoot: Int = -1): Unit = {
     if (nSegs == segKind.length) growSegs()
     segKind(nSegs) = kind
     segStart(nSegs) = start
     segEnd(nSegs) = end
     segInLink(nSegs) = inLink
     segInPre(nSegs) = inPre
+    segMathRoot(nSegs) = mathRoot
     nSegs += 1
     segOff(nBlocks) = nSegs
     if (kind == SegKind.Text) {
@@ -271,14 +309,29 @@ object BlockSegmenter {
     while (i < dom.nNodes) {
       if (dom.isText(i)) {
         if (!dom.inSkip(i)) {
-          val a = dom.blockAnchor(i)
-          if (a != curAnchor) { blocks.startBlock(a); curAnchor = a }
-          blocks.addSeg(SegKind.Text, dom.tStart(i), dom.tEnd(i), dom.inLink(i), dom.inPre(i))
+          val m = dom.mathRoot(i)
+          // formula source selection (MathML): drop non-TeX <annotation>/
+          // <annotation-xml> bodies (alternate renderings), and drop the
+          // presentation linearization when the <math> carries a TeX source —
+          // keeping both would double-emit the formula (the webtext analog of
+          // the reference recognizing an equation region ONCE,
+          // ppstructure/predict_system.py:171-174)
+          val keep =
+            if (m < 0) true
+            else if (dom.inTexAnn(i)) true
+            else if (dom.inAnn(i)) false
+            else !dom.mathHasTex(m)
+          if (keep) {
+            val a = dom.blockAnchor(i)
+            if (a != curAnchor) { blocks.startBlock(a); curAnchor = a }
+            blocks.addSeg(SegKind.Text, dom.tStart(i), dom.tEnd(i), dom.inLink(i),
+              dom.inPre(i), m)
+          }
         }
       } else {
         val nm = dom.name(i)
         if (nm == "br" && curAnchor == dom.blockAnchor(i) && curAnchor >= 0 && !dom.inSkip(i)) {
-          blocks.addSeg(SegKind.Break, 0, 0, inLink = false, dom.inPre(i))
+          blocks.addSeg(SegKind.Break, 0, 0, inLink = false, dom.inPre(i), dom.mathRoot(i))
         } else if (HtmlNames.isBlock(nm)) {
           // a block element boundary always terminates the running block,
           // even if the next text re-anchors to the same node (e.g. <p>a<div>x</div>b</p>)

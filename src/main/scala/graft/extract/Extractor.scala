@@ -153,17 +153,62 @@ final class SegWriter {
   var pendingSpace = false
   var pendingNewline = false // pre-only: preserved line break (wins over space)
 
+  // formula branch: content inside <math> accumulates in its own normalized
+  // buffer (edges trimmed by construction), then closeMath emits `$source$`
+  // into the main stream in one shot. Source chars + the two delimiters count
+  // toward nonWs (the content gates see the formula) but never toward
+  // linkChars (a formula is not nav text). `nonWs == mathNonWs` ⇔ the block
+  // is pure math — the classifier's formula-label predicate.
+  private val mathSb = new java.lang.StringBuilder(32)
+  private var mathPendingSpace = false
+  private var inMathMode = false
+  var mathGroups = 0
+  var mathNonWs = 0 // total nonWs contributed by math groups (incl. delimiters)
+  var firstMathSrc: String = null // source of group 0 (pure-math span text)
+
   def reset(): Unit = {
     sb.setLength(0)
     linkChars = 0; nonWs = 0
     pendingSpace = false; pendingNewline = false
+    mathSb.setLength(0); mathPendingSpace = false; inMathMode = false
+    mathGroups = 0; mathNonWs = 0; firstMathSrc = null
+  }
+
+  def openMath(): Unit = {
+    inMathMode = true
+    mathSb.setLength(0)
+    mathPendingSpace = false
+  }
+
+  private def putMath(c: Char): Unit =
+    if (isWsChar(c)) { if (mathSb.length() > 0) mathPendingSpace = true }
+    else {
+      if (mathPendingSpace) { mathSb.append(' '); mathPendingSpace = false }
+      mathSb.append(c)
+    }
+
+  def closeMath(): Unit = {
+    inMathMode = false
+    if (mathSb.length() == 0) return // empty formula: emit nothing, not "$$"
+    val src = mathSb.toString
+    if (mathGroups == 0) firstMathSrc = src
+    mathGroups += 1
+    if (pendingNewline) { sb.append('\n'); pendingNewline = false; pendingSpace = false }
+    else if (pendingSpace) { sb.append(' '); pendingSpace = false }
+    sb.append('$').append(src).append('$')
+    var srcNonWs = 2 // the delimiters
+    var i = 0
+    while (i < src.length) { if (src.charAt(i) != ' ') srcNonWs += 1; i += 1 }
+    nonWs += srcNonWs
+    mathNonWs += srcNonWs
   }
 
   @inline private def isWsChar(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u000B' || c == '\u00A0'
 
   def break(inPre: Boolean): Unit =
-    if (sb.length() > 0) {
+    if (inMathMode) { if (mathSb.length() > 0) mathPendingSpace = true }
+    else if (sb.length() > 0) {
       if (inPre) pendingNewline = true else pendingSpace = true
     }
 
@@ -173,6 +218,11 @@ final class SegWriter {
   def putRun(input: Array[Byte], from: Int, until: Int, inLink: Boolean): Unit = {
     val len = until - from
     if (len <= 0) return
+    if (inMathMode) { // rare path: formula source routes to the math buffer
+      var i = from
+      while (i < until) { putMath(input(i).toChar); i += 1 }
+      return
+    }
     if (pendingNewline) { sb.append('\n'); pendingNewline = false; pendingSpace = false }
     else if (pendingSpace) { sb.append(' '); pendingSpace = false }
     if (buf.length < len) buf = new Array[Char](math.max(len, buf.length * 2))
@@ -185,7 +235,8 @@ final class SegWriter {
   private var buf = new Array[Char](256)
 
   def put(c: Char, inLink: Boolean, inPre: Boolean): Unit =
-    if (isWsChar(c)) {
+    if (inMathMode) putMath(c) // rare path: formula source
+    else if (isWsChar(c)) {
       if (sb.length() > 0) {
         // inside <pre>/<textarea> newlines survive normalization (runs of
         // them collapse to one line break); other whitespace -> spaces
@@ -206,6 +257,13 @@ object Labels {
   val Content = "content"
   val Cell = "cell"
   val Item = "item"
+  /** A block whose content is exactly one MathML formula — the graft of the
+    * reference's `equation` layout label + LaTeX recognizer
+    * (ppstructure/predict_system.py:171-174): span text carries the raw
+    * source (the TeX `<annotation encoding=*tex*>` body when present, else
+    * the linearized presentation text), assembly renders `$$source$$`
+    * (recovery_to_markdown.py:170-171). */
+  val Formula = "formula"
 }
 
 /** The per-document extraction kernel: tokenize → DOM → segment → classify →
@@ -383,7 +441,14 @@ object Extractor {
       w.reset()
       var s = blocks.segOff(b)
       val sEnd = blocks.segOff(b + 1)
+      var curMath = -1 // math group tracking: consecutive segs of one <math>
       while (s < sEnd) {
+        val segMath = blocks.segMathRoot(s)
+        if (segMath != curMath) {
+          if (curMath >= 0) w.closeMath()
+          if (segMath >= 0) w.openMath()
+          curMath = segMath
+        }
         if (blocks.segKind(s) == SegKind.Break) {
           // <br> inside <pre> is a preserved line break, like a literal '\n'
           w.break(blocks.segInPre(s))
@@ -448,9 +513,14 @@ object Extractor {
         }
         s += 1
       }
+      if (curMath >= 0) w.closeMath() // flush a trailing math group
       val text = w.sb.toString
       val linkChars = w.linkChars
       val nonWs = w.nonWs
+      // pure-math block with exactly ONE formula → labeled formula, span text
+      // = the raw source (multi-formula or mixed blocks keep inline `$…$`
+      // delimiters inside ordinary content text)
+      val pureMath = w.mathGroups == 1 && nonWs > 0 && nonWs == w.mathNonWs
       val anchorName = if (anchor >= 0 && !dom.isText(anchor)) dom.name(anchor) else ""
       val isHeading = HtmlNames.isHeading(anchorName)
       val isCell = anchorName == "td" || anchorName == "th"
@@ -462,6 +532,7 @@ object Extractor {
       else if (dom.inBoiler(anchor)) label = null // nav/header/footer/aside subtree
       else if (dom.inHintBoiler(anchor) && !dom.inHintContent(anchor)) label = null
       else if (isHeading) label = Labels.Title
+      else if (pureMath) label = Labels.Formula // before the length gates: $E=mc^2$ is short
       else if (linkChars * cfg.linkDenR >= nonWs * cfg.linkDenN && linkChars > 0)
         label = null // link-dominated (nav-like)
       else if (nonWs < cfg.shortChars && linkChars * 2 >= nonWs) label = null
@@ -473,12 +544,14 @@ object Extractor {
       if (label != null) {
         val score: Double = label match {
           case Labels.Title => 1.0
+          case Labels.Formula => 0.9
           case Labels.Cell | Labels.Item => 0.75
           case _ => math.min(1.0, nonWs.toDouble / 200.0)
         }
         if (score >= cfg.dropScore) {
+          val spanText = if (label == Labels.Formula) w.firstMathSrc else text
           val span = Span(kept, dom.tagPath(anchor), blocks.byteStart(b),
-            blocks.byteEnd(b), label, score, text)
+            blocks.byteEnd(b), label, score, spanText)
           val (tableAnc, trAnc, listAnc, cellAnc) = assemblyAnchors(dom, anchor)
           out += Kept(span, anchor, tableAnc, trAnc, listAnc, cellAnc)
           kept += 1
@@ -494,6 +567,12 @@ object Extractor {
     * " | " within a row and "\n" across rows; list items group with "\n";
     * paragraph units join with "\n\n".
     */
+  /** Formula spans carry the raw source in span.text; rendering adds the TeX
+    * delimiters — `$src$` inline (table cells / list items), `$$src$$` as a
+    * standalone paragraph group (recovery_to_markdown.py:170-171). */
+  @inline private def rendered(k: Kept): String =
+    if (k.span.label == Labels.Formula) "$" + k.span.text + "$" else k.span.text
+
   private def assemble(kept: Vector[Kept], dom: DomArena): String = {
     if (kept.isEmpty) return ""
     val groups = Vector.newBuilder[String]
@@ -507,16 +586,17 @@ object Extractor {
         i = j
       } else if (k.listAnc >= 0) {
         val sb = new java.lang.StringBuilder(64)
-        sb.append(k.span.text)
+        sb.append(rendered(k))
         var j = i + 1
         while (j < kept.length && kept(j).listAnc == k.listAnc) {
-          sb.append('\n').append(kept(j).span.text)
+          sb.append('\n').append(rendered(kept(j)))
           j += 1
         }
         groups += sb.toString
         i = j
       } else {
-        groups += k.span.text
+        groups += (if (k.span.label == Labels.Formula) "$$" + k.span.text + "$$"
+                   else k.span.text)
         i += 1
       }
     }
@@ -555,7 +635,7 @@ object Extractor {
       if (rowTr < 0) {
         // caption-like blocks outside any tr: no grid, plain " | " join
         var c = i
-        while (c < j) { if (c > i) sb.append(" | "); sb.append(kept(c).span.text); c += 1 }
+        while (c < j) { if (c > i) sb.append(" | "); sb.append(rendered(kept(c))); c += 1 }
       } else {
         var col = 0
         var firstCell = true
@@ -566,10 +646,10 @@ object Extractor {
           // fuse consecutive kept blocks of the same cell into one grid cell
           val cell = kept(c).cellAnc
           val cellText = new java.lang.StringBuilder(16)
-          cellText.append(kept(c).span.text)
+          cellText.append(rendered(kept(c)))
           var e = c + 1
           while (e < j && cell >= 0 && kept(e).cellAnc == cell) {
-            cellText.append(" | ").append(kept(e).span.text)
+            cellText.append(" | ").append(rendered(kept(e)))
             e += 1
           }
           // skip columns still covered by rowspans from earlier rows

@@ -89,6 +89,12 @@ object TokenFlags {
   final val SpanMask = 0x3ff
   final val ColspanSeen = 1 << 24
   final val RowspanSeen = 1 << 25
+  /** start tag carries an encoding attribute whose value mentions "tex" —
+    * consulted only on `<annotation>` elements inside `<math>` (the MathML
+    * `encoding="application/x-tex"` convention; formula-branch source
+    * selection, the graft of the reference's equation region → LaTeX text
+    * contract, ppstructure/predict_system.py:171-174) */
+  final val TexEncoding = 1 << 26
 
   def colspan(flag: Int): Int = ((flag >>> ColspanShift) & SpanMask) + 1
   def rowspan(flag: Int): Int = ((flag >>> RowspanShift) & SpanMask) + 1
@@ -739,6 +745,9 @@ object HtmlTokenizer {
               flag |= TokenFlags.RowspanSeen | TokenFlags.packSpan(
                 rowspanValue(parseUInt(input, vStart, vEnd)), TokenFlags.RowspanShift)
             }
+          }
+          else if (nameIs(input, anStart, anLen, "encoding")) {
+            if (containsAscii(input, vStart, vEnd, "tex")) flag |= TokenFlags.TexEncoding
           }
           else if (nameIs(input, anStart, anLen, "class") || nameIs(input, anStart, anLen, "id")) {
             var k = 0

@@ -88,6 +88,46 @@ object CorpusSource {
     })
   }
 
+  /** Deterministic MathML pages (formula branch, the graft of the
+    * reference's `equation` regions → LaTeX contract,
+    * ppstructure/predict_system.py:171-174): a pure function of the index
+    * cycling six shapes — (0) display math with a TeX annotation (the
+    * Wikipedia/MathJax shape: presentation suppressed, raw TeX kept),
+    * (1) inline presentation-only math inside a sentence, (2) a formula in a
+    * table cell, (3) two inline formulas in one paragraph, (4) an
+    * annotation-xml distractor that must never surface, (5) math inside
+    * <nav> boilerplate (dropped whole). Expected formula sources are
+    * closed-form per index (FormulaSpec pins the per-shape semantics). */
+  def mathPages(spark: SparkSession, n: Long): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions(_.map { i =>
+      val idx = i.toInt
+      val a = 1 + idx % 7
+      val b = 2 + idx % 5
+      val body = (idx % 6) match {
+        case 0 =>
+          s"""<p>Identity number $idx for the record books.</p>
+             |<p><math display="block"><semantics><mrow><mi>x</mi><mo>=</mo><mn>$a</mn></mrow>
+             |<annotation encoding="application/x-tex">x_{$idx} = \\frac{$a}{$b}</annotation></semantics></math></p>""".stripMargin
+        case 1 =>
+          s"""<p>Setting <math><mi>k</mi><mo>=</mo><mn>$a</mn></math> gives the bound used in section $idx of the text.</p>"""
+        case 2 =>
+          s"""<table><tr><td>row $idx label cell</td><td><math><semantics><mrow><mi>E</mi></mrow><annotation encoding="application/x-tex">E_{$idx}=m c^{$b}</annotation></semantics></math></td></tr></table>"""
+        case 3 =>
+          s"""<p>Given <math><mi>a</mi><mo>=</mo><mn>$a</mn></math> and <math><mi>b</mi><mo>=</mo><mn>$b</mn></math> the sum follows for case $idx.</p>"""
+        case 4 =>
+          s"""<p>Content sum <math><mrow><mi>s</mi><mo>=</mo><mn>$a</mn></mrow><annotation-xml encoding="MathML-Content"><apply><eq/><ci>s</ci><cn>$a</cn></apply></annotation-xml></math> holds in document $idx.</p>"""
+        case _ =>
+          s"""<nav><math><mi>z</mi><mo>=</mo><mn>$a</mn></math></nav><p>Only this paragraph of document $idx survives extraction.</p>"""
+      }
+      val html = s"<html><head><title>math $idx</title></head><body>$body</body></html>"
+      val url = String.format(java.util.Locale.ROOT,
+        "https://math.example.org/m%04d", Integer.valueOf(idx))
+      PageRow(url, new java.sql.Timestamp(1577836800000L + idx.toLong * 3600000L),
+        html.getBytes(java.nio.charset.StandardCharsets.UTF_8), null, null)
+    })
+  }
+
   /** Deterministic link-graph corpus: page `i` lives on host `w{i%5}` and
     * carries an authored anchor set — one relative link (self-host edge),
     * one absolute cross-host link to `w{(i+1)%5}`, one protocol-relative
