@@ -521,6 +521,9 @@ object Extractor {
       // = the raw source (multi-formula or mixed blocks keep inline `$…$`
       // delimiters inside ordinary content text)
       val pureMath = w.mathGroups == 1 && nonWs > 0 && nonWs == w.mathNonWs
+      // plain-webtext display math (the MathJax source convention): a block
+      // that IS one `$$…$$` / `\[…\]` group — MathML-free blocks only
+      val texSrc = if (w.mathGroups == 0) texDelimited(text) else null
       val anchorName = if (anchor >= 0 && !dom.isText(anchor)) dom.name(anchor) else ""
       val isHeading = HtmlNames.isHeading(anchorName)
       val isCell = anchorName == "td" || anchorName == "th"
@@ -532,7 +535,8 @@ object Extractor {
       else if (dom.inBoiler(anchor)) label = null // nav/header/footer/aside subtree
       else if (dom.inHintBoiler(anchor) && !dom.inHintContent(anchor)) label = null
       else if (isHeading) label = Labels.Title
-      else if (pureMath) label = Labels.Formula // before the length gates: $E=mc^2$ is short
+      else if (pureMath || texSrc != null)
+        label = Labels.Formula // before the length gates: $E=mc^2$ is short
       else if (linkChars * cfg.linkDenR >= nonWs * cfg.linkDenN && linkChars > 0)
         label = null // link-dominated (nav-like)
       else if (nonWs < cfg.shortChars && linkChars * 2 >= nonWs) label = null
@@ -549,7 +553,10 @@ object Extractor {
           case _ => math.min(1.0, nonWs.toDouble / 200.0)
         }
         if (score >= cfg.dropScore) {
-          val spanText = if (label == Labels.Formula) w.firstMathSrc else text
+          val spanText =
+            if (label == Labels.Formula) {
+              if (w.firstMathSrc != null) w.firstMathSrc else texSrc
+            } else text
           val span = Span(kept, dom.tagPath(anchor), blocks.byteStart(b),
             blocks.byteEnd(b), label, score, spanText)
           val (tableAnc, trAnc, listAnc, cellAnc) = assemblyAnchors(dom, anchor)
@@ -560,6 +567,28 @@ object Extractor {
       b += 1
     }
     out.result()
+  }
+
+  /** Whole-block TeX display math in plain webtext (the MathJax source
+    * convention: `$$…$$` or `\[…\]` wrapping the entire block — arXiv /
+    * StackExchange-style pages ship TeX sources for client-side render).
+    * Returns the trimmed inner source, or null. Deliberately conservative:
+    * exact delimiters at BOTH ends, no interior closer, and (for `$$`) no
+    * stray `$` in the source — prose that merely contains dollar signs or
+    * prices can never misfire, and inline `\(…\)`/`$…$` is left as ordinary
+    * text. */
+  private def texDelimited(text: String): String = {
+    val n = text.length
+    if (n < 5) null
+    else if (text.startsWith("$$") && text.endsWith("$$") &&
+        text.indexOf("$$", 2) == n - 2) {
+      val inner = text.substring(2, n - 2).trim
+      if (inner.nonEmpty && inner.indexOf('$') < 0) inner else null
+    } else if (text.startsWith("\\[") && text.endsWith("\\]") &&
+        text.indexOf("\\]", 2) == n - 2) {
+      val inner = text.substring(2, n - 2).trim
+      if (inner.nonEmpty) inner else null
+    } else null
   }
 
   /** Document-order assembly (≡ convert_info_markdown minus markdown syntax,

@@ -96,15 +96,17 @@ object CorpusSource {
     * (1) inline presentation-only math inside a sentence, (2) a formula in a
     * table cell, (3) two inline formulas in one paragraph, (4) an
     * annotation-xml distractor that must never surface, (5) math inside
-    * <nav> boilerplate (dropped whole). Expected formula sources are
-    * closed-form per index (FormulaSpec pins the per-shape semantics). */
+    * <nav> boilerplate (dropped whole), (6) a plain-webtext `$$…$$` source
+    * block (the MathJax convention), (7) a plain-webtext `\[…\]` block.
+    * Expected formula sources are closed-form per index (FormulaSpec pins
+    * the per-shape semantics). */
   def mathPages(spark: SparkSession, n: Long): Dataset[PageRow] = {
     import spark.implicits._
     spark.range(n).mapPartitions(_.map { i =>
       val idx = i.toInt
       val a = 1 + idx % 7
       val b = 2 + idx % 5
-      val body = (idx % 6) match {
+      val body = (idx % 8) match {
         case 0 =>
           s"""<p>Identity number $idx for the record books.</p>
              |<p><math display="block"><semantics><mrow><mi>x</mi><mo>=</mo><mn>$a</mn></mrow>
@@ -117,8 +119,13 @@ object CorpusSource {
           s"""<p>Given <math><mi>a</mi><mo>=</mo><mn>$a</mn></math> and <math><mi>b</mi><mo>=</mo><mn>$b</mn></math> the sum follows for case $idx.</p>"""
         case 4 =>
           s"""<p>Content sum <math><mrow><mi>s</mi><mo>=</mo><mn>$a</mn></mrow><annotation-xml encoding="MathML-Content"><apply><eq/><ci>s</ci><cn>$a</cn></apply></annotation-xml></math> holds in document $idx.</p>"""
-        case _ =>
+        case 5 =>
           s"""<nav><math><mi>z</mi><mo>=</mo><mn>$a</mn></math></nav><p>Only this paragraph of document $idx survives extraction.</p>"""
+        case 6 =>
+          s"""<p>Lead-in sentence number $idx before the display block.</p>
+             |<p>$$$$\\int_0^$a x^$b\\,dx$$$$</p>""".stripMargin
+        case _ =>
+          s"""<p>\\[ e^{i\\pi} + $a = ${a + 1} \\]</p><p>Trailing prose for document $idx to keep.</p>"""
       }
       val html = s"<html><head><title>math $idx</title></head><body>$body</body></html>"
       val url = String.format(java.util.Locale.ROOT,

@@ -172,18 +172,21 @@ class FormulaSpec extends AnyFunSuite {
       .getOrCreate()
     val df = SparkEntry.queries("x33_formula_regions")(spark, "")
     val rows = df.collect()
-    // 96 docs cycle 6 shapes; shapes 0 (display math) and 2 (table cell)
-    // emit exactly one formula span each -> 2 * 96/6 = 32 rows
-    assert(rows.length == 32)
+    // 96 docs cycle 8 shapes; shapes 0 (display math), 2 (table cell),
+    // 6 ($$..$$ webtext) and 7 (\[..\] webtext) emit one formula span each
+    // -> 4 * 96/8 = 48 rows
+    assert(rows.length == 48)
     val byUrl = rows.map(r => r.getAs[String]("url") -> r.getAs[String]("latex")).toMap
     assert(byUrl("https://math.example.org/m0000") == "x_{0} = \\frac{1}{2}")
     assert(byUrl("https://math.example.org/m0002") == "E_{2}=m c^{4}")
+    assert(byUrl("https://math.example.org/m0006") == "\\int_0^7 x^3\\,dx")
+    assert(byUrl("https://math.example.org/m0007") == "e^{i\\pi} + 1 = 2")
     // the document text renders the display formula as $$...$$
     val doc0 = rows.find(_.getAs[String]("url").endsWith("m0000")).get
     assert(doc0.getAs[String]("doc_text").contains("$$x_{0} = \\frac{1}{2}$$"))
     // inline shapes (1,3,4) carry $...$ inside content, never a formula row
     assert(!byUrl.contains("https://math.example.org/m0001"))
-    val probe = graft.pipeline.CorpusSource.mathPages(spark, 6)
+    val probe = graft.pipeline.CorpusSource.mathPages(spark, 8)
     val texts = graft.pipeline.Extract.run(probe).toDF()
       .select("url", "text").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
@@ -193,6 +196,41 @@ class FormulaSpec extends AnyFunSuite {
     assert(texts("https://math.example.org/m0004").contains("$s=5$") &&
       !texts("https://math.example.org/m0004").contains("apply"))
     assert(!texts("https://math.example.org/m0005").contains("$"))
+  }
+
+  test("plain-webtext $$...$$ block is a formula (MathJax source convention)") {
+    val html = page.format(
+      """<p>Consider the following display equation for context.</p>
+        |<p>$$\int_0^1 x^2\,dx = \tfrac13$$</p>""".stripMargin)
+    val doc = extract(html)
+    assert(doc.spans.map(_.label) == List(Labels.Content, Labels.Formula))
+    assert(doc.spans(1).text == "\\int_0^1 x^2\\,dx = \\tfrac13")
+    assert(doc.text.endsWith("$$\\int_0^1 x^2\\,dx = \\tfrac13$$"))
+  }
+
+  test("plain-webtext \\[...\\] block is a formula with normalized delimiters") {
+    val html = page.format("""<p>\[ e^{i\pi} + 1 = 0 \]</p>""")
+    val doc = extract(html)
+    assert(doc.spans.map(_.label) == List(Labels.Formula))
+    assert(doc.spans.head.text == "e^{i\\pi} + 1 = 0")
+    assert(doc.text == "$$e^{i\\pi} + 1 = 0$$")
+  }
+
+  test("TeX-delimiter detection is conservative: prices and partial wraps stay content") {
+    val cases = Seq(
+      // interior closer: two display formulas in one block — stays content
+      """<p>$$a+b$$ and also $$c+d$$ in one paragraph block here</p>""",
+      // dollar prose: starts/ends with $$ but a stray $ inside the source
+      """<p>$$ deal: five $ off everything this week, was priced at $$</p>""",
+      // inline \( .. \) is never a whole-block formula
+      """<p>The identity \(a^2+b^2=c^2\) holds for right triangles only.</p>""")
+    for (c <- cases) {
+      val doc = extract(page.format(c))
+      assert(doc.spans.map(_.label) == List(Labels.Content), c)
+    }
+    // bare "$$$$" (empty source) is not a formula; short block drops entirely
+    val empty = extract(page.format("""<p>$$$$</p>"""))
+    assert(empty.spans.isEmpty)
   }
 
   test("tag soup: unclosed math swallows to container end deterministically") {
