@@ -43,6 +43,26 @@ class ChunkedExtractSpec extends AnyFunSuite {
     }
   }
 
+  test("chunked == single-pass on a math mega-doc (no seam inside <math>)") {
+    // an open <math>/<annotation> on the planner stack forbids a split
+    // (splittableHere requires plain html/body only), so formula ancestry
+    // facts can never straddle a seam — pinned over a mega-doc whose every
+    // paragraph carries MathML, at aggressive chunk sizes
+    val body = (0 until 200).map { i =>
+      s"""<p>Paragraph $i with an inline term <math><semantics><mrow><mi>x</mi><mo>=</mo><mn>$i</mn></mrow><annotation encoding="application/x-tex">x_{$i} = \\sqrt{$i}</annotation></semantics></math> plus enough prose to pad the fragment past the block boundary comfortably.</p>
+         |<p><math display="block"><mi>y</mi><mo>=</mo><mn>${i * 2}</mn></math></p>""".stripMargin
+    }.mkString("\n")
+    val html = s"<html><body>$body</body></html>".getBytes("UTF-8")
+    val row = PageRow("http://t/math-mega", new java.sql.Timestamp(0L), html, null, null)
+    for (minChunk <- Seq(256, 512, 2048)) {
+      val d = equivalent(row, minChunk)
+      assert(d.isEmpty, s"minChunk=$minChunk: ${d.getOrElse("")}")
+    }
+    // and the doc genuinely splits (the guard is not vacuous)
+    val chunks = graft.extract.HtmlChunker.plan(html, 2048)
+    assert(chunks.length > 4, s"expected a real multi-chunk plan, got ${chunks.length}")
+  }
+
   test("chunked == single-pass on generated top-level soups (property)") {
     val section = for {
       n <- Gen.chooseNum(1, 4)
