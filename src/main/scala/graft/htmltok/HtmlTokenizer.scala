@@ -89,7 +89,9 @@ object TokenFlags {
   final val SpanMask = 0x3ff
   final val ColspanSeen = 1 << 24
   final val RowspanSeen = 1 << 25
-  /** start tag carries an encoding attribute whose value mentions "tex" —
+  /** start tag carries an encoding attribute whose value mentions "tex"
+    * other than as the prefix of "text" (so "text/plain"/"text/html" prose
+    * alternates do NOT pose as TeX, while "text/x-tex" still does) —
     * consulted only on `<annotation>` elements inside `<math>` (the MathML
     * `encoding="application/x-tex"` convention; formula-branch source
     * selection, the graft of the reference's equation region → LaTeX text
@@ -747,7 +749,7 @@ object HtmlTokenizer {
             }
           }
           else if (nameIs(input, anStart, anLen, "encoding")) {
-            if (containsAscii(input, vStart, vEnd, "tex")) flag |= TokenFlags.TexEncoding
+            if (containsTexWord(input, vStart, vEnd)) flag |= TokenFlags.TexEncoding
           }
           else if (nameIs(input, anStart, anLen, "class") || nameIs(input, anStart, anLen, "id")) {
             var k = 0
@@ -815,6 +817,23 @@ object HtmlTokenizer {
       k += 1
     }
     true
+  }
+
+  /** "tex" occurs in the encoding value NOT as the prefix of "text":
+    * accepts the MathML annotation conventions ("application/x-tex",
+    * "application/x-latex", "TeX", "LaTeX", "text/x-tex") while rejecting
+    * plain MIME types ("text/plain", "text/html") whose leading "text"
+    * would otherwise satisfy a bare substring match. */
+  private def containsTexWord(input: Array[Byte], from: Int, to: Int): Boolean = {
+    var i = from
+    val limit = to - 3
+    while (i <= limit) {
+      if (toLower(input(i) & 0xff) == 't' && toLower(input(i + 1) & 0xff) == 'e' &&
+          toLower(input(i + 2) & 0xff) == 'x' &&
+          (i + 3 >= to || toLower(input(i + 3) & 0xff) != 't')) return true
+      i += 1
+    }
+    false
   }
 
   /** Case-insensitive ASCII substring search inside a byte range. */

@@ -74,6 +74,24 @@ class FormulaSpec extends AnyFunSuite {
     assert(!doc.text.contains("apply") && !doc.text.contains("iVBORw0"))
   }
 
+  test("text/* MIME annotations are NOT TeX sources (\"text\" contains \"tex\")") {
+    // the W3C-documented plain-text alternate form: the prose body must not
+    // pose as TeX, and the presentation linearization must still surface
+    val html = page.format(
+      """<p>Plain: <math><mrow><mi>x</mi><mo>=</mo><mn>2</mn></mrow><annotation encoding="text/plain">x equals 2</annotation></math> here in a sentence.</p>""")
+    val doc = extract(html)
+    assert(doc.text == "Plain: $x=2$ here in a sentence.")
+    assert(!doc.text.contains("x equals 2"))
+  }
+
+  test("text/x-tex IS a TeX source (the x-tex occurrence, not the text/ prefix)") {
+    val html = page.format(
+      """<p><math><mrow><mi>z</mi></mrow><annotation encoding="text/x-tex">z_0</annotation></math></p>""")
+    val doc = extract(html)
+    assert(doc.spans.map(_.label) == List(Labels.Formula))
+    assert(doc.text == "$$z_0$$")
+  }
+
   test("encoding match is case-insensitive and substring (application/X-TeX)") {
     val html = page.format(
       """<p><math><mrow><mi>y</mi></mrow><annotation ENCODING="application/X-TeX">y^2</annotation></math></p>""")
