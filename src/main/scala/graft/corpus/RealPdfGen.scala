@@ -463,7 +463,9 @@ object RealPdfGen {
       var sr = 2; var es = 0
       while (sr * 2 <= segCount * 2) { sr *= 2; es += 1 }
       w16(4); w16(len); w16(0) // format, length, language
-      w16(segCount * 2); w16(sr); w16(es - 1 max 0); w16(segCount * 2 - sr)
+      // entrySelector = floor(log2(segCount)) — es already counts the
+      // doublings, no -1 (searchRange = 2*2^es, rangeShift = 2*segCount-sr)
+      w16(segCount * 2); w16(sr); w16(es); w16(segCount * 2 - sr)
       segs.foreach { case (_, e, _) => w16(e) }
       w16(0) // reservedPad
       segs.foreach { case (s, _, _) => w16(s) }
@@ -473,9 +475,38 @@ object RealPdfGen {
       w16(12); w16(0); w32(16 + 12L * pairs.length); w32(0); w32(pairs.length)
       pairs.foreach { case (c, g) => w32(c); w32(c); w32(g) }
     }
-    val subBytes = sub.toByteArray
+    wrapSfnt(sub.toByteArray)
+  }
+
+  /** Format-4 subtable whose single REAL segment is the spec-mandated final
+    * one (endCode 0xFFFF), delta-mapping chars `start..0xFFFE` to gids
+    * `gid0..`: the spec allows the final segment to carry real mappings, and
+    * a parser that drops every end==0xFFFF segment loses all of them.
+    * Expected mapping is authored here, never read back from the parser. */
+  def buildTtfCmapFinalRange(start: Int, gid0: Int): Array[Byte] = {
+    require(start >= 0 && start < 0xffff)
+    val sub = new ByteArrayOutputStream()
+    def w16(v: Int): Unit = sub.write(be16s(v), 0, 2)
+    val segCount = 1
+    w16(4); w16(16 + 8 * segCount); w16(0) // format, length, language
+    w16(segCount * 2); w16(2); w16(0); w16(0) // searchRange fields for 1 seg
+    w16(0xffff) // endCode
+    w16(0) // reservedPad
+    w16(start) // startCode
+    w16((gid0 - start) & 0xffff) // idDelta
+    w16(0) // idRangeOffset: delta form
+    wrapSfnt(sub.toByteArray)
+  }
+
+  private def be16s(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** sfnt container (version 1.0, ONE `cmap` table with a single (3,1)
+    * encoding record) around a raw cmap subtable. */
+  private def wrapSfnt(subBytes: Array[Byte]): Array[Byte] = {
+    def be16(v: Int) = be16s(v)
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
     val out = new ByteArrayOutputStream()
-    // sfnt: version 1.0, ONE table; binary-search fields as the spec computes
     out.write(be32(0x00010000L), 0, 4)
     out.write(be16(1), 0, 2) // numTables
     out.write(be16(16), 0, 2); out.write(be16(0), 0, 2); out.write(be16(0), 0, 2)

@@ -86,9 +86,14 @@ object TrueTypeCmap {
       val rangeOff = r.u16(rangeBase + 2 * seg)
       total += (if (start <= end) end - start + 1 else 0)
       if (total > (1 << 20)) return None
-      if (start <= end && end != 0xffff) {
+      // A legitimate FINAL segment may end at 0xFFFF and carry real
+      // mappings (spec requires the last endCode to be 0xFFFF); only the
+      // code point 0xFFFF itself is the terminator char (maps to missing
+      // glyph) — exclude the char, never the whole segment.
+      val last = math.min(end, 0xfffe)
+      if (start <= last) {
         var c = start
-        while (c <= end) {
+        while (c <= last) {
           val gid =
             if (rangeOff == 0) (c + delta) & 0xffff
             else {

@@ -214,6 +214,17 @@ class RealPdfSpec extends AnyFunSuite {
     assert(TrueTypeCmap.charToGid("not a font at all".getBytes("UTF-8")).isEmpty)
   }
 
+  test("TrueTypeCmap format 4: a REAL final segment ending at 0xFFFF keeps its mappings") {
+    import graft.pdf.TrueTypeCmap
+    // spec: the last segment MUST end at 0xFFFF, and it may carry real
+    // mappings — only the code point 0xFFFF itself is the terminator char.
+    // Expected mapping authored from the builder's contract, not the parser.
+    val ttf = RealPdfGen.buildTtfCmapFinalRange(start = 0xFF00, gid0 = 0x40)
+    val m = TrueTypeCmap.charToGid(ttf).get
+    assert(m == (0xFF00 to 0xFFFE).map(c => c -> (0x40 + c - 0xFF00)).toMap)
+    assert(!m.contains(0xFFFF), "the terminator char itself never maps")
+  }
+
   test("Identity-H-only page (no mappable text) is pdf_unparsed") {
     val pages = Seq(RealPdfGen.PageSpec(800, 1200, Seq.empty, compress = false))
     val doc = Extractor.extract("u", RealPdfGen.buildIdentityCid(pages))
