@@ -96,11 +96,29 @@ object MultimodalFunctions {
     * deterministic digest feature with `decoded = false` — never a silent
     * fake. The batch signature (batch in → per-item dims + feature vector
     * out) is the production decoder contract. */
+  /** Decompression-bomb ceiling: decode allocates ~8 bytes/pixel
+    * (BufferedImage + the getRGB copy), so 64 Mpx caps the per-image
+    * footprint at ~512 MB — far above any legitimate web image (8k video
+    * frames are 33 Mpx), far below the OOM that would kill the task on a
+    * crafted few-hundred-byte payload declaring 40000x40000. */
+  private val MaxDecodePixels = 64L << 20
+
   private def decode(batch: Array[(String, Array[Byte], String, Array[Byte])])
-      : Array[MediaMeta] =
+      : Array[MediaMeta] = {
+    // payloads are already in memory — skip ImageIO's default per-read
+    // disk-backed FileCacheImageInputStream temp file (JVM-global, idempotent)
+    javax.imageio.ImageIO.setUseCache(false)
     batch.map { case (url, payload, kind, digest) =>
+      // bomb guard BEFORE the pixel decode: the cheap header parse reads the
+      // DECLARED dims; over-ceiling payloads take the labeled header-dims
+      // fallback instead of allocating declared-size buffers
+      val declaredOk = ImageHeaders.dims(payload) match {
+        case Some(d) => d.width.toLong * d.height <= MaxDecodePixels
+        case None => true // undeclared: ImageIO decides (corrupt → null/throw)
+      }
       val real: Option[MediaMeta] =
-        if (kind == "png" || kind == "jpeg" || kind == "gif" || kind == "bmp") {
+        if (declaredOk &&
+            (kind == "png" || kind == "jpeg" || kind == "gif" || kind == "bmp")) {
           try {
             val img = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(payload))
@@ -120,6 +138,7 @@ object MultimodalFunctions {
           digest.map("%02x".format(_)).mkString, w, h, feat, decoded = false)
       }
     }
+  }
 
   /** Resize planning on media metadata — the EXACT arithmetic of the
     * reference's DetResizeForTest type-0 path (limit the long side to
@@ -190,7 +209,8 @@ object MultimodalFunctions {
     * no external codec — the audio analog of the ImageIO image path):
     * format metadata + signal statistics (RMS, peak, zero-crossing rate)
     * for audio-quality gating (silence/clipping screens). Non-RIFF or
-    * undecodable payloads, and formats other than 16-bit signed PCM, emit
+    * undecodable payloads, formats other than 16-bit signed PCM, and
+    * payloads cut mid-data (fewer bytes than the header declares) emit
     * zeroed stats with `decoded = false` — labeled, never fabricated.
     * No shuffle: scan → mapPartitions → rows. */
   def audioMeta(pages: Dataset[PageRow]): DataFrame = {
@@ -214,7 +234,16 @@ object MultimodalFunctions {
             f.getSampleSizeInBits == 16
           if (!ok) { in.close(); None }
           else {
+            val declaredFrames = in.getFrameLength // -1 when unspecified
             val bytes = in.readAllBytes(); in.close()
+            // a payload cut mid-data still opens fine (header intact) but
+            // yields fewer bytes than the declared data length — that is the
+            // documented truncated case and must take the labeled
+            // decoded=false fallback, not a silent partial-signal decode
+            if (declaredFrames >= 0 &&
+                bytes.length < declaredFrames * f.getFrameSize) throw
+              new java.io.EOFException(s"WAV data truncated: ${bytes.length}" +
+                s" < ${declaredFrames * f.getFrameSize} declared bytes")
             val ch = f.getChannels
             val big = f.isBigEndian
             val n = bytes.length / 2

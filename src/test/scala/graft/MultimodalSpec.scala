@@ -155,6 +155,18 @@ class MultimodalSpec extends AnyFunSuite {
     val cut = MultimodalFunctions.mediaMeta(cutPages).collect().head
     assert(cut.getString(2) == "png" && !cut.getBoolean(7))
     assert((cut.getInt(4), cut.getInt(5)) == ((2, 1)), "IHDR dims recovered")
+    // decompression bomb: a REAL PNG whose IHDR is patched to DECLARE
+    // 40000x40000 (ImageIO sizes the raster from the IHDR, ~6.4 GB, before
+    // any pixel data is read) — the declared-dims guard must refuse the
+    // pixel decode and take the labeled header-dims fallback, never OOM
+    val bomb = java.util.Arrays.copyOf(realPng, realPng.length)
+    for (off <- Seq(16, 20); k <- 0 to 3) // IHDR width @16, height @20 (be32)
+      bomb(off + k) = ((40000 >>> (24 - 8 * k)) & 0xff).toByte
+    val bombPages = Seq(graft.model.PageRow("https://px.example.org/bomb.png",
+      new java.sql.Timestamp(1577836800000L), bomb, null, null)).toDS()
+    val br = MultimodalFunctions.mediaMeta(bombPages).collect().head
+    assert(!br.getBoolean(7), "over-ceiling declared dims must not decode")
+    assert((br.getInt(4), br.getInt(5)) == ((40000, 40000)), "declared dims recovered")
   }
 
   test("audioMeta: WAV statistics match from-construction values; fallbacks labeled") {
@@ -166,9 +178,14 @@ class MultimodalSpec extends AnyFunSuite {
     val sn = MediaFixtures.wav(440, 100, 0.25, rate = 8000, square = false)
     val st = MediaFixtures.wav(330, 50, 0.5, rate = 8000, channels = 2)
     val cut = java.util.Arrays.copyOf(sq, 30)
+    // cut INSIDE the data chunk: the header opens fine, but the payload has
+    // fewer bytes than the declared frame count — must be the labeled
+    // fallback, never a silent partial-signal decode
+    val midCut = java.util.Arrays.copyOf(sq, sq.length - 100)
     val pages = Seq(
       ("https://au.example.org/sq.wav", sq), ("https://au.example.org/sn.wav", sn),
       ("https://au.example.org/st.wav", st), ("https://au.example.org/cut.wav", cut),
+      ("https://au.example.org/midcut.wav", midCut),
       ("https://au.example.org/html", "<html><body>x</body></html>".getBytes("UTF-8"))
     ).map { case (u, b) =>
       graft.model.PageRow(u, new java.sql.Timestamp(1577836800000L), b, null, null)
@@ -204,8 +221,10 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rst.getBoolean(11) && rst.getInt(4) == 2 && rst.getLong(6) == 400L)
     assert(math.abs(rst.getDouble(8) - 0.5) < 1e-4,
       "stereo duplicate channels keep the RMS")
-    // truncated WAV and non-audio payloads: labeled fallback, zeroed stats
-    for (u <- Seq("https://au.example.org/cut.wav", "https://au.example.org/html")) {
+    // truncated WAV (header-level AND mid-data) and non-audio payloads:
+    // labeled fallback, zeroed stats
+    for (u <- Seq("https://au.example.org/cut.wav",
+        "https://au.example.org/midcut.wav", "https://au.example.org/html")) {
       val r = rows(u)
       assert(!r.getBoolean(11) && r.getDouble(8) == 0.0 && r.getInt(3) == 0, u)
     }
