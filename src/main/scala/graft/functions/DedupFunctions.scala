@@ -460,8 +460,8 @@ object DedupFunctions {
     *
     * Scale shape: per phase ONE (src → min dst) aggregation + ONE equi-join
     * on src; all rows are two longs, text never appears. Convergence check
-    * is a canonical-edge-set diff (two longs per row, anti-join) — control
-    * plane, one scalar per phase pair. */
+    * is a canonical-edge-set symmetric difference via union + count-per-pair
+    * (two longs per row) — ONE job and one scalar per phase pair. */
   def starComponents(edgesIn: DataFrame, docs: DataFrame,
                      maxRounds: Int = 64): DataFrame = {
     def sym(e: DataFrame): DataFrame =
@@ -481,7 +481,7 @@ object DedupFunctions {
       round += 1
       require(round <= maxRounds, // 2·log2(n) in theory — this cannot fire
         s"starComponents did not converge in $maxRounds phase pairs")
-      val before = canon(edges).localCheckpoint()
+      val before = canon(edges) // derives from checkpointed edges — cheap to replay once
       val mL = mTable(edges)
       val large = edges.filter(col("dst") > col("src"))
         .join(mL, "src")
@@ -494,9 +494,12 @@ object DedupFunctions {
         .union(mS.select(col("src"), col("m").as("dst")))
       edges = sym(small).localCheckpoint()
       val after = canon(edges)
-      // fixpoint: the canonical undirected edge set stopped moving
-      done = after.join(before, Seq("a", "b"), "left_anti").isEmpty &&
-        before.join(after, Seq("a", "b"), "left_anti").isEmpty
+      // fixpoint: the canonical undirected edge set stopped moving. Each
+      // side is distinct, so a pair in the symmetric difference shows up
+      // with count 1 — ONE aggregation + ONE action per phase pair (the
+      // two-anti-join formulation launched two full jobs for one boolean)
+      done = after.union(before).groupBy("a", "b").count()
+        .filter(col("count") =!= 2).isEmpty
     }
     val labels = mTable(edges)
     docs.select(col("doc_id"))
