@@ -214,6 +214,38 @@ class RealPdfSpec extends AnyFunSuite {
     assert(TrueTypeCmap.charToGid("not a font at all".getBytes("UTF-8")).isEmpty)
   }
 
+  test("TrueTypeCmap fuzz: bit-flipped and random inputs never throw, never map out of range") {
+    import graft.pdf.TrueTypeCmap
+    // deterministic seed: this is a pinned regression corpus, not Monte Carlo
+    val rnd = new scala.util.Random(0x7007f0d7L)
+    def wellFormed(m: Map[Int, Int]): Unit = m.foreach { case (c, g) =>
+      assert(c >= 0 && c <= 0x10ffff, s"char out of Unicode range: $c")
+      assert(g > 0 && g <= 0xffff, s"gid out of range: $g")
+    }
+    // structured mutations: every single-byte corruption of a valid font at
+    // pseudo-random positions, plus each byte zeroed/maxed at header offsets
+    val bases = Seq(
+      RealPdfGen.buildTtfCmap(Seq(('A'.toInt, 1), (0x20AC, 2), (0xFF00, 3)), 4),
+      RealPdfGen.buildTtfCmap(Seq(('A'.toInt, 1), (0x20AC, 2), (0x1F600, 3)), 12),
+      RealPdfGen.buildTtfCmapFinalRange(start = 0xFF00, gid0 = 0x40))
+    for (good <- bases) {
+      for (_ <- 0 until 400) {
+        val b = good.clone()
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        TrueTypeCmap.charToGid(b).foreach(wellFormed) // must not throw
+      }
+      for (i <- 0 until math.min(64, good.length); v <- Seq(0x00, 0xff)) {
+        val b = good.clone(); b(i) = v.toByte
+        TrueTypeCmap.charToGid(b).foreach(wellFormed)
+      }
+    }
+    // unstructured: pure random byte arrays of assorted sizes
+    for (n <- Seq(1, 7, 12, 64, 256, 4096); _ <- 0 until 20) {
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      TrueTypeCmap.charToGid(b).foreach(wellFormed)
+    }
+  }
+
   test("TrueTypeCmap format 4: a REAL final segment ending at 0xFFFF keeps its mappings") {
     import graft.pdf.TrueTypeCmap
     // spec: the last segment MUST end at 0xFFFF, and it may carry real
