@@ -141,18 +141,27 @@ object Warc {
     b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
 
   /** Inflate every gzip member (JDK GZIPInputStream walks concatenated
-    * members); pass-through for plain WARC. */
+    * members); pass-through for plain WARC. A stream cut or corrupted
+    * mid-member yields the bytes inflated BEFORE the damage — the record
+    * framing in [[parseRecords]] then drops the partial tail record, so one
+    * truncated `.warc.gz` in a 100 TB bucket degrades to a short file
+    * instead of throwing and killing the task (same discipline as
+    * [[gzipMembers]]). */
   def inflate(bytes: Array[Byte]): Array[Byte] =
     if (!isGzip(bytes)) bytes
     else {
-      val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 1 << 16)
       // initial-size hint only — clamp, because length*4 overflows Int for
       // segments over 512 MB (a real CC segment is ~1 GB)
       val out = new ByteArrayOutputStream(
         math.min(bytes.length.toLong * 4, 1L << 26).toInt)
-      val buf = new Array[Byte](1 << 16)
-      var k = in.read(buf)
-      while (k >= 0) { out.write(buf, 0, k); k = in.read(buf) }
+      try {
+        val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 1 << 16)
+        val buf = new Array[Byte](1 << 16)
+        var k = in.read(buf)
+        while (k >= 0) { out.write(buf, 0, k); k = in.read(buf) }
+      } catch {
+        case _: java.io.IOException => () // truncated/corrupt tail: keep prefix
+      }
       out.toByteArray
     }
 
@@ -265,9 +274,14 @@ object Warc {
           val bos = new ByteArrayOutputStream(1 << 16)
           val buf = new Array[Byte](1 << 16)
           while (ok && !inf.finished()) {
-            val k = inf.inflate(buf)
+            // corrupt deflate data throws DataFormatException — after it the
+            // member boundary is unknowable, so drop this member and stop
+            // the walk (prefix semantics, same as a truncated body)
+            val k = try inf.inflate(buf) catch {
+              case _: java.util.zip.DataFormatException => ok = false; 0
+            }
             if (k > 0) bos.write(buf, 0, k)
-            else if (!inf.finished() && inf.needsInput()) ok = false // truncated deflate body
+            else if (ok && !inf.finished() && inf.needsInput()) ok = false // truncated deflate body
           }
           if (ok) {
             val memberEnd = p + (raw.length - p - inf.getRemaining) + 8

@@ -59,6 +59,37 @@ class WarcSpec extends AnyFunSuite {
     got.zip(whole).foreach { case (a, b) => assert(a.targetUri == b.targetUri) }
   }
 
+  test("truncated/corrupt .warc.gz degrades to the readable prefix, never throws") {
+    val gz = Warc.sampleFile(42L, 8, gzip = true)
+    val whole = Warc.parseRecords(gz)
+    // cut mid-stream: every record fully inside the inflated prefix survives
+    val cut = java.util.Arrays.copyOfRange(gz, 0, gz.length / 2)
+    val got = Warc.parseRecords(cut) // must not throw
+    assert(got.length < whole.length)
+    got.zip(whole).foreach { case (a, b) => assert(a.targetUri == b.targetUri) }
+    // deflate-body corruption mid-file: no throw (content at the damage
+    // point may legitimately differ — corrupted bytes are emitted before the
+    // member-end CRC rejects the stream, so only the no-throw framing
+    // contract holds, not content equality)
+    val flipped = gz.clone()
+    flipped(gz.length / 2) = (flipped(gz.length / 2) ^ 0x5a).toByte
+    Warc.parseRecords(flipped)
+    // pinned fuzz: single-byte mutations anywhere never throw
+    val rnd = new scala.util.Random(0x0a5cL)
+    for (_ <- 0 until 200) {
+      val b = gz.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Warc.parseRecords(b)
+      Warc.cdxRows(b)
+    }
+    val plain = Warc.sampleFile(42L, 8, gzip = false)
+    for (_ <- 0 until 200) {
+      val b = plain.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Warc.parseRecords(b)
+    }
+  }
+
   test("header names are case-insensitive; bare payload block tolerated") {
     val body = "<html><body><p>Case test page body here.</p></body></html>"
     // correct version line (case-sensitive by spec) but lowercase header names
