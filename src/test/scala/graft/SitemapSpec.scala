@@ -64,6 +64,39 @@ class SitemapSpec extends AnyFunSuite {
       Entry("https://a.org/s2.xml", null, index = true)))
   }
 
+  test("fuzz: mutated and random bytes never throw; entries stay well-formed") {
+    // Sitemaps.parse rides the tag-soup tokenizer, so malformed XML must
+    // degrade, never throw — same contract the WARC/PDF/media readers pin.
+    val base =
+      ("""<?xml version="1.0"?><urlset>""" +
+        (0 until 6).map(i =>
+          s"<url><loc>https://h$i.org/p?a=1&amp;b=$i</loc>" +
+            s"<lastmod>2024-03-0$i</lastmod></url>").mkString +
+        "<url><loc><![CDATA[https://raw.org/&amp;x]]></loc></url></urlset>")
+        .getBytes(StandardCharsets.UTF_8)
+    val arena = new TokenArena()
+    def check(bytes: Array[Byte]): Unit = {
+      val got = Sitemaps.parse(bytes, arena) // must not throw
+      got.foreach { e =>
+        assert(e.loc.nonEmpty && e.loc == e.loc.trim)
+        assert(e.lastmod == null || e.lastmod.nonEmpty)
+      }
+    }
+    val rnd = new scala.util.Random(0x51e7L)
+    for (_ <- 0 until 300) { // single-byte mutations anywhere in the doc
+      val b = base.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      check(b)
+    }
+    for (_ <- 0 until 100) { // pure noise, including bytes that sniff as markup
+      val b = new Array[Byte](rnd.nextInt(512))
+      rnd.nextBytes(b)
+      check(b)
+    }
+    for (cut <- 1 until base.length by 7) // truncation at every 7th offset
+      check(java.util.Arrays.copyOfRange(base, 0, cut))
+  }
+
   test("x26 frontier: closed-form rows, canon folding, robots verdicts") {
     val rows = SparkEntry.queries("x26_sitemap_frontier")(spark, "").collect()
       .map(r => r.getString(1) ->
