@@ -768,10 +768,15 @@ object TextFunctions {
     val perDoc = scored.groupBy(col("doc_id"))
       .agg(round(aggregate(sort_array(collect_list(struct(col("t"), col("s")))),
         lit(0.0), (acc, x) => acc + x("s")), 4).as("score"))
+    // Global top-k via orderBy+limit — Spark compiles this to a distributed
+    // TakeOrderedAndProject (per-partition top-k, merged at the driver), not
+    // the single-partition row_number window that would funnel every doc
+    // matching a common query term through one task. The rank window then
+    // runs over the k-row result only (control-plane sized by construction).
+    val topk = perDoc.orderBy(col("score").desc, col("doc_id")).limit(k)
     val w = Window.orderBy(col("score").desc, col("doc_id"))
-    perDoc.select(row_number().over(w).cast("long").as("rank"),
+    topk.select(row_number().over(w).cast("long").as("rank"),
         col("doc_id"), col("score"))
-      .filter(col("rank") <= k)
       .orderBy("rank")
   }
 

@@ -220,6 +220,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("d33: global top-k is TakeOrderedAndProject, not a corpus-wide rank window") {
+    val plan = planOf("d33_bm25")
+    // orderBy+limit compiles to a distributed per-partition top-k merged at
+    // the driver; the rank window then sees only the k-row result. A plan
+    // where row_number runs BEFORE the limit funnels every doc matching a
+    // common query term through one task.
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("d28: segment-count exchanges carry digests, never segment text") {
     val plan = planOf("d28_line_dedup")
     assert(!plan.contains("CartesianProduct"), plan)
