@@ -758,12 +758,17 @@ object RealPdfGen {
     * `build(pages)` under a conforming viewer. Exists so RealPdfSpec can
     * assert byte-identical extraction between a page and its rotated twin. */
   def buildRotated(pages: Seq[PageSpec], rot: Int,
-                   inheritRotate: Boolean = false): Array[Byte] = {
+                   inheritRotate: Boolean = false,
+                   indirectRotate: Boolean = false): Array[Byte] = {
     require(Seq(90, 180, 270).contains(rot), s"rot $rot")
+    require(!(inheritRotate && indirectRotate), "pick one /Rotate placement")
     val out = new ByteArrayOutputStream(4096)
     val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
     def put(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
     def beginObj(num: Int): Unit = { offsets += out.size(); put(s"$num 0 obj\n") }
+    // indirectRotate: `/Rotate N 0 R` points at a bare integer object
+    // (ISO 32000 §7.3.10 — any dict value may be an indirect reference)
+    val rotObj = 3 + 2 * pages.length
     put("%PDF-1.4\n")
     beginObj(1)
     put("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
@@ -777,9 +782,13 @@ object RealPdfGen {
       val pageNum = 3 + 2 * i
       val contNum = 4 + 2 * i
       val (ws, hs) = if (rot == 90 || rot == 270) (p.h, p.w) else (p.w, p.h)
+      val rotEntry =
+        if (inheritRotate) ""
+        else if (indirectRotate) s"/Rotate $rotObj 0 R "
+        else s"/Rotate $rot "
       beginObj(pageNum)
       put(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 $ws $hs] " +
-        (if (inheritRotate) "" else s"/Rotate $rot ") +
+        rotEntry +
         s"/Contents $contNum 0 R /Resources << /Font << /F1 " +
         "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> >> >> >>\nendobj\n")
       val raw = contentForRotated(p, rot)
@@ -790,6 +799,10 @@ object RealPdfGen {
       put(s"<< /Length ${data.length}$fdecl >>\nstream\n")
       out.write(data)
       put("\nendstream\nendobj\n")
+    }
+    if (indirectRotate) {
+      beginObj(rotObj)
+      put(s"$rot\nendobj\n")
     }
     val xrefOff = out.size()
     val n = offsets.length + 1

@@ -174,6 +174,12 @@ object RealPdf {
             next = if (es < 0) n else es + 9
           }
         }
+      } else if (i < n) {
+        // bare (non-dict) object — `9 0 obj 90 endobj` — capture the short
+        // body so indirect scalar values (e.g. /Rotate 9 0 R) can resolve;
+        // capped: a bare body longer than 64 chars is nothing we dereference
+        val eo = s.indexOf("endobj", i)
+        if (eo > i && eo - i <= 64) dict = s.substring(i, eo).trim
       }
       if (!out.contains(num)) out += num -> PdfObj(num, dict, streamRaw, m.start)
       pos = math.max(next, m.end)
@@ -250,7 +256,11 @@ object RealPdf {
   }
 
   private def directInt(dict: String, key: String): Option[Int] =
-    firstGroup(raw"/$key\s+(\d+)(?!\s+\d+\s+R)", dict).map(_.toInt)
+    // (?!\d) stops backtracking from shrinking the match: without it,
+    // `/Length 900 0 R` fails the indirect-ref lookahead at "900", then
+    // re-matches "90" (next char '0' is not whitespace, so the lookahead
+    // passes) and misreads the object number's prefix as a literal value
+    firstGroup(raw"/$key\s+(\d+)(?!\d)(?!\s+\d+\s+R)", dict).map(_.toInt)
 
   private def ref(dict: String, key: String): Option[Int] =
     firstGroup(raw"/$key\s+(\d+)\s+\d+\s+R", dict).map(_.toInt)
@@ -323,14 +333,26 @@ object RealPdf {
     * (ppstructure/predict_system.py:112-125); here the analog is rotating
     * extracted geometry into upright coordinates before the XY-cut. */
   private def pageRotate(page: PdfObj, objs: Map[Int, PdfObj]): Int = {
+    def norm(v: String): Int =
+      v.toIntOption.map(r => ((r % 360) + 360) % 360).filter(_ % 90 == 0).getOrElse(0)
     var cur: Option[PdfObj] = Some(page)
     var hops = 0
     while (cur.isDefined && hops < 32) {
-      firstGroup(raw"/Rotate\s+(-?\d+)", cur.get.dict) match {
-        case Some(v) =>
-          return v.toIntOption.map(r => ((r % 360) + 360) % 360)
-            .filter(_ % 90 == 0).getOrElse(0)
-        case None => cur = ref(cur.get.dict, "Parent").flatMap(objs.get); hops += 1
+      val dict = cur.get.dict
+      // the (?!…R) lookahead keeps an indirect `/Rotate n 0 R` from being
+      // misread as a literal n-degree rotation, and (?!\d) keeps regex
+      // backtracking from matching a prefix of the object number (same
+      // guards as directInt); the indirect form resolves through the
+      // target object's body
+      firstGroup(raw"/Rotate\s+(-?\d+)(?!\d)(?!\s+\d+\s+R)", dict) match {
+        case Some(v) => return norm(v)
+        case None =>
+          ref(dict, "Rotate") match {
+            case Some(num) =>
+              return norm(objs.get(num)
+                .flatMap(o => firstGroup(raw"(-?\d+)", o.dict)).getOrElse("0"))
+            case None => cur = ref(dict, "Parent").flatMap(objs.get); hops += 1
+          }
       }
     }
     0

@@ -72,9 +72,37 @@ class RealPdfSpec extends AnyFunSuite {
     val twinI = Extractor.extract("u", inherited)
     assert(twinI.status == "ok" && twinI.text == upright.text, twinI.text)
     assert(PdfBranch.parsePayload(inherited, ExtractConfig()).rotatedPages == 1)
+    // /Rotate as an INDIRECT reference (`/Rotate N 0 R` → bare int object,
+    // §7.3.10) resolves — and is never misread as an N-degree literal
+    val indirect = RealPdfGen.buildRotated(spec, 90, indirectRotate = true)
+    val twinR = Extractor.extract("u", indirect)
+    assert(twinR.status == "ok" && twinR.text == upright.text, twinR.text)
+    assert(PdfBranch.parsePayload(indirect, ExtractConfig()).rotatedPages == 1)
     // a /Rotate 0 (or absent) page records nothing
     assert(PdfBranch.parsePayload(RealPdfGen.build(spec), ExtractConfig())
       .rotatedPages == 0)
+  }
+
+  test("indirect /Rotate with a multi-digit object number resolves, never misreads a prefix") {
+    // `/Rotate 900 0 R` where object 900 holds 180: a backtracking regex
+    // would match "90" (the object number's prefix, a legal rotation!) —
+    // correct behavior resolves the reference and reads 180, so the page
+    // dims must stay UNswapped (180 keeps w×h) and the page counts rotated
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 800 1200] " +
+      "/Rotate 900 0 R /Contents 4 0 R /Resources << /Font << /F1 " +
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> >> >> >> endobj\n" +
+      "4 0 obj << >> stream\nBT /F1 12 Tf 50 1150 Td (Hello world.) Tj ET\nendstream endobj\n" +
+      "900 0 obj\n180\nendobj\n" +
+      "trailer << /Size 5 /Root 1 0 R >>\n%%EOF")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val parsed = RealPdf.parse(pdf, 64).get
+    assert(parsed.rotatedPages == 1)
+    // 180: axes unswapped — a "90" prefix misread would have swapped them
+    assert((parsed.pages.head.pageW, parsed.pages.head.pageH) == ((800, 1200)))
+    assert(parsed.pages.head.blocks.exists(_.text.contains("Hello world.")))
   }
 
   test("multi-page PDFs concatenate pages in tree order") {
