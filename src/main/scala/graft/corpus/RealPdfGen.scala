@@ -189,24 +189,37 @@ object RealPdfGen {
   def buildObjStmPredicted(pages: Seq[PageSpec]): Array[Byte] =
     buildObjStm(pages, predict = true)
 
-  private def buildObjStm(pages: Seq[PageSpec], predict: Boolean): Array[Byte] = {
+  /** As [[buildObjStm]] but every page dict carries `/Rotate N 0 R` whose
+    * target is a bare integer object CONTAINED IN the ObjStm — pins
+    * indirect-scalar resolution through the object-stream primitive path.
+    * Content is authored upright (rot 180 flips geometry, not glyphs), so
+    * only use 180 when asserting text equality. */
+  def buildObjStmRotated(pages: Seq[PageSpec], rot: Int): Array[Byte] =
+    buildObjStm(pages, predict = false, rotate = rot)
+
+  private def buildObjStm(pages: Seq[PageSpec], predict: Boolean,
+                          rotate: Int = 0): Array[Byte] = {
     val out = new ByteArrayOutputStream(4096)
     def put(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
     val n = pages.length
     val stmNum = 3 + 2 * n
     val xrefNum = stmNum + 1
 
-    // bodies of the compressed objects (1 = catalog, 2 = pages, 3+2i = pages)
+    // bodies of the compressed objects (1 = catalog, 2 = pages, 3+2i = pages,
+    // optionally stmNum+2 = the bare rotate integer)
+    val rotNum = stmNum + 2
     val kids = pages.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    val rotEntry = if (rotate != 0) s"/Rotate $rotNum 0 R " else ""
     val contained: Seq[(Int, String)] =
-      (1, "<< /Type /Catalog /Pages 2 0 R >>") +:
+      ((1, "<< /Type /Catalog /Pages 2 0 R >>") +:
       (2, s"<< /Type /Pages /Kids [$kids] /Count $n >>") +:
       pages.zipWithIndex.map { case (p, i) =>
         (3 + 2 * i,
           s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 ${p.w} ${p.h}] " +
+          rotEntry +
           s"/Contents ${4 + 2 * i} 0 R /Resources << /Font << /F1 << /Type /Font " +
           "/Subtype /Type1 /BaseFont /Helvetica >> >> >> >>")
-      }
+      }) ++ (if (rotate != 0) Seq((rotNum, s"$rotate")) else Seq.empty)
     val bodies = contained.map(_._2 + "\n")
     val offs = bodies.scanLeft(0)(_ + _.length).init
     val header = contained.zip(offs).map { case ((num, _), o) => s"$num $o" }

@@ -232,7 +232,15 @@ object RealPdf {
             val dict =
               if (t + 1 < s.length && s.charAt(t) == '<' && s.charAt(t + 1) == '<') {
                 val de = dictEnd(s, t); if (de > 0) s.substring(t, de) else ""
-              } else ""
+              } else {
+                // primitive body: capture the first token (bounded) so
+                // indirect scalars (/Rotate N 0 R etc.) resolve — the same
+                // bare-body rule as the top-level scan
+                var e = t
+                while (e < s.length && e - t < 64 &&
+                  !Character.isWhitespace(s.charAt(e))) e += 1
+                s.substring(t, e)
+              }
             out += num -> PdfObj(num, dict, null, stm.offset)
           }
         }

@@ -83,6 +83,15 @@ class RealPdfSpec extends AnyFunSuite {
       .rotatedPages == 0)
   }
 
+  test("indirect /Rotate whose target int lives INSIDE an ObjStm resolves") {
+    val spec = Seq(RealPdfGen.PageSpec(800, 1200,
+      Seq(RealPdfGen.Placed(50, 40, 12, Seq("Stream-borne rotation."))), compress = true))
+    val parsed = RealPdf.parse(RealPdfGen.buildObjStmRotated(spec, 180), 64).get
+    assert(parsed.rotatedPages == 1)
+    assert((parsed.pages.head.pageW, parsed.pages.head.pageH) == ((800, 1200)))
+    assert(parsed.pages.head.blocks.exists(_.text.contains("Stream-borne rotation.")))
+  }
+
   test("indirect /Rotate with a multi-digit object number resolves, never misreads a prefix") {
     // `/Rotate 900 0 R` where object 900 holds 180: a backtracking regex
     // would match "90" (the object number's prefix, a legal rotation!) —
