@@ -81,6 +81,35 @@ object MediaFixtures {
     out.toByteArray
   }
 
+  /** GIF whose logical screen declares `screenW x screenH` but whose image
+    * descriptor declares `frameW x frameH` — the classic frame-descriptor
+    * bomb: the decoder sizes the raster from the DESCRIPTOR, so a container
+    * header check alone under-counts the allocation. Carries a global color
+    * table and one LZW sub-block so readers parse up to the descriptor. */
+  def gifFrameBomb(screenW: Int, screenH: Int,
+                   frameW: Int, frameH: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream(64)
+    out.write("GIF89a".getBytes("US-ASCII"), 0, 6)
+    out.write(le16(screenW), 0, 2)
+    out.write(le16(screenH), 0, 2)
+    out.write(0x80) // GCT present, 2 entries
+    out.write(0) // bg index
+    out.write(0) // aspect
+    out.write(Array[Byte](0, 0, 0, -1, -1, -1), 0, 6) // GCT: black, white
+    out.write(0x2c) // image descriptor
+    out.write(le16(0), 0, 2) // left
+    out.write(le16(0), 0, 2) // top
+    out.write(le16(frameW), 0, 2)
+    out.write(le16(frameH), 0, 2)
+    out.write(0) // no LCT, not interlaced
+    out.write(2) // LZW min code size
+    out.write(1) // one data sub-block
+    out.write(0x4c)
+    out.write(0) // sub-block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
   /** REAL decodable image (PNG/JPEG/GIF/BMP via JDK ImageIO): a
     * deterministic RGB gradient pattern — pixel (x, y) =
     * (x·7+seed, y·13+seed, x+y+seed) mod 256 per channel — so decoded

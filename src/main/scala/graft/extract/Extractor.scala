@@ -535,8 +535,11 @@ object Extractor {
       else if (dom.inBoiler(anchor)) label = null // nav/header/footer/aside subtree
       else if (dom.inHintBoiler(anchor) && !dom.inHintContent(anchor)) label = null
       else if (isHeading) label = Labels.Title
-      else if (pureMath || texSrc != null)
-        label = Labels.Formula // before the length gates: $E=mc^2$ is short
+      else if ((pureMath || texSrc != null) && linkChars == 0)
+        // before the length gates: $E=mc^2$ is short. Genuine math source is
+        // never hyperlinked — a link-dominated block whose text happens to be
+        // `$$…$$`-wrapped (nav/spam) must still face the link-density gate.
+        label = Labels.Formula
       else if (linkChars * cfg.linkDenR >= nonWs * cfg.linkDenN && linkChars > 0)
         label = null // link-dominated (nav-like)
       else if (nonWs < cfg.shortChars && linkChars * 2 >= nonWs) label = null

@@ -109,23 +109,36 @@ object MultimodalFunctions {
     // disk-backed FileCacheImageInputStream temp file (JVM-global, idempotent)
     javax.imageio.ImageIO.setUseCache(false)
     batch.map { case (url, payload, kind, digest) =>
-      // bomb guard BEFORE the pixel decode: the cheap header parse reads the
-      // DECLARED dims; over-ceiling payloads take the labeled header-dims
-      // fallback instead of allocating declared-size buffers
-      val declaredOk = ImageHeaders.dims(payload) match {
-        case Some(d) => d.width.toLong * d.height <= MaxDecodePixels
-        case None => true // undeclared: ImageIO decides (corrupt → null/throw)
-      }
+      // bomb guard BEFORE the pixel decode, on the dims the decoder will
+      // ACTUALLY allocate: ImageReader.getWidth/getHeight(0) read the frame
+      // descriptor without decoding pixel data. The container header is not
+      // enough — a GIF's logical screen can declare 1x1 while its image
+      // descriptor declares 16000x16000, and the raster is sized from the
+      // latter. A reader that cannot even report frame dims never decodes.
       val real: Option[MediaMeta] =
-        if (declaredOk &&
-            (kind == "png" || kind == "jpeg" || kind == "gif" || kind == "bmp")) {
+        if (kind == "png" || kind == "jpeg" || kind == "gif" || kind == "bmp") {
           try {
-            val img = javax.imageio.ImageIO.read(
+            val iis = javax.imageio.ImageIO.createImageInputStream(
               new java.io.ByteArrayInputStream(payload))
-            if (img == null) None
-            else Some(MediaMeta(url, payload.length.toLong, kind,
-              digest.map("%02x".format(_)).mkString,
-              img.getWidth, img.getHeight, pixelFeatures(img), decoded = true))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) None
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis, true, true)
+                val fw = reader.getWidth(0).toLong
+                val fh = reader.getHeight(0).toLong
+                if (fw <= 0 || fh <= 0 || fw * fh > MaxDecodePixels) None
+                else {
+                  val img = reader.read(0)
+                  if (img == null) None
+                  else Some(MediaMeta(url, payload.length.toLong, kind,
+                    digest.map("%02x".format(_)).mkString,
+                    img.getWidth, img.getHeight, pixelFeatures(img),
+                    decoded = true))
+                }
+              } finally reader.dispose()
+            }
           } catch { case _: Exception => None } // truncated/corrupt → fallback
         } else None
       real.getOrElse {

@@ -357,8 +357,14 @@ object RealPdf {
         case None =>
           ref(dict, "Rotate") match {
             case Some(num) =>
+              // the target must BE a bare integer object — a dangling ref or
+              // object-number reuse pointing at a dict (`<< /Kids [90 0 R] >>`)
+              // must not surrender its first embedded integer as a rotation;
+              // a conforming viewer treats such a page as unrotated (spec
+              // default 0)
               return norm(objs.get(num)
-                .flatMap(o => firstGroup(raw"(-?\d+)", o.dict)).getOrElse("0"))
+                .flatMap(o => firstGroup(raw"\A\s*(-?\d+)\s*\z", o.dict))
+                .getOrElse("0"))
             case None => cur = ref(dict, "Parent").flatMap(objs.get); hops += 1
           }
       }

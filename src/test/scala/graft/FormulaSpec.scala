@@ -234,6 +234,20 @@ class FormulaSpec extends AnyFunSuite {
     assert(doc.text == "$$e^{i\\pi} + 1 = 0$$")
   }
 
+  test("link-wrapped $$...$$ block faces the link-density gate (nav/spam)") {
+    // a link-dominated block whose anchor text happens to be $$-wrapped is
+    // nav/spam, not math source: the formula label must not pre-empt the
+    // link-density drop ($$WIN BIG$$ rendered as a formula would be spam
+    // laundering). Genuine TeX sources are never hyperlinked (linkChars==0).
+    val html = page.format(
+      """<p>Consider the following display equation for context.</p>
+        |<p><a href="/buy">$$WIN BIG MONEY$$</a></p>""".stripMargin)
+    val doc = extract(html)
+    assert(doc.spans.map(_.label) == List(Labels.Content),
+      "link-only $$-wrapped block must be dropped, not labeled formula")
+    assert(!doc.text.contains("WIN BIG"))
+  }
+
   test("TeX-delimiter detection is conservative: prices and partial wraps stay content") {
     val cases = Seq(
       // interior closer: two display formulas in one block — stays content

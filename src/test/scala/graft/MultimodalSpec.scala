@@ -167,6 +167,18 @@ class MultimodalSpec extends AnyFunSuite {
     val br = MultimodalFunctions.mediaMeta(bombPages).collect().head
     assert(!br.getBoolean(7), "over-ceiling declared dims must not decode")
     assert((br.getInt(4), br.getInt(5)) == ((40000, 40000)), "declared dims recovered")
+    // GIF frame-descriptor bomb: the logical screen (what the container
+    // header declares) says 1x1, but the image descriptor — which is what
+    // the decoder sizes the raster from — says 16000x16000 (~1 GB). The
+    // guard reads the FRAME dims via ImageReader, so this must refuse the
+    // decode and fall back to the header dims, never allocate
+    val gBomb = graft.corpus.MediaFixtures.gifFrameBomb(1, 1, 16000, 16000)
+    val gPages = Seq(graft.model.PageRow("https://px.example.org/bomb.gif",
+      new java.sql.Timestamp(1577836800000L), gBomb, null, null)).toDS()
+    val gr = MultimodalFunctions.mediaMeta(gPages).collect().head
+    assert(gr.getString(2) == "gif" && !gr.getBoolean(7),
+      "frame-descriptor bomb must not decode")
+    assert((gr.getInt(4), gr.getInt(5)) == ((1, 1)), "screen dims fallback")
   }
 
   test("audioMeta: WAV statistics match from-construction values; fallbacks labeled") {

@@ -114,6 +114,28 @@ class RealPdfSpec extends AnyFunSuite {
     assert(parsed.pages.head.blocks.exists(_.text.contains("Hello world.")))
   }
 
+  test("indirect /Rotate to a NON-integer object is the spec default 0, not a scraped digit") {
+    // object-number reuse after an incremental save: /Rotate 900 0 R points
+    // at a DICT (`<< /Kids [90 0 R] >>`). Scraping the first embedded
+    // integer would invent a 90° rotation and scramble reading order on a
+    // page every conforming viewer shows upright — the target must BE a
+    // bare integer to count
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 800 1200] " +
+      "/Rotate 900 0 R /Contents 4 0 R /Resources << /Font << /F1 " +
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> >> >> >> endobj\n" +
+      "4 0 obj << >> stream\nBT /F1 12 Tf 50 1150 Td (Hello world.) Tj ET\nendstream endobj\n" +
+      "900 0 obj\n<< /Kids [90 0 R] >>\nendobj\n" +
+      "trailer << /Size 5 /Root 1 0 R >>\n%%EOF")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val parsed = RealPdf.parse(pdf, 64).get
+    assert(parsed.rotatedPages == 0, "dict target must not yield a rotation")
+    assert((parsed.pages.head.pageW, parsed.pages.head.pageH) == ((800, 1200)))
+    assert(parsed.pages.head.blocks.exists(_.text.contains("Hello world.")))
+  }
+
   test("multi-page PDFs concatenate pages in tree order") {
     val pdf = RealPdfGen.build(Seq(
       RealPdfGen.PageSpec(800, 1200, Seq(RealPdfGen.Placed(50, 100, 12, Seq("Page one."))), compress = true),
