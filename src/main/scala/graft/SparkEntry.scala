@@ -147,6 +147,18 @@ object SparkEntry {
           col("sp.tagPath").as("tag_path"), col("sp.text").as("latex"),
           col("text").as("doc_text"))
         .orderBy("url", "block_idx")),
+    // video: REAL frame decode over authored fixtures — Y4M (raw YUV4MPEG2,
+    // pure bytes) and Motion-JPEG AVI (RIFF walk + per-frame ImageIO JPEG
+    // decode), ≤8 frames sampled evenly per stream, per-frame luma
+    // mean/stddev + inter-sample motion (black-frame / flat-frame /
+    // static-scene quality screens). Truncated streams keep complete
+    // leading frames; non-video payloads take the labeled decoded=false
+    // fallback row. Row-local, rows-only driver check (Y4M stats are
+    // closed-form from construction; VideoSpec pins them exactly).
+    "x34_video_frames" -> ((s, _) =>
+      MultimodalFunctions.videoFrames(
+          CorpusSource.videoPages(s, 64).union(CorpusSource.pages(s, 16)))
+        .orderBy("url", "frame_idx")),
     // HTML mega-doc chunked extraction (skew handling; seam-exactness proven
     // in ChunkedExtractSpec — byte-identical text and spans vs single pass)
     "x09_chunked_extract" -> ((s, _) =>

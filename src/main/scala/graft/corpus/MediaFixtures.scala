@@ -196,4 +196,76 @@ object MediaFixtures {
     out.write(filler(24 + extraBytes, w.toLong * 13 + h), 0, 24 + extraBytes)
     out.toByteArray
   }
+
+  /** Per-frame authored luma values for [[y4m]]: frame f's plane is split
+    * top-half `a(f)` / bottom-half `b(f)`, so the decoded statistics are
+    * exact closed forms — mean = (a+b)/2, population stddev = |a−b|/2, and
+    * inter-frame motion (mean abs luma delta) = (|aΔ| + |bΔ|)/2. Specs
+    * assert against THESE, not against re-running the decoder. */
+  def y4mLuma(f: Int, seed: Int): (Int, Int) =
+    ((32 + 24 * f + seed * 7) & 0xff, (96 + 40 * f + seed * 11) & 0xff)
+
+  /** REAL YUV4MPEG2 (.y4m) stream — the uncompressed interchange format of
+    * the ffmpeg/x264 toolchain; pure bytes, no codec needed, the video
+    * analog of [[wav]]. Header `YUV4MPEG2 W.. H.. F<num>:<den> .. C420jpeg`,
+    * then per frame a `FRAME\n` marker + planar 4:2:0 YCbCr. Luma planes are
+    * authored by [[y4mLuma]] (exact statistics from construction); chroma
+    * planes are constant 128 (neutral). `w`/`h` must be even. */
+  def y4m(w: Int, h: Int, frames: Int, fpsNum: Int = 25, fpsDen: Int = 1,
+          seed: Int = 0): Array[Byte] = {
+    require(w % 2 == 0 && h % 2 == 0, "4:2:0 needs even dims")
+    val out = new ByteArrayOutputStream(64 + frames * (w * h * 3 / 2 + 8))
+    def str(s: String): Unit = { val b = s.getBytes("US-ASCII"); out.write(b, 0, b.length) }
+    str(s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 C420jpeg\n")
+    val cSize = (w / 2) * (h / 2)
+    var f = 0
+    while (f < frames) {
+      str("FRAME\n")
+      val (a, b) = y4mLuma(f, seed)
+      var y = 0
+      while (y < h) {
+        val v = (if (y < h / 2) a else b).toByte
+        var x = 0
+        while (x < w) { out.write(v); x += 1 }
+        y += 1
+      }
+      var c = 0
+      while (c < 2 * cSize) { out.write(128); c += 1 } // Cb then Cr, neutral
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** REAL RIFF/AVI container with Motion-JPEG frames ('00dc' chunks in the
+    * 'movi' LIST, MainAVIHeader in 'hdrl') — each frame a genuine JPEG
+    * authored by the [[realImage]] gradient (ImageIO encodes and decodes it;
+    * no external codec). The container walk (RIFF chunks, like [[wav]]) and
+    * the per-frame pixel decode are both real; specs pin structure exactly
+    * and statistics self-consistently (JPEG is lossy, so expected pixel
+    * stats come from decoding the same authored frame bytes). */
+  def mjpegAvi(w: Int, h: Int, frames: Int, usPerFrame: Int = 40000,
+               seed: Int = 0): Array[Byte] = {
+    val jpegs = (0 until frames).map(f => realImage("jpg", w, h, seed + f * 17))
+    val out = new ByteArrayOutputStream(256 + jpegs.map(_.length + 9).sum)
+    def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
+    // MainAVIHeader: dwMicroSecPerFrame..dwReserved[4] = 14 DWORDs (56 bytes)
+    val avih = new ByteArrayOutputStream(56)
+    def a32(v: Int): Unit = avih.write(le32(v), 0, 4)
+    a32(usPerFrame); a32(0); a32(0); a32(0)
+    a32(frames); a32(0); a32(1); a32(0)
+    a32(w); a32(h); a32(0); a32(0); a32(0); a32(0)
+    val hdrl = 4 + 8 + avih.size() // "hdrl" + avih chunk header + body
+    val movi = 4 + jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+    fourcc("RIFF"); out.write(le32(4 + 8 + hdrl + 8 + movi), 0, 4); fourcc("AVI ")
+    fourcc("LIST"); out.write(le32(hdrl), 0, 4); fourcc("hdrl")
+    fourcc("avih"); out.write(le32(avih.size()), 0, 4)
+    out.write(avih.toByteArray, 0, avih.size())
+    fourcc("LIST"); out.write(le32(movi), 0, 4); fourcc("movi")
+    jpegs.foreach { j =>
+      fourcc("00dc"); out.write(le32(j.length), 0, 4)
+      out.write(j, 0, j.length)
+      if ((j.length & 1) == 1) out.write(0) // RIFF chunks are word-aligned
+    }
+    out.toByteArray
+  }
 }

@@ -204,6 +204,243 @@ object MultimodalFunctions {
     }.toDF("url", "frame_idx", "frame_ts_ms", "feature")
   }
 
+  final case class VideoFrameMeta(
+      url: String,
+      n_bytes: Long,
+      content_md5: String,
+      container: String, // "y4m" | "avi" — or the media sniff kind when undecoded
+      n_frames: Long, // complete frames present in the payload
+      frame_idx: Int, // source-stream index of this sampled frame
+      frame_ts_ms: Long,
+      width: Int,
+      height: Int,
+      luma_mean: Double, // over the frame's luma plane, 0..255
+      luma_std: Double, // population stddev
+      motion: Double, // mean |luma − previous SAMPLED frame's luma|; 0 for the first
+      decoded: Boolean)
+
+  /** One parsed video stream: dims, frame duration in µs, and a
+    * lazily-decodable luma plane per complete frame. */
+  private final case class VideoStream(
+      container: String, w: Int, h: Int, usPerFrame: Double,
+      frames: IndexedSeq[() => Array[Byte]])
+
+  /** YUV4MPEG2: ASCII header (`W H F<num>:<den> … C…`), then per frame a
+    * `FRAME…\n` marker line + planar YCbCr. Only the luma plane is read;
+    * plane sizes cover C420-any/C422/C444/Cmono. A stream cut mid-frame keeps
+    * its complete leading frames (frames are independent units — the WARC
+    * truncated-gzip discipline), unlike audio where a cut stream is one
+    * corrupt signal. */
+  private def parseY4m(p: Array[Byte]): Option[VideoStream] = {
+    val eol = p.indexOf('\n'.toByte)
+    if (eol < 9 || eol > 256) return None
+    val header = new String(p, 0, eol, java.nio.charset.StandardCharsets.US_ASCII)
+    if (!header.startsWith("YUV4MPEG2")) return None
+    var w = 0; var h = 0; var num = 25; var den = 1; var cs = "420"
+    var bad = false
+    header.split(' ').iterator.drop(1).foreach { t =>
+      try t.headOption match {
+        case Some('W') => w = t.tail.toInt
+        case Some('H') => h = t.tail.toInt
+        case Some('F') =>
+          val parts = t.tail.split(':')
+          if (parts.length == 2) { num = parts(0).toInt; den = parts(1).toInt }
+        case Some('C') => cs = t.tail
+        case _ => ()
+      } catch { case _: NumberFormatException => bad = true }
+    }
+    if (bad || w <= 0 || h <= 0 || num <= 0 || den <= 0 ||
+        w.toLong * h > MaxDecodePixels) return None
+    val lumaSize = w * h
+    val frameSize = lumaSize + (cs match {
+      case c if c.startsWith("420") => 2 * ((w / 2) * (h / 2))
+      case c if c.startsWith("422") => 2 * ((w / 2) * h)
+      case c if c.startsWith("444") => 2 * lumaSize
+      case c if c.startsWith("mono") => 0
+      case _ => return None
+    })
+    val frames = IndexedSeq.newBuilder[() => Array[Byte]]
+    var pos = eol + 1
+    var ok = true
+    while (ok && pos + 6 <= p.length) {
+      // FRAME marker line (may carry parameters up to its own newline)
+      if (!(p(pos) == 'F' && p(pos + 1) == 'R' && p(pos + 2) == 'A' &&
+            p(pos + 3) == 'M' && p(pos + 4) == 'E')) ok = false
+      else {
+        var nl = pos + 5
+        while (nl < p.length && p(nl) != '\n') nl += 1
+        val dataStart = nl + 1
+        if (nl >= p.length || dataStart + frameSize > p.length) ok = false
+        else {
+          frames += (() => java.util.Arrays.copyOfRange(
+            p, dataStart, dataStart + lumaSize))
+          pos = dataStart + frameSize
+        }
+      }
+    }
+    val fs = frames.result()
+    if (fs.isEmpty) None
+    else Some(VideoStream("y4m", w, h, 1e6 * den / num, fs))
+  }
+
+  /** RIFF/AVI walk: `dwMicroSecPerFrame` from the first `avih` chunk, frame
+    * payloads from `00dc` chunks inside the `movi` LIST (Motion-JPEG: each
+    * chunk is a complete JPEG, decoded via the guarded ImageIO path with
+    * the same bomb ceiling as still images). Truncated containers keep the
+    * chunks that are complete. */
+  private def parseAvi(p: Array[Byte]): Option[VideoStream] = {
+    def le32(off: Int): Long =
+      (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
+      ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+    def tag(off: Int): String =
+      new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (p.length < 24 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    var usPerFrame = 0.0
+    val jpegs = IndexedSeq.newBuilder[(Int, Int)] // (offset, length)
+    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val id = tag(pos)
+        val size = le32(pos + 4)
+        if (size < 0 || size > Int.MaxValue) return
+        val body = pos + 8
+        val avail = math.min(body + size.toInt, end) // truncation-tolerant
+        if (id == "LIST" && body + 4 <= end) {
+          val listType = tag(body)
+          walk(body + 4, avail, inMovi || listType == "movi")
+        } else if (id == "avih" && usPerFrame == 0.0 && body + 4 <= end) {
+          usPerFrame = le32(body).toDouble
+        } else if (inMovi && id == "00dc" && body + size.toInt <= end) {
+          jpegs += ((body, size.toInt))
+        }
+        pos = body + size.toInt + (size.toInt & 1)
+      }
+    }
+    try walk(12, p.length, inMovi = false)
+    catch { case _: Exception => return None } // malformed offsets → fallback
+    val js = jpegs.result()
+    if (js.isEmpty) return None
+    // dims + luma from the guarded decode of a frame; probe frame 0 for dims
+    def decodeLuma(off: Int, len: Int): Array[Byte] = {
+      val bytes = java.util.Arrays.copyOfRange(p, off, off + len)
+      guardedImageRead(bytes) match {
+        case None => Array.emptyByteArray // undecodable frame → empty plane
+        case Some(img) =>
+          val w = img.getWidth; val h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          val out = new Array[Byte](w * h)
+          var i = 0
+          while (i < px.length) {
+            val v = px(i)
+            val r = (v >> 16) & 0xff; val g = (v >> 8) & 0xff; val b = v & 0xff
+            out(i) = ((299 * r + 587 * g + 114 * b) / 1000).toByte
+            i += 1
+          }
+          out
+      }
+    }
+    guardedImageRead(java.util.Arrays.copyOfRange(
+      p, js.head._1, js.head._1 + js.head._2)) match {
+      case None => None
+      case Some(first) =>
+        Some(VideoStream("avi", first.getWidth, first.getHeight,
+          if (usPerFrame > 0) usPerFrame else 40000.0,
+          js.map { case (off, len) => () => decodeLuma(off, len) }))
+    }
+  }
+
+  /** The still-image guarded read (frame-descriptor bomb ceiling BEFORE
+    * pixel allocation — the [[decode]] discipline) as a reusable helper for
+    * per-frame video decode. */
+  private def guardedImageRead(bytes: Array[Byte])
+      : Option[java.awt.image.BufferedImage] = try {
+    javax.imageio.ImageIO.setUseCache(false)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) None
+    else {
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val fw = reader.getWidth(0).toLong
+        val fh = reader.getHeight(0).toLong
+        if (fw <= 0 || fh <= 0 || fw * fh > MaxDecodePixels) None
+        else Option(reader.read(0))
+      } finally reader.dispose()
+    }
+  } catch { case _: Exception => None }
+
+  /** REAL video frame sampling: decode Y4M (raw YUV4MPEG2 — pure bytes, the
+    * ffmpeg/x264 interchange format) and Motion-JPEG AVI (RIFF walk like
+    * [[audioMeta]]'s WAV + per-frame ImageIO JPEG decode like [[mediaMeta]])
+    * payloads, sample ≤ `maxFrames` frames evenly across the stream, and
+    * emit per-frame luma statistics — mean/stddev (black-frame and
+    * flat-frame screens) and inter-sample motion (static-scene screen), the
+    * video-quality gates of a multimodal training-data pipeline. Payloads in
+    * any other format (no pure-JVM codec exists) take ONE labeled zeroed
+    * row with `decoded = false` — the [[audioMeta]] fallback discipline,
+    * never fabricated frames. Truncated streams keep their complete leading
+    * frames (frames are independent units; the WARC truncated-gzip
+    * discipline). No shuffle: scan → mapPartitions → rows; state is one
+    * previous-luma plane per stream (≤ the frame size, freed per row). */
+  def videoFrames(pages: Dataset[PageRow], maxFrames: Int = 8): DataFrame = {
+    import pages.sparkSession.implicits._
+    pages.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { p =>
+        val payload = if (p.html == null) Array.emptyByteArray else p.html
+        md.reset()
+        val digest = md.digest(payload).map("%02x".format(_)).mkString
+        val stream =
+          if (payload.length >= 9 && payload(0) == 'Y' && payload(1) == 'U' &&
+              payload(2) == 'V' && payload(3) == '4') parseY4m(payload)
+          else if (payload.length >= 12 && payload(0) == 'R' &&
+              payload(8) == 'A' && payload(9) == 'V' && payload(10) == 'I')
+            parseAvi(payload)
+          else None
+        stream match {
+          case None =>
+            Seq(VideoFrameMeta(p.url, payload.length.toLong, digest,
+              sniff(payload), 0L, 0, 0L, 0, 0, 0.0, 0.0, 0.0, decoded = false))
+          case Some(vs) =>
+            val n = vs.frames.length
+            val idxs =
+              if (n <= maxFrames) 0 until n
+              else (0 until maxFrames).map(k => (k.toLong * n / maxFrames).toInt)
+            var prev: Array[Byte] = null
+            idxs.map { fi =>
+              val luma = vs.frames(fi)()
+              var sum = 0L; var sum2 = 0L
+              var i = 0
+              while (i < luma.length) {
+                val v = luma(i) & 0xff
+                sum += v; sum2 += v.toLong * v
+                i += 1
+              }
+              val m = luma.length
+              val mean = if (m == 0) 0.0 else sum.toDouble / m
+              val varr = if (m == 0) 0.0 else sum2.toDouble / m - mean * mean
+              val motion =
+                if (prev == null || prev.length != luma.length || m == 0) 0.0
+                else {
+                  var acc = 0L; var j = 0
+                  while (j < m) {
+                    acc += math.abs((luma(j) & 0xff) - (prev(j) & 0xff)); j += 1
+                  }
+                  acc.toDouble / m
+                }
+              prev = luma
+              VideoFrameMeta(p.url, payload.length.toLong, digest, vs.container,
+                n.toLong, fi, math.round(fi * vs.usPerFrame / 1000.0),
+                vs.w, vs.h, mean, math.sqrt(math.max(0.0, varr)), motion,
+                decoded = m > 0)
+            }
+        }
+      }
+    }.toDF()
+  }
+
   final case class AudioMeta(
       url: String,
       n_bytes: Long,

@@ -88,6 +88,40 @@ object CorpusSource {
     })
   }
 
+  /** Deterministic video-payload pages: REAL YUV4MPEG2 streams
+    * (`MediaFixtures.y4m` — authored luma planes with closed-form
+    * statistics) and REAL Motion-JPEG AVI containers
+    * (`MediaFixtures.mjpegAvi` — genuine ImageIO-decoded JPEG frames),
+    * plus the truncated set (idx%6 ∈ {4,5} — one parity each, so BOTH
+    * containers get cut mid-frame coverage; complete leading frames must
+    * survive) and every 7th an HTML payload (not video at all — the
+    * labeled fallback). Frame counts 3–10, dims and fps vary with index —
+    * all a pure function of (idx), so VideoSpec asserts exact values. */
+  def videoPages(spark: SparkSession, n: Long): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions(_.map { i =>
+      val idx = i.toInt
+      val frames = 3 + idx % 8
+      val full =
+        if (idx % 2 == 0)
+          graft.corpus.MediaFixtures.y4m(
+            w = 16 + (idx % 3) * 8, h = 12 + (idx % 2) * 4, frames = frames,
+            fpsNum = if (idx % 4 == 0) 25 else 30, fpsDen = 1, seed = idx)
+        else
+          graft.corpus.MediaFixtures.mjpegAvi(
+            w = 24 + (idx % 3) * 8, h = 16 + (idx % 2) * 8, frames = frames,
+            usPerFrame = 40000 - (idx % 3) * 6000, seed = idx)
+      val payload =
+        if (idx % 6 >= 4) java.util.Arrays.copyOf(full, full.length * 2 / 3)
+        else if (idx % 7 == 6) s"<html><body>not video $idx</body></html>".getBytes("UTF-8")
+        else full
+      val url = String.format(java.util.Locale.ROOT,
+        "https://video.example.org/v%04d", Integer.valueOf(idx))
+      PageRow(url, new java.sql.Timestamp(1577836800000L + idx.toLong * 3600000L),
+        payload, null, null)
+    })
+  }
+
   /** Deterministic MathML pages (formula branch, the graft of the
     * reference's `equation` regions → LaTeX contract,
     * ppstructure/predict_system.py:171-174): a pure function of the index
