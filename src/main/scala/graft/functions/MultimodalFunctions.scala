@@ -116,31 +116,13 @@ object MultimodalFunctions {
       // descriptor declares 16000x16000, and the raster is sized from the
       // latter. A reader that cannot even report frame dims never decodes.
       val real: Option[MediaMeta] =
-        if (kind == "png" || kind == "jpeg" || kind == "gif" || kind == "bmp") {
-          try {
-            val iis = javax.imageio.ImageIO.createImageInputStream(
-              new java.io.ByteArrayInputStream(payload))
-            val readers = javax.imageio.ImageIO.getImageReaders(iis)
-            if (!readers.hasNext) None
-            else {
-              val reader = readers.next()
-              try {
-                reader.setInput(iis, true, true)
-                val fw = reader.getWidth(0).toLong
-                val fh = reader.getHeight(0).toLong
-                if (fw <= 0 || fh <= 0 || fw * fh > MaxDecodePixels) None
-                else {
-                  val img = reader.read(0)
-                  if (img == null) None
-                  else Some(MediaMeta(url, payload.length.toLong, kind,
-                    digest.map("%02x".format(_)).mkString,
-                    img.getWidth, img.getHeight, pixelFeatures(img),
-                    decoded = true))
-                }
-              } finally reader.dispose()
-            }
-          } catch { case _: Exception => None } // truncated/corrupt → fallback
-        } else None
+        if (kind == "png" || kind == "jpeg" || kind == "gif" || kind == "bmp")
+          guardedImageRead(payload).map(img =>
+            MediaMeta(url, payload.length.toLong, kind,
+              digest.map("%02x".format(_)).mkString,
+              img.getWidth, img.getHeight, pixelFeatures(img),
+              decoded = true))
+        else None
       real.getOrElse {
         val (w, h) = ImageHeaders.dims(payload) match {
           case Some(d) => (d.width, d.height)
@@ -287,7 +269,11 @@ object MultimodalFunctions {
     * payloads from `00dc` chunks inside the `movi` LIST (Motion-JPEG: each
     * chunk is a complete JPEG, decoded via the guarded ImageIO path with
     * the same bomb ceiling as still images). Truncated containers keep the
-    * chunks that are complete. */
+    * chunks that are complete. LIST recursion is depth-capped: real AVI
+    * nests ≤4 (RIFF→hdrl/movi→strl→…); a crafted chain of thousands of
+    * 12-byte LIST shells would otherwise StackOverflowError — an Error the
+    * Exception guard below does NOT catch — and kill the task. */
+  private val MaxRiffDepth = 32
   private def parseAvi(p: Array[Byte]): Option[VideoStream] = {
     def le32(off: Int): Long =
       (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
@@ -297,7 +283,8 @@ object MultimodalFunctions {
     if (p.length < 24 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
     var usPerFrame = 0.0
     val jpegs = IndexedSeq.newBuilder[(Int, Int)] // (offset, length)
-    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+    def walk(start: Int, end: Int, inMovi: Boolean, depth: Int): Unit = {
+      if (depth > MaxRiffDepth) return
       var pos = start
       while (pos + 8 <= end) {
         val id = tag(pos)
@@ -307,7 +294,7 @@ object MultimodalFunctions {
         val avail = math.min(body + size.toInt, end) // truncation-tolerant
         if (id == "LIST" && body + 4 <= end) {
           val listType = tag(body)
-          walk(body + 4, avail, inMovi || listType == "movi")
+          walk(body + 4, avail, inMovi || listType == "movi", depth + 1)
         } else if (id == "avih" && usPerFrame == 0.0 && body + 4 <= end) {
           usPerFrame = le32(body).toDouble
         } else if (inMovi && id == "00dc" && body + size.toInt <= end) {
@@ -316,7 +303,7 @@ object MultimodalFunctions {
         pos = body + size.toInt + (size.toInt & 1)
       }
     }
-    try walk(12, p.length, inMovi = false)
+    try walk(12, p.length, inMovi = false, depth = 0)
     catch { case _: Exception => return None } // malformed offsets → fallback
     val js = jpegs.result()
     if (js.isEmpty) return None
@@ -349,9 +336,13 @@ object MultimodalFunctions {
     }
   }
 
-  /** The still-image guarded read (frame-descriptor bomb ceiling BEFORE
-    * pixel allocation — the [[decode]] discipline) as a reusable helper for
-    * per-frame video decode. */
+  /** THE guarded ImageIO read — shared by still images ([[decode]]) and
+    * per-frame video decode: the bomb ceiling checks the frame-descriptor
+    * dims the decoder will ACTUALLY allocate (ImageReader.getWidth/
+    * getHeight(0)), BEFORE any raster allocation — a GIF's logical screen
+    * can declare 1x1 while its image descriptor declares 16000x16000, and
+    * the raster is sized from the latter. A reader that cannot even report
+    * frame dims never decodes; truncated/corrupt payloads return None. */
   private def guardedImageRead(bytes: Array[Byte])
       : Option[java.awt.image.BufferedImage] = try {
     javax.imageio.ImageIO.setUseCache(false)
