@@ -250,7 +250,11 @@ object RealPdfGen {
     // xref stream: W [1 2 2]; type 0 = free, 1 = at offset, 2 = in ObjStm
     val xrefOff = out.size()
     offsets(xrefNum) = xrefOff
-    val maxNum = xrefNum
+    // /Size must cover EVERY object, including the ObjStm-contained bare
+    // rotate integer (rotNum = xrefNum+1 when rotate != 0) — an object
+    // outside the xref's /Size resolves to null in a conforming viewer,
+    // which would leave the page unrotated and invert the fixture's purpose
+    val maxNum = math.max(xrefNum, contained.map(_._1).max)
     val entries = new ByteArrayOutputStream()
     def entry(t: Int, f2: Int, f3: Int): Unit = {
       entries.write(t)

@@ -535,10 +535,14 @@ object Extractor {
       else if (dom.inBoiler(anchor)) label = null // nav/header/footer/aside subtree
       else if (dom.inHintBoiler(anchor) && !dom.inHintContent(anchor)) label = null
       else if (isHeading) label = Labels.Title
-      else if ((pureMath || texSrc != null) && linkChars == 0)
-        // before the length gates: $E=mc^2$ is short. Genuine math source is
-        // never hyperlinked — a link-dominated block whose text happens to be
-        // `$$…$$`-wrapped (nav/spam) must still face the link-density gate.
+      else if ((pureMath || texSrc != null) &&
+          linkChars * cfg.linkDenR < nonWs * cfg.linkDenN)
+        // before the length gates: $E=mc^2$ is short. A link-DOMINATED block
+        // whose text happens to be `$$…$$`-wrapped (nav/spam anchors) must
+        // still face the link-density gate — but a genuine formula with an
+        // embedded minority link (an equation-number reference) keeps its
+        // label. MathML math never counts toward linkChars at all (see the
+        // mathSb accounting above), so pureMath blocks pass regardless.
         label = Labels.Formula
       else if (linkChars * cfg.linkDenR >= nonWs * cfg.linkDenN && linkChars > 0)
         label = null // link-dominated (nav-like)

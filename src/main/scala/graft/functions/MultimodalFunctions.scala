@@ -201,15 +201,22 @@ object MultimodalFunctions {
       motion: Double, // mean |luma − previous SAMPLED frame's luma|; 0 for the first
       decoded: Boolean)
 
-  /** One parsed video stream: dims, frame duration in µs, and a
-    * lazily-decodable luma plane per complete frame. */
+  /** One parsed video stream: dims, frame duration in µs, the complete-frame
+    * count, and an index→luma decode function. Per-frame state in the parsed
+    * representation is ONE primitive int (two for AVI) — never a boxed tuple
+    * or closure per frame, so a crafted payload of millions of tiny frames
+    * costs memory proportional to the payload itself, not a 50× blow-up. */
   private final case class VideoStream(
       container: String, w: Int, h: Int, usPerFrame: Double,
-      frames: IndexedSeq[() => Array[Byte]])
+      nFrames: Int, decode: Int => Array[Byte])
 
   /** YUV4MPEG2: ASCII header (`W H F<num>:<den> … C…`), then per frame a
-    * `FRAME…\n` marker line + planar YCbCr. Only the luma plane is read;
-    * plane sizes cover C420-any/C422/C444/Cmono. A stream cut mid-frame keeps
+    * `FRAME…\n` marker line + planar YCbCr. Only the luma plane is read.
+    * Colorspace tags are an explicit 8-bit allowlist: the bit-depth-extended
+    * variants ffmpeg writes (C420p10/C422p12/C444p16…) store 2-byte samples,
+    * so reading them at the 8-bit frame size would emit garbage statistics
+    * labeled decoded=true — they take the labeled fallback instead (never
+    * fabricated features). A stream cut mid-frame keeps
     * its complete leading frames (frames are independent units — the WARC
     * truncated-gzip discipline), unlike audio where a cut stream is one
     * corrupt signal. */
@@ -234,14 +241,16 @@ object MultimodalFunctions {
     if (bad || w <= 0 || h <= 0 || num <= 0 || den <= 0 ||
         w.toLong * h > MaxDecodePixels) return None
     val lumaSize = w * h
+    // 8-bit colorspaces ONLY (the spec's own tag set); anything else — p10/
+    // p12/p16 bit-depth suffixes, C411, unknown tags — is a labeled fallback
     val frameSize = lumaSize + (cs match {
-      case c if c.startsWith("420") => 2 * ((w / 2) * (h / 2))
-      case c if c.startsWith("422") => 2 * ((w / 2) * h)
-      case c if c.startsWith("444") => 2 * lumaSize
-      case c if c.startsWith("mono") => 0
+      case "420" | "420jpeg" | "420mpeg2" | "420paldv" => 2 * ((w / 2) * (h / 2))
+      case "422" => 2 * ((w / 2) * h)
+      case "444" => 2 * lumaSize
+      case "mono" => 0
       case _ => return None
     })
-    val frames = IndexedSeq.newBuilder[() => Array[Byte]]
+    val offs = new scala.collection.mutable.ArrayBuilder.ofInt // luma starts
     var pos = eol + 1
     var ok = true
     while (ok && pos + 6 <= p.length) {
@@ -254,15 +263,15 @@ object MultimodalFunctions {
         val dataStart = nl + 1
         if (nl >= p.length || dataStart + frameSize > p.length) ok = false
         else {
-          frames += (() => java.util.Arrays.copyOfRange(
-            p, dataStart, dataStart + lumaSize))
+          offs += dataStart
           pos = dataStart + frameSize
         }
       }
     }
-    val fs = frames.result()
+    val fs = offs.result()
     if (fs.isEmpty) None
-    else Some(VideoStream("y4m", w, h, 1e6 * den / num, fs))
+    else Some(VideoStream("y4m", w, h, 1e6 * den / num, fs.length,
+      fi => java.util.Arrays.copyOfRange(p, fs(fi), fs(fi) + lumaSize)))
   }
 
   /** RIFF/AVI walk: `dwMicroSecPerFrame` from the first `avih` chunk, frame
@@ -282,7 +291,8 @@ object MultimodalFunctions {
       new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
     if (p.length < 24 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
     var usPerFrame = 0.0
-    val jpegs = IndexedSeq.newBuilder[(Int, Int)] // (offset, length)
+    val offs = new scala.collection.mutable.ArrayBuilder.ofInt
+    val lens = new scala.collection.mutable.ArrayBuilder.ofInt
     def walk(start: Int, end: Int, inMovi: Boolean, depth: Int): Unit = {
       if (depth > MaxRiffDepth) return
       var pos = start
@@ -298,42 +308,45 @@ object MultimodalFunctions {
         } else if (id == "avih" && usPerFrame == 0.0 && body + 4 <= end) {
           usPerFrame = le32(body).toDouble
         } else if (inMovi && id == "00dc" && body + size.toInt <= end) {
-          jpegs += ((body, size.toInt))
+          offs += body; lens += size.toInt
         }
         pos = body + size.toInt + (size.toInt & 1)
       }
     }
     try walk(12, p.length, inMovi = false, depth = 0)
     catch { case _: Exception => return None } // malformed offsets → fallback
-    val js = jpegs.result()
-    if (js.isEmpty) return None
-    // dims + luma from the guarded decode of a frame; probe frame 0 for dims
-    def decodeLuma(off: Int, len: Int): Array[Byte] = {
-      val bytes = java.util.Arrays.copyOfRange(p, off, off + len)
-      guardedImageRead(bytes) match {
-        case None => Array.emptyByteArray // undecodable frame → empty plane
-        case Some(img) =>
-          val w = img.getWidth; val h = img.getHeight
-          val px = img.getRGB(0, 0, w, h, null, 0, w)
-          val out = new Array[Byte](w * h)
-          var i = 0
-          while (i < px.length) {
-            val v = px(i)
-            val r = (v >> 16) & 0xff; val g = (v >> 8) & 0xff; val b = v & 0xff
-            out(i) = ((299 * r + 587 * g + 114 * b) / 1000).toByte
-            i += 1
-          }
-          out
-      }
-    }
+    val jo = offs.result(); val jl = lens.result()
+    if (jo.isEmpty) return None
+    // dims + frame-0 luma from ONE guarded decode (the probe IS frame 0's
+    // decode — sample index 0 is always selected, so no frame decodes twice)
     guardedImageRead(java.util.Arrays.copyOfRange(
-      p, js.head._1, js.head._1 + js.head._2)) match {
+      p, jo(0), jo(0) + jl(0))) match {
       case None => None
       case Some(first) =>
+        val luma0 = toLuma(first)
         Some(VideoStream("avi", first.getWidth, first.getHeight,
-          if (usPerFrame > 0) usPerFrame else 40000.0,
-          js.map { case (off, len) => () => decodeLuma(off, len) }))
+          if (usPerFrame > 0) usPerFrame else 40000.0, jo.length,
+          fi =>
+            if (fi == 0) luma0
+            else guardedImageRead(java.util.Arrays.copyOfRange(
+                p, jo(fi), jo(fi) + jl(fi)))
+              .fold(Array.emptyByteArray)(toLuma))) // undecodable → empty plane
     }
+  }
+
+  /** BT.601 integer luma from a decoded frame. */
+  private def toLuma(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val w = img.getWidth; val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val out = new Array[Byte](w * h)
+    var i = 0
+    while (i < px.length) {
+      val v = px(i)
+      val r = (v >> 16) & 0xff; val g = (v >> 8) & 0xff; val b = v & 0xff
+      out(i) = ((299 * r + 587 * g + 114 * b) / 1000).toByte
+      i += 1
+    }
+    out
   }
 
   /** THE guarded ImageIO read — shared by still images ([[decode]]) and
@@ -348,18 +361,20 @@ object MultimodalFunctions {
     javax.imageio.ImageIO.setUseCache(false)
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
-    val readers = javax.imageio.ImageIO.getImageReaders(iis)
-    if (!readers.hasNext) None
-    else {
-      val reader = readers.next()
-      try {
-        reader.setInput(iis, true, true)
-        val fw = reader.getWidth(0).toLong
-        val fh = reader.getHeight(0).toLong
-        if (fw <= 0 || fh <= 0 || fw * fh > MaxDecodePixels) None
-        else Option(reader.read(0))
-      } finally reader.dispose()
-    }
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val fw = reader.getWidth(0).toLong
+          val fh = reader.getHeight(0).toLong
+          if (fw <= 0 || fh <= 0 || fw * fh > MaxDecodePixels) None
+          else Option(reader.read(0))
+        } finally reader.dispose()
+      }
+    } finally iis.close() // createImageInputStream's stream is ours to close
   } catch { case _: Exception => None }
 
   /** REAL video frame sampling: decode Y4M (raw YUV4MPEG2 — pure bytes, the
@@ -395,13 +410,13 @@ object MultimodalFunctions {
             Seq(VideoFrameMeta(p.url, payload.length.toLong, digest,
               sniff(payload), 0L, 0, 0L, 0, 0, 0.0, 0.0, 0.0, decoded = false))
           case Some(vs) =>
-            val n = vs.frames.length
+            val n = vs.nFrames
             val idxs =
               if (n <= maxFrames) 0 until n
               else (0 until maxFrames).map(k => (k.toLong * n / maxFrames).toInt)
             var prev: Array[Byte] = null
             idxs.map { fi =>
-              val luma = vs.frames(fi)()
+              val luma = vs.decode(fi)
               var sum = 0L; var sum2 = 0L
               var i = 0
               while (i < luma.length) {

@@ -248,6 +248,19 @@ class FormulaSpec extends AnyFunSuite {
     assert(!doc.text.contains("WIN BIG"))
   }
 
+  test("$$...$$ block with a MINORITY embedded link keeps the formula label") {
+    // the gate is link DOMINANCE, not any-link: a genuine display equation
+    // carrying a small anchor (an equation-number reference — common on
+    // wiki/math sites) is math source, not nav. Only the link fraction
+    // >= the density ratio (2/3) forfeits the label.
+    val html = page.format(
+      """<p>$$\int_0^1 x^2\,dx = \tfrac{1}{3} \quad <a href="#eq3">(3)</a>$$</p>""")
+    val doc = extract(html)
+    assert(doc.spans.map(_.label) == List(Labels.Formula),
+      s"minority-linked display math keeps its label: ${doc.spans.map(_.label)}")
+    assert(doc.text.startsWith("$$") && doc.text.contains("\\int_0^1"))
+  }
+
   test("TeX-delimiter detection is conservative: prices and partial wraps stay content") {
     val cases = Seq(
       // interior closer: two display formulas in one block — stays content
