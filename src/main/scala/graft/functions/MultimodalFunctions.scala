@@ -261,7 +261,7 @@ object MultimodalFunctions {
         var nl = pos + 5
         while (nl < p.length && p(nl) != '\n') nl += 1
         val dataStart = nl + 1
-        if (nl >= p.length || dataStart + frameSize > p.length) ok = false
+        if (nl >= p.length || frameSize > p.length - dataStart) ok = false
         else {
           offs += dataStart
           pos = dataStart + frameSize
@@ -301,16 +301,26 @@ object MultimodalFunctions {
         val size = le32(pos + 4)
         if (size < 0 || size > Int.MaxValue) return
         val body = pos + 8
-        val avail = math.min(body + size.toInt, end) // truncation-tolerant
-        if (id == "LIST" && body + 4 <= end) {
+        // ALL bounds checks vs `end` are subtraction-form: `body + size.toInt`
+        // can exceed Int.MaxValue for a crafted 32-bit size, and the wrapped
+        // NEGATIVE sum passes a `<= end` check — recording a bogus frame and
+        // driving `pos` negative, so the walk threw and the catch-all demoted
+        // the WHOLE stream to a fallback, discarding its valid complete
+        // frames (and had the bogus entry ever been reached, its copyOfRange
+        // would throw outside every guard — frame 0 decodes eagerly below)
+        val room = end - body // ≥ 0: the loop condition bounds body ≤ end
+        val avail = body + math.min(size, room.toLong).toInt // truncation-tolerant
+        if (id == "LIST" && room >= 4) {
           val listType = tag(body)
           walk(body + 4, avail, inMovi || listType == "movi", depth + 1)
-        } else if (id == "avih" && usPerFrame == 0.0 && body + 4 <= end) {
+        } else if (id == "avih" && usPerFrame == 0.0 && room >= 4) {
           usPerFrame = le32(body).toDouble
-        } else if (inMovi && id == "00dc" && body + size.toInt <= end) {
+        } else if (inMovi && id == "00dc" && size <= room) {
           offs += body; lens += size.toInt
         }
-        pos = body + size.toInt + (size.toInt & 1)
+        val next = body.toLong + size + (size & 1L)
+        if (next > end) return // oversized trailer: keep the complete frames
+        pos = next.toInt
       }
     }
     try walk(12, p.length, inMovi = false, depth = 0)

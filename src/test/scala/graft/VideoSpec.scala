@@ -228,6 +228,48 @@ class VideoSpec extends AnyFunSuite {
     assert(ok.length == 2 && ok.forall(_.getBoolean(12)), "nested movi decodes")
   }
 
+  test("avi: a 00dc size near Int.MaxValue never records a frame that throws") {
+    // `body + size.toInt` wraps NEGATIVE for size ≈ 2^31, which passes a
+    // `<= end` bounds check: the walk recorded a bogus frame, ran `pos`
+    // negative, threw, and the catch-all demoted the WHOLE stream to one
+    // fallback row — discarding its valid complete frames (verified: the
+    // pre-fix read of this exact input returns decoded=false for ovf1).
+    // Subtraction-form bounds skip the bogus chunk and keep the leading
+    // frames instead, per the truncation discipline.
+    def chunkOffsets(a: Array[Byte]): Seq[Int] = {
+      var i = 12; val found = Seq.newBuilder[Int]
+      while (i + 4 <= a.length) {
+        if (a(i) == '0' && a(i + 1) == '0' && a(i + 2) == 'd' && a(i + 3) == 'c')
+          found += i
+        i += 1
+      }
+      found.result()
+    }
+    def patchSize(a: Array[Byte], chunkOff: Int): Unit = {
+      val v = 0x7ffffff0
+      a(chunkOff + 4) = (v & 0xff).toByte
+      a(chunkOff + 5) = ((v >> 8) & 0xff).toByte
+      a(chunkOff + 6) = ((v >> 16) & 0xff).toByte
+      a(chunkOff + 7) = ((v >> 24) & 0xff).toByte
+    }
+    val first = MediaFixtures.mjpegAvi(w = 16, h = 16, frames = 2, seed = 7)
+    val firstOffs = chunkOffsets(first)
+    assert(firstOffs.length == 2, "fixture has two 00dc chunks")
+    patchSize(first, firstOffs(0)) // frame 0 = the eager dims-probe decode
+    val second = MediaFixtures.mjpegAvi(w = 16, h = 16, frames = 2, seed = 7)
+    patchSize(second, chunkOffsets(second)(1)) // frame 1 = the lazy decode
+    val rows = MultimodalFunctions.videoFrames(pageDs(Seq(
+      ("https://v.example.org/ovf0.avi", first),
+      ("https://v.example.org/ovf1.avi", second))))
+      .collect().groupBy(_.getString(0)) // must not throw
+    // frame 0 poisoned: no decodable frame 0 → labeled fallback row
+    val r0 = rows("https://v.example.org/ovf0.avi")
+    assert(r0.length == 1 && !r0.head.getBoolean(12))
+    // frame 1 poisoned: the complete leading frame survives, decoded
+    val r1 = rows("https://v.example.org/ovf1.avi")
+    assert(r1.length == 1 && r1.head.getBoolean(12) && r1.head.getLong(4) == 1L)
+  }
+
   test("videoPages fixture set decodes per its index rule; deterministic") {
     val pages = CorpusSource.videoPages(spark, 64)
     val df = MultimodalFunctions.videoFrames(pages)
