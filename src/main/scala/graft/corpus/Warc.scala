@@ -200,7 +200,11 @@ object Warc {
               }
             }
             val blockStart = headEnd + 4 // past CRLF CRLF
-            if (clen < 0 || blockStart + clen > bytes.length) ok = false // truncated block
+            // subtraction form: `blockStart + clen` wraps for a crafted
+            // Content-Length near Long.MaxValue, passing the check with a
+            // chosen low-32-bit `to` — copyOfRange ZERO-PADS past the source
+            // end, so the attacker picks the allocation size (≈2 GB)
+            if (clen < 0 || clen > (bytes.length - blockStart).toLong) ok = false // truncated block
             else {
               recs += Record(wtype, uri, date,
                 java.util.Arrays.copyOfRange(bytes, blockStart, (blockStart + clen).toInt))

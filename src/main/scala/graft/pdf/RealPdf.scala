@@ -138,7 +138,10 @@ object RealPdf {
     val m = objStartPat.matcher(s)
     var pos = 0
     while (pos < n && m.find(pos)) {
-      val num = m.group(1).toInt
+      // toIntOption (the ObjStm-header idiom): an 11-digit pseudo object
+      // number must skip ITS definition only — `.toInt` would throw and the
+      // top-level NonFatal catch would void the whole document
+      val num = m.group(1).toIntOption.getOrElse(-1)
       var i = m.end
       var next = m.end // resume position for the next object search
       while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
@@ -157,7 +160,7 @@ object RealPdf {
             if (ds < n && s.charAt(ds) == '\n') ds += 1
             val lenDirect = directInt(dict, "Length")
             val end = lenDirect match {
-              case Some(len) if ds + len <= n &&
+              case Some(len) if len <= n - ds && // subtraction form: no wrap
                 s.indexOf("endstream", ds + len) >= 0 => ds + len
               case _ =>
                 val e = s.indexOf("endstream", ds)
@@ -181,7 +184,8 @@ object RealPdf {
         val eo = s.indexOf("endobj", i)
         if (eo > i && eo - i <= 64) dict = s.substring(i, eo).trim
       }
-      if (!out.contains(num)) out += num -> PdfObj(num, dict, streamRaw, m.start)
+      if (num >= 0 && !out.contains(num))
+        out += num -> PdfObj(num, dict, streamRaw, m.start)
       pos = math.max(next, m.end)
     }
     val objStmFailures = expandObjectStreams(out)
@@ -268,10 +272,10 @@ object RealPdf {
     // `/Length 900 0 R` fails the indirect-ref lookahead at "900", then
     // re-matches "90" (next char '0' is not whitespace, so the lookahead
     // passes) and misreads the object number's prefix as a literal value
-    firstGroup(raw"/$key\s+(\d+)(?!\d)(?!\s+\d+\s+R)", dict).map(_.toInt)
+    firstGroup(raw"/$key\s+(\d+)(?!\d)(?!\s+\d+\s+R)", dict).flatMap(_.toIntOption)
 
   private def ref(dict: String, key: String): Option[Int] =
-    firstGroup(raw"/$key\s+(\d+)\s+\d+\s+R", dict).map(_.toInt)
+    firstGroup(raw"/$key\s+(\d+)\s+\d+\s+R", dict).flatMap(_.toIntOption)
 
   /** `/Key [a 0 R b 0 R …]` or the single-ref form. */
   private def refArray(dict: String, key: String): Vector[Int] =
@@ -279,7 +283,7 @@ object RealPdf {
       case Some(body) =>
         val m = pat(raw"(\d+)\s+\d+\s+R").matcher(body)
         val out = Vector.newBuilder[Int]
-        while (m.find()) out += m.group(1).toInt
+        while (m.find()) m.group(1).toIntOption.foreach(out += _)
         out.result()
       case None => ref(dict, key).toVector
     }

@@ -136,6 +136,37 @@ class RealPdfSpec extends AnyFunSuite {
     assert(parsed.pages.head.blocks.exists(_.text.contains("Hello world.")))
   }
 
+  test("absurd /Length values and object numbers degrade locally, never void the doc") {
+    // Pre-fix, each of these voided the ENTIRE document via the top-level
+    // NonFatal catch: an 11-digit /Length threw NumberFormatException in
+    // directInt's `.toInt`; a valid-Int /Length near 2^31 wrapped `ds + len`
+    // negative and copyOfRange threw; an 11-digit object number threw in the
+    // scan. Correct behavior: a bad /Length falls back to the endstream
+    // search for THAT stream, a bad object number skips ITS definition.
+    def doc(lengthEntry: String, extraObj: String) = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 800 1200] " +
+      "/Contents 4 0 R /Resources << /Font << /F1 " +
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> >> >> >> endobj\n" +
+      s"4 0 obj << $lengthEntry >> stream\n" +
+      "BT /F1 12 Tf 50 1150 Td (Hello world.) Tj ET\nendstream endobj\n" +
+      extraObj +
+      "trailer << /Size 5 /Root 1 0 R >>\n%%EOF")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val cases = Seq(
+      doc("/Length 99999999999", ""),            // > Int.MaxValue: NFE pre-fix
+      doc("/Length 2147483000", ""),             // valid Int: ds+len wrapped pre-fix
+      doc("", "99999999999 0 obj\n42\nendobj\n") // pseudo object number
+    )
+    for ((pdf, i) <- cases.zipWithIndex) {
+      val parsed = RealPdf.parse(pdf, 64)
+      assert(parsed.isDefined, s"case $i must parse")
+      assert(parsed.get.pages.head.blocks.exists(_.text.contains("Hello world.")),
+        s"case $i must keep the page text")
+    }
+  }
+
   test("multi-page PDFs concatenate pages in tree order") {
     val pdf = RealPdfGen.build(Seq(
       RealPdfGen.PageSpec(800, 1200, Seq(RealPdfGen.Placed(50, 100, 12, Seq("Page one."))), compress = true),

@@ -59,6 +59,28 @@ class WarcSpec extends AnyFunSuite {
     got.zip(whole).foreach { case (a, b) => assert(a.targetUri == b.targetUri) }
   }
 
+  test("a Content-Length near Long.MaxValue is a truncated block, not a bomb") {
+    // `blockStart + clen` wraps negative for clen ≈ 2^63 and passed the old
+    // addition-form check; copyOfRange then received an attacker-chosen
+    // low-32-bit `to` — and copyOfRange ZERO-PADS past the source end, so a
+    // chosen `to` ≈ 2^31 allocates ~2 GB from one crafted header line.
+    // Subtraction-form bounds reject it as a truncated block instead.
+    val good = Warc.sampleFile(42L, 2, gzip = false)
+    val before = Warc.parseRecords(good)
+    assert(before.length == 5) // warcinfo + 2 × (request + response)
+    for (clen <- Seq(Long.MaxValue, Long.MaxValue - 42, 4294967296L + 1024)) {
+      val poison = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: https://w.example.org/poison\r\n" +
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+        s"Content-Length: $clen\r\n\r\n").getBytes("UTF-8") ++
+        Array.fill[Byte](64)('A')
+      val got = Warc.parseRecords(good ++ poison) // must not throw or blow up
+      assert(got.length == before.length,
+        s"clen=$clen: complete leading records survive, poisoned one dropped")
+      got.zip(before).foreach { case (a, b) => assert(a.targetUri == b.targetUri) }
+    }
+  }
+
   test("truncated/corrupt .warc.gz degrades to the readable prefix, never throws") {
     val gz = Warc.sampleFile(42L, 8, gzip = true)
     val whole = Warc.parseRecords(gz)
