@@ -147,6 +147,15 @@ object Warc {
     * truncated `.warc.gz` in a 100 TB bucket degrades to a short file
     * instead of throwing and killing the task (same discipline as
     * [[gzipMembers]]). */
+  /** Decompression bomb ceilings (the image/video bomb-ceiling discipline):
+    * deflate expands up to 1032:1, so a MB-sized hostile payload can demand
+    * GBs — and past the 2 GiB array limit the failure is OutOfMemoryError,
+    * an Error no catch here contains. No real WARC RECORD inflates past
+    * 256 MiB (CC caps bodies ~1 MB); a whole in-memory segment is bounded
+    * by the array limit anyway, so 1 GiB keeps the readable prefix. */
+  private val MaxInflatedMember = 1 << 28
+  private val MaxInflatedFile = 1 << 30
+
   def inflate(bytes: Array[Byte]): Array[Byte] =
     if (!isGzip(bytes)) bytes
     else {
@@ -158,7 +167,9 @@ object Warc {
         val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 1 << 16)
         val buf = new Array[Byte](1 << 16)
         var k = in.read(buf)
-        while (k >= 0) { out.write(buf, 0, k); k = in.read(buf) }
+        while (k >= 0 && out.size() <= MaxInflatedFile) {
+          out.write(buf, 0, k); k = in.read(buf)
+        } // past the ceiling: stop reading, keep the prefix (truncation rule)
       } catch {
         case _: java.io.IOException => () // truncated/corrupt tail: keep prefix
       }
@@ -284,8 +295,13 @@ object Warc {
             val k = try inf.inflate(buf) catch {
               case _: java.util.zip.DataFormatException => ok = false; 0
             }
-            if (k > 0) bos.write(buf, 0, k)
-            else if (ok && !inf.finished() && inf.needsInput()) ok = false // truncated deflate body
+            // bomb ceiling: past it, keep inflating to RECOVER the member
+            // boundary (so later members still parse) but retain only the
+            // capped prefix — the record framing then drops this member's
+            // record as a truncated block (Content-Length > bytes)
+            if (k > 0 && bos.size() < MaxInflatedMember)
+              bos.write(buf, 0, math.min(k, MaxInflatedMember - bos.size()))
+            else if (k == 0 && ok && !inf.finished() && inf.needsInput()) ok = false // truncated deflate body
           }
           if (ok) {
             val memberEnd = p + (raw.length - p - inf.getRemaining) + 8

@@ -408,11 +408,20 @@ object RealPdf {
     }
   }
 
+  /** Decompression bomb ceiling per stream (the MaxDecodePixels discipline):
+    * deflate expands up to 1032:1 and crafted LZW ~3600:1, so a KB-sized
+    * stream can demand GBs — an allocation no catch contains (the 2 GiB
+    * array limit surfaces as OutOfMemoryError, an Error). 128 MiB is far
+    * beyond any real content stream; exceeding it keeps the prefix and
+    * FLAGS the loss, the truncated-stream discipline. */
+  private val MaxDecodedStream = 1 << 27
+
   private def inflateStream(raw: Array[Byte]): Decoded = {
     val inf = new Inflater()
     try {
       inf.setInput(raw)
-      val out = new java.io.ByteArrayOutputStream(math.max(64, raw.length * 4))
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(math.max(64L, raw.length.toLong * 4), 1L << 16).toInt)
       val buf = new Array[Byte](8192)
       while (!inf.finished() && !inf.needsDictionary()) {
         val k = inf.inflate(buf)
@@ -420,6 +429,8 @@ object RealPdf {
           // truncated zlib stream: keep the partial text but FLAG the loss
           return Decoded(out.toByteArray, failed = true)
         out.write(buf, 0, k)
+        if (out.size() > MaxDecodedStream) // bomb ceiling: prefix + flag
+          return Decoded(out.toByteArray, failed = true)
       }
       Decoded(out.toByteArray, failed = inf.needsDictionary())
     } catch {
@@ -459,6 +470,8 @@ object RealPdf {
     }
     var i = 0
     while (true) {
+      if (out.size() > MaxDecodedStream) // bomb ceiling: prefix + flag
+        return Decoded(out.toByteArray, failed = true)
       while (bitCnt < codeBits && i < in.length) {
         bitBuf = (bitBuf << 8) | (in(i) & 0xff); bitCnt += 8; i += 1
       }

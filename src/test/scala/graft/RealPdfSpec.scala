@@ -447,6 +447,43 @@ class RealPdfSpec extends AnyFunSuite {
     assert(!dec2.failed && java.util.Arrays.equals(dec2.data, rep))
   }
 
+  test("decompression bombs cap at the stream ceiling: flagged prefix, bounded memory") {
+    // LZW expands up to ~3600:1 and deflate ~1000:1 — a KB-to-MB-sized
+    // hostile stream demanding GBs must keep a FLAGGED prefix at the
+    // 128 MiB ceiling, never attempt the allocation (past 2 GiB that is
+    // OutOfMemoryError, an Error the parse catch does not contain).
+    val ceiling = 1 << 27
+    // LZW: 136 MiB of zeros encodes to ~100 KB (chains grow 1 byte/code)
+    val zeros = new Array[Byte](ceiling + (8 << 20))
+    val lzw = RealPdf.lzwDecode(RealPdfGen.lzwEncode(zeros), earlyChange = 1)
+    assert(lzw.failed, "over-ceiling LZW output must be flagged")
+    assert(lzw.data.length > ceiling - (1 << 12) &&
+      lzw.data.length <= ceiling + (1 << 12), "retained ≈ the ceiling only")
+    assert(lzw.data.forall(_ == 0))
+    // deflate, end-to-end: a content-stream bomb degrades the page, not the
+    // task — parse completes and the loss is flagged (pdf_partial channel)
+    val deflater = new java.util.zip.Deflater()
+    val bos = new java.io.ByteArrayOutputStream()
+    deflater.setInput(zeros); deflater.finish()
+    val buf = new Array[Byte](1 << 16)
+    while (!deflater.finished()) bos.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val data = bos.toByteArray
+    val pdf = (("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 800 1200] " +
+      "/Contents 4 0 R /Resources << /Font << /F1 " +
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> >> >> >> endobj\n" +
+      s"4 0 obj << /Length ${data.length} /Filter /FlateDecode >> stream\n")
+      .getBytes(StandardCharsets.ISO_8859_1)) ++ data ++
+      "\nendstream endobj\ntrailer << /Size 5 /Root 1 0 R >>\n%%EOF"
+        .getBytes(StandardCharsets.ISO_8859_1)
+    val parsed = RealPdf.parse(pdf, 64)
+    assert(parsed.isDefined, "bomb content stream must not void the parse")
+    assert(parsed.get.decodeFailures >= 1, "the capped stream is flagged")
+  }
+
   test("LZW round trip at flush-code width boundaries (lengths 700-1900 sweep)") {
     // r3 review: when the final flush code lands the decoder exactly on a
     // 2^n-1 table boundary, EOD was emitted one bit narrow — lengths 769 and

@@ -81,6 +81,26 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("a gzip bomb member caps retention, recovers the boundary, keeps later members") {
+    // one member inflating to 280 MiB (zeros: deflate ~1000:1, so the
+    // crafted payload is ~300 KB) followed by a VALID member: the walk must
+    // retain at most the 256 MiB ceiling for the bomb, still recover the
+    // member boundary, and parse the trailing member — the bomb's record is
+    // dropped as a truncated block, never an unbounded allocation
+    val bomb = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bomb, 1 << 16)
+    val zeros = new Array[Byte](1 << 16)
+    var written = 0L
+    while (written < (280L << 20)) { gz.write(zeros); written += zeros.length }
+    gz.finish(); gz.close()
+    val tail = Warc.sampleFile(7L, 1, gzip = true) // valid member(s) after it
+    val members = Warc.gzipMembers(bomb.toByteArray ++ tail)
+    assert(members.length >= 2, "boundary recovered: trailing members parse")
+    assert(members.head.bytes.length == (1 << 28), "bomb retained only to the ceiling")
+    val cdx = Warc.cdxRows(bomb.toByteArray ++ tail)
+    assert(cdx.length == 1, "the valid response indexes; the bomb yields no row")
+  }
+
   test("truncated/corrupt .warc.gz degrades to the readable prefix, never throws") {
     val gz = Warc.sampleFile(42L, 8, gzip = true)
     val whole = Warc.parseRecords(gz)
