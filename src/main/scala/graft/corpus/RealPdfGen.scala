@@ -247,7 +247,11 @@ object RealPdfGen {
     out.write(stmData)
     put("\nendstream\nendobj\n")
 
-    // xref stream: W [1 2 2]; type 0 = free, 1 = at offset, 2 = in ObjStm
+    // xref stream: W [1 4 2]; type 0 = free, 1 = at offset, 2 = in ObjStm.
+    // The offset field is 4 bytes: a 2-byte field silently stores
+    // offset mod 65536 for any object past byte 65535 — invisible to the
+    // repo's own linear-scan parser but wrong for the conforming viewer
+    // this fixture is meant to model
     val xrefOff = out.size()
     offsets(xrefNum) = xrefOff
     // /Size must cover EVERY object, including the ObjStm-contained bare
@@ -258,6 +262,7 @@ object RealPdfGen {
     val entries = new ByteArrayOutputStream()
     def entry(t: Int, f2: Int, f3: Int): Unit = {
       entries.write(t)
+      entries.write((f2 >> 24) & 0xff); entries.write((f2 >> 16) & 0xff)
       entries.write((f2 >> 8) & 0xff); entries.write(f2 & 0xff)
       entries.write((f3 >> 8) & 0xff); entries.write(f3 & 0xff)
     }
@@ -270,7 +275,7 @@ object RealPdfGen {
       }
     }
     val xd = entries.toByteArray
-    put(s"$xrefNum 0 obj\n<< /Type /XRef /Size ${maxNum + 1} /W [1 2 2] " +
+    put(s"$xrefNum 0 obj\n<< /Type /XRef /Size ${maxNum + 1} /W [1 4 2] " +
       s"/Root 1 0 R /Length ${xd.length} >>\nstream\n")
     out.write(xd)
     put("\nendstream\nendobj\n")

@@ -151,10 +151,18 @@ object Warc {
     * deflate expands up to 1032:1, so a MB-sized hostile payload can demand
     * GBs — and past the 2 GiB array limit the failure is OutOfMemoryError,
     * an Error no catch here contains. No real WARC RECORD inflates past
-    * 256 MiB (CC caps bodies ~1 MB); a whole in-memory segment is bounded
-    * by the array limit anyway, so 1 GiB keeps the readable prefix. */
+    * 256 MiB (CC caps bodies ~1 MB). The member walk also bounds WORK, not
+    * just memory: past [[MaxInflateWork]] of total expansion the member is
+    * abandoned (prefix discipline) — recovering the boundary of a
+    * maximal-ratio bomb would otherwise cost ~1 TB of inflate CPU while
+    * "only" discarding its output. The whole-FILE cap sits just under the
+    * JVM array limit: it is NOT the bomb guard (members are), it turns the
+    * otherwise-uncatchable boundary Error into the kept readable prefix —
+    * a legitimate segment inflating past 2 GiB cannot use this in-memory
+    * API at all (the seekable member walk is the scale path). */
   private val MaxInflatedMember = 1 << 28
-  private val MaxInflatedFile = 1 << 30
+  private val MaxInflateWork = 1L << 30
+  private val MaxInflatedFile = Integer.MAX_VALUE - (1 << 17)
 
   def inflate(bytes: Array[Byte]): Array[Byte] =
     if (!isGzip(bytes)) bytes
@@ -288,6 +296,7 @@ object Warc {
           inf.setInput(raw, p, raw.length - p)
           val bos = new ByteArrayOutputStream(1 << 16)
           val buf = new Array[Byte](1 << 16)
+          var inflated = 0L // total expansion, retained or not — the work bound
           while (ok && !inf.finished()) {
             // corrupt deflate data throws DataFormatException — after it the
             // member boundary is unknowable, so drop this member and stop
@@ -299,7 +308,9 @@ object Warc {
             // boundary (so later members still parse) but retain only the
             // capped prefix — the record framing then drops this member's
             // record as a truncated block (Content-Length > bytes)
-            if (k > 0 && bos.size() < MaxInflatedMember)
+            inflated += k
+            if (inflated > MaxInflateWork) ok = false // work bound: abandon member
+            else if (k > 0 && bos.size() < MaxInflatedMember)
               bos.write(buf, 0, math.min(k, MaxInflatedMember - bos.size()))
             else if (k == 0 && ok && !inf.finished() && inf.needsInput()) ok = false // truncated deflate body
           }

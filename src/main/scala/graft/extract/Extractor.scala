@@ -535,14 +535,16 @@ object Extractor {
       else if (dom.inBoiler(anchor)) label = null // nav/header/footer/aside subtree
       else if (dom.inHintBoiler(anchor) && !dom.inHintContent(anchor)) label = null
       else if (isHeading) label = Labels.Title
-      else if ((pureMath || texSrc != null) &&
-          linkChars * cfg.linkDenR < nonWs * cfg.linkDenN)
-        // before the length gates: $E=mc^2$ is short. A link-DOMINATED block
-        // whose text happens to be `$$…$$`-wrapped (nav/spam anchors) must
-        // still face the link-density gate — but a genuine formula with an
-        // embedded minority link (an equation-number reference) keeps its
-        // label. MathML math never counts toward linkChars at all (see the
-        // mathSb accounting above), so pureMath blocks pass regardless.
+      else if ((pureMath || texSrc != null) && linkChars * 2 < nonWs)
+        // before the length gates: $E=mc^2$ is short. Links must be a strict
+        // MINORITY (< 1/2 — tighter than the general 2/3 nav gate, because a
+        // short `$$<a>home</a> <a>about</a>$$` spam block in the 1/2–2/3
+        // band would otherwise bypass the short-link gate below and emit as
+        // a top-scored formula): a genuine formula with an embedded
+        // equation-number anchor ("(3)") keeps its label at a tiny link
+        // fraction, $$-wrapped nav/spam falls through to the drop gates.
+        // MathML math never counts toward linkChars at all (see the mathSb
+        // accounting above), so pureMath blocks pass regardless.
         label = Labels.Formula
       else if (linkChars * cfg.linkDenR >= nonWs * cfg.linkDenN && linkChars > 0)
         label = null // link-dominated (nav-like)

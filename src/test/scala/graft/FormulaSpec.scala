@@ -261,6 +261,19 @@ class FormulaSpec extends AnyFunSuite {
     assert(doc.text.startsWith("$$") && doc.text.contains("\\int_0^1"))
   }
 
+  test("$$-wrapped spam in the 1/2-2/3 link band is dropped, not a formula") {
+    // '$$home about$$' is 64% link chars: under the 2/3 nav gate but link-
+    // MAJORITY — if the formula branch used the 2/3 ratio it would claim
+    // this block (score 0.9!) before the short-link gate could drop it.
+    // The formula branch requires a strict link minority (< 1/2) instead.
+    val html = page.format(
+      """<p>$$<a href="/">home</a> <a href="/a">about</a>$$</p>""")
+    val doc = extract(html)
+    assert(!doc.spans.exists(_.label == Labels.Formula),
+      s"link-majority $$-spam must not be a formula: ${doc.spans.map(_.label)}")
+    assert(!doc.text.contains("home about"), "short link-majority block drops")
+  }
+
   test("TeX-delimiter detection is conservative: prices and partial wraps stay content") {
     val cases = Seq(
       // interior closer: two display formulas in one block — stays content
