@@ -702,9 +702,10 @@ case class PqScoreExpr(left: Expression, right: Expression,
   * Contract (documented, spec-pinned):
   *  - trim, strip the `#fragment` (always, any scheme);
   *  - only http/https URLs are further normalized (others pass through);
-  *  - scheme and host lowercase; a trailing-dot FQDN host loses the dot;
+  *  - scheme and host lowercase; a trailing-dot FQDN host loses ALL
+  *    trailing dots (fixed-point rule);
   *  - default ports (`:80` http, `:443` https) removed ([ipv6]:port safe);
-  *  - empty path → `/`; a trailing `/` on a non-root path is dropped (the
+  *  - empty path → `/`; ALL trailing `/` on a non-root path are dropped (the
   *    crawl-dedup convention: /a/ and /a are one fetch target);
   *  - percent-escapes: hex uppercased (§6.2.2.1), unreserved octets decoded
   *    (§6.2.2.2) in path and query;
@@ -774,7 +775,10 @@ object UrlKernel {
   def host(raw: String): String = {
     val s0 = raw.trim
     val h = s0.indexOf('#')
-    val s = if (h >= 0) s0.substring(0, h) else s0
+    // re-trim: stripping the fragment can EXPOSE trailing whitespace
+    // ("...?\t#x"), and a second canonicalization would trim it —
+    // stored keys must be a fixed point or incremental-crawl keys drift
+    val s = (if (h >= 0) s0.substring(0, h) else s0).trim
     // a path-only input has no authority — bail before the "://" scan so a
     // query-embedded URL (/r?to=https://x/y) can't be misread as the host
     if (s.startsWith("/")) return ""
@@ -790,8 +794,11 @@ object UrlKernel {
     val colon = hst.lastIndexOf(':')
     if (colon > bracket) hst = hst.substring(0, colon)
     hst = hst.toLowerCase(java.util.Locale.ROOT)
-    if (hst.length > 1 && hst.charAt(hst.length - 1) == '.')
-      hst = hst.substring(0, hst.length - 1)
+    // ALL trailing dots (single-dot dropping is not a fixed point: "a.." ->
+    // "a." -> "a" across re-canonicalizations — the idempotence rule)
+    var he = hst.length
+    while (he > 1 && hst.charAt(he - 1) == '.') he -= 1
+    if (he < hst.length) hst = hst.substring(0, he)
     hst
   }
 
@@ -808,7 +815,10 @@ object UrlKernel {
   def path(raw: String): String = {
     val s0 = raw.trim
     val h = s0.indexOf('#')
-    val s = if (h >= 0) s0.substring(0, h) else s0
+    // re-trim: stripping the fragment can EXPOSE trailing whitespace
+    // ("...?\t#x"), and a second canonicalization would trim it —
+    // stored keys must be a fixed point or incremental-crawl keys drift
+    val s = (if (h >= 0) s0.substring(0, h) else s0).trim
     if (s.startsWith("/")) return s
     val se = s.indexOf("://")
     if (se <= 0) return "/"
@@ -950,7 +960,10 @@ object UrlKernel {
   def canonical(raw: String): String = {
     val s0 = raw.trim
     val h = s0.indexOf('#')
-    val s = if (h >= 0) s0.substring(0, h) else s0
+    // re-trim: stripping the fragment can EXPOSE trailing whitespace
+    // ("...?\t#x"), and a second canonicalization would trim it —
+    // stored keys must be a fixed point or incremental-crawl keys drift
+    val s = (if (h >= 0) s0.substring(0, h) else s0).trim
     val se = s.indexOf("://")
     if (se <= 0) return s
     val scheme = s.substring(0, se).toLowerCase(java.util.Locale.ROOT)
@@ -968,20 +981,31 @@ object UrlKernel {
     var port = ""
     if (colon > bracket) { port = host.substring(colon); host = host.substring(0, colon) }
     host = host.toLowerCase(java.util.Locale.ROOT)
-    if (host.length > 1 && host.charAt(host.length - 1) == '.')
-      host = host.substring(0, host.length - 1)
+    // ALL trailing dots — see host(): single-dot dropping is not idempotent
+    var he = host.length
+    while (he > 1 && host.charAt(he - 1) == '.') he -= 1
+    if (he < host.length) host = host.substring(0, he)
     if ((scheme == "http" && port == ":80") || (scheme == "https" && port == ":443"))
       port = ""
     val qIdx = tail.indexOf('?')
     var path = normPct(if (qIdx >= 0) tail.substring(0, qIdx) else tail)
     if (path.isEmpty) path = "/"
-    else if (path.length > 1 && path.charAt(path.length - 1) == '/')
-      path = path.substring(0, path.length - 1)
+    else {
+      // drop ALL trailing slashes (one pass of single-slash dropping is not
+      // a fixed point: "/a//" -> "/a/" -> "/a" across re-canonicalizations)
+      var pe = path.length
+      while (pe > 1 && path.charAt(pe - 1) == '/') pe -= 1
+      if (pe < path.length) path = path.substring(0, pe)
+    }
     val query = if (qIdx >= 0) normQuery(tail.substring(qIdx + 1)) else ""
     val b = new java.lang.StringBuilder(s.length)
     b.append(scheme).append("://").append(userinfo).append(host).append(port).append(path)
     if (query.nonEmpty) b.append('?').append(query)
-    b.toString
+    // exit trim: normalization can EXPOSE a trailing control char (an
+    // interior NUL before dropped trailing slashes, say), which the NEXT
+    // canonicalization's entry trim would strip — the output must be a
+    // fixed point or incremental-crawl keys drift between runs (fuzz-pinned)
+    b.toString.trim
   }
 }
 

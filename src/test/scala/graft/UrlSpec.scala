@@ -111,6 +111,38 @@ class UrlSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [graft_nfc"), s"no codegen span in:\n$plan")
   }
 
+  test("fuzz: canonical/host/path never throw and canonical is idempotent") {
+    // crawl URLs are arbitrary bytes; a kernel throw kills the whole task.
+    // Also pins IDEMPOTENCE: re-canonicalizing a stored canonical key must
+    // be the identity, or an incremental crawl's keys drift between runs.
+    var z = 0x9e3779b97f4a7c15L
+    def nextInt(bound: Int): Int = {
+      z ^= z >>> 12; z ^= z << 25; z ^= z >>> 27
+      (((z * 0x2545f4914f6cdd1dL) >>> 33) % bound).toInt
+    }
+    val atoms = Array("http://", "HTTPS://", "//", "://", "#", "?", "&", "=",
+      "%", "%2", "%2F", "%zz", "@", ":", ":80", ":443", "]", "[::1]", ".",
+      "..", "/", "a", "Ex.Org", "é́", "😀", " ", "\t",
+      "utm_x=1", "fbclid=z", "%41", "%c3%a9", "\u0000", "+?", "a//b")
+    for (round <- 0 until 12000) {
+      val sb = new StringBuilder
+      if (round % 4 == 3) { // pure random BMP chars (lone surrogates included)
+        val n = 1 + nextInt(24)
+        for (_ <- 0 until n) sb.append(nextInt(0xffff).toChar)
+      } else {
+        val n = 1 + nextInt(12)
+        for (_ <- 0 until n) sb.append(atoms(nextInt(atoms.length)))
+      }
+      val u = sb.toString
+      val c1 = UrlKernel.canonical(u) // must not throw
+      UrlKernel.host(u); UrlKernel.path(u) // must not throw
+      val c2 = UrlKernel.canonical(c1)
+      def hex(x: String) = x.map(c => f"${c.toInt}%04x").mkString(",")
+      assert(c2 == c1,
+        s"not idempotent for u=[${hex(u)}] c1=[${hex(c1)}] c2=[${hex(c2)}]")
+    }
+  }
+
   test("graft_url_canon runs inside WholeStageCodegen and via SQL") {
     GraftExpressions.register(spark)
     // spark.range is a codegen'd source (a local Seq constant-folds to a
