@@ -260,4 +260,47 @@ class ExpressionSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [graft_token_count"), s"no codegen span in:\n$plan")
     assert(df.agg(sum("n")).head.getLong(0) == 300L)
   }
+
+  test("fuzz: every string/binary kernel evaluates hostile input, never throws") {
+    // kernels run row-local in the scan stage over crawl data — arbitrary
+    // bytes and broken Unicode. One throw kills the task; this drives all of
+    // them through the real (codegen'd where applicable) execution path.
+    import spark.implicits._
+    var z = 0x6a09e667f3bcc908L
+    def nextInt(bound: Int): Int = {
+      z ^= z >>> 12; z ^= z << 25; z ^= z >>> 27
+      (((z * 0x2545f4914f6cdd1dL) >>> 33) % bound).toInt
+    }
+    def rndString(): String = {
+      val n = nextInt(64)
+      val sb = new StringBuilder
+      for (_ <- 0 until n) sb.append(nextInt(0xffff).toChar) // lone surrogates too
+      sb.toString
+    }
+    def rndBytes(): Array[Byte] = {
+      val b = new Array[Byte](nextInt(256))
+      for (i <- b.indices) b(i) = nextInt(256).toByte // invalid UTF-8 included
+      b
+    }
+    val rows = (0 until 600).map(_ => (rndString(), rndBytes(), rndString()))
+    val df = rows.toDF("s", "b", "s2")
+    val out = df.select(
+      GraftExpressions.extract_text($"b"),
+      GraftExpressions.extractLinks($"b"),
+      GraftExpressions.anchorTexts($"b"),
+      GraftExpressions.headMeta($"b"),
+      GraftExpressions.resolvedLinks($"b", $"s"),
+      GraftExpressions.token_count($"s"),
+      GraftExpressions.simhash64($"s"),
+      GraftExpressions.simhash64Hi($"s"),
+      GraftExpressions.langBest($"s"),
+      GraftExpressions.gopherRep($"s", Seq(1, 2, 3)),
+      GraftExpressions.urlCanon($"s"),
+      GraftExpressions.urlHost($"s"),
+      GraftExpressions.urlPath($"s"),
+      GraftExpressions.urlResolve($"s", $"s2"),
+      GraftExpressions.nfc($"s")
+    ).collect()
+    assert(out.length == 600) // completing IS the property
+  }
 }
