@@ -75,11 +75,15 @@ object Robots {
               if (inStar && delay.isEmpty && value.nonEmpty)
                 try {
                   val v = value.toDouble
-                  // finite + non-negative only: a negative/NaN/Infinity
-                  // delay would run the d49 schedule backwards or drop the
-                  // politeness gap entirely
+                  // finite + non-negative only, and CAPPED at one hour: a
+                  // negative/NaN/Infinity delay would run the d49 schedule
+                  // backwards or drop the politeness gap entirely — and an
+                  // uncapped finite one (Crawl-delay: 9e18 rounds to
+                  // Long.MaxValue ms) overflows `slot * delay_ms` into
+                  // negative fetch times, the same backwards schedule by
+                  // another door. Crawlers cap honored delays in practice.
                   if (java.lang.Double.isFinite(v) && v >= 0)
-                    delay = Some(math.round(v * 1000.0))
+                    delay = Some(math.min(math.round(v * 1000.0), 3600000L))
                 } catch { case _: NumberFormatException => }
             case _ =>
               inAgentRun = false // any other directive ends a user-agent run

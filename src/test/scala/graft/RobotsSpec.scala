@@ -275,5 +275,13 @@ class RobotsSpec extends AnyFunSuite {
     val (m, d) = Robots.discovery(
       "\uFEFFSitemap: https://a.example/s.xml # primary\nUser-agent: *\nCrawl-delay: 2 # s\n")
     assert(m == Vector("https://a.example/s.xml") && d == Some(2000L))
+    // a finite-but-absurd delay caps at one hour: 9e18 s would round to
+    // Long.MaxValue ms and overflow slot * delay_ms into NEGATIVE fetch
+    // times \u2014 the backwards schedule the finite guard exists to prevent
+    for (huge <- Seq("9000000000000000000", "1e18", "3601"))
+      assert(Robots.discovery(s"User-agent: *\nCrawl-delay: $huge\n")
+        ._2 == Some(3600000L), huge)
+    assert(Robots.discovery("User-agent: *\nCrawl-delay: 3600\n")
+      ._2 == Some(3600000L), "the cap boundary itself is honored exactly")
   }
 }
