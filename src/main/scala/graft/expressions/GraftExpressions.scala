@@ -759,9 +759,23 @@ object UrlKernel {
   }
 
   private def normQuery(q: String): String = {
+    // the all-junk filter keeps the output a fixed point: a param of only
+    // control/space chars would survive into "?<junk>", the exit trim would
+    // strip it to a dangling "?", and only the NEXT canonicalization drops
+    // an empty query — key drift (review-found; fuzz-pinned)
     val parts = q.split("&", -1).filter(_.nonEmpty).filter(keep).map(normPct)
+      .filter(_.exists(_ > ' '))
     java.util.Arrays.sort(parts.asInstanceOf[Array[AnyRef]]) // bytewise-stable for ASCII
     parts.mkString("&")
+  }
+
+  /** Strip ALL trailing dots, keeping at least one char — the FQDN rule in
+    * [[host]] and [[canonical]]; single-dot dropping is not a fixed point
+    * ("a.." -> "a." -> "a" across re-canonicalizations). */
+  private def dropTrailingDots(s: String): String = {
+    var e = s.length
+    while (e > 1 && s.charAt(e - 1) == '.') e -= 1
+    if (e < s.length) s.substring(0, e) else s
   }
 
   def canonical(u: UTF8String): UTF8String = UTF8String.fromString(canonical(u.toString))
@@ -794,11 +808,7 @@ object UrlKernel {
     val colon = hst.lastIndexOf(':')
     if (colon > bracket) hst = hst.substring(0, colon)
     hst = hst.toLowerCase(java.util.Locale.ROOT)
-    // ALL trailing dots (single-dot dropping is not a fixed point: "a.." ->
-    // "a." -> "a" across re-canonicalizations — the idempotence rule)
-    var he = hst.length
-    while (he > 1 && hst.charAt(he - 1) == '.') he -= 1
-    if (he < hst.length) hst = hst.substring(0, he)
+    hst = dropTrailingDots(hst)
     hst
   }
 
@@ -981,20 +991,20 @@ object UrlKernel {
     var port = ""
     if (colon > bracket) { port = host.substring(colon); host = host.substring(0, colon) }
     host = host.toLowerCase(java.util.Locale.ROOT)
-    // ALL trailing dots — see host(): single-dot dropping is not idempotent
-    var he = host.length
-    while (he > 1 && host.charAt(he - 1) == '.') he -= 1
-    if (he < host.length) host = host.substring(0, he)
+    host = dropTrailingDots(host)
     if ((scheme == "http" && port == ":80") || (scheme == "https" && port == ":443"))
       port = ""
     val qIdx = tail.indexOf('?')
     var path = normPct(if (qIdx >= 0) tail.substring(0, qIdx) else tail)
     if (path.isEmpty) path = "/"
     else {
-      // drop ALL trailing slashes (one pass of single-slash dropping is not
-      // a fixed point: "/a//" -> "/a/" -> "/a" across re-canonicalizations)
+      // drop ALL trailing slashes AND control/space chars together (one
+      // pass of single-slash dropping is not a fixed point: "/a//" ->
+      // "/a/" -> "/a"; and stripping junk only at exit would un-hide a
+      // trailing slash the NEXT pass drops — "/a/ " -> "/a/" -> "/a",
+      // review-found key drift)
       var pe = path.length
-      while (pe > 1 && path.charAt(pe - 1) == '/') pe -= 1
+      while (pe > 1 && (path.charAt(pe - 1) == '/' || path.charAt(pe - 1) <= ' ')) pe -= 1
       if (pe < path.length) path = path.substring(0, pe)
     }
     val query = if (qIdx >= 0) normQuery(tail.substring(qIdx + 1)) else ""

@@ -266,11 +266,8 @@ class ExpressionSpec extends AnyFunSuite {
     // bytes and broken Unicode. One throw kills the task; this drives all of
     // them through the real (codegen'd where applicable) execution path.
     import spark.implicits._
-    var z = 0x6a09e667f3bcc908L
-    def nextInt(bound: Int): Int = {
-      z ^= z >>> 12; z ^= z << 25; z ^= z >>> 27
-      (((z * 0x2545f4914f6cdd1dL) >>> 33) % bound).toInt
-    }
+    val rng = new FuzzUtil.Rng(0x6a09e667f3bcc908L)
+    def nextInt(bound: Int): Int = rng.nextInt(bound)
     def rndString(): String = {
       val n = nextInt(64)
       val sb = new StringBuilder

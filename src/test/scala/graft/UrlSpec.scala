@@ -111,19 +111,38 @@ class UrlSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [graft_nfc"), s"no codegen span in:\n$plan")
   }
 
+  test("canonical idempotence counterexamples found by review/fuzz stay fixed") {
+    // each of these historically produced a key that re-canonicalized to a
+    // DIFFERENT key (incremental-crawl key drift); pin the fixed points
+    val cases = Seq(
+      "https://h.example.org/a//",            // multi trailing slash
+      "http://a../x",                         // multi trailing FQDN dot
+      "http://h/a/ ?utm_x=1",                 // dropped query exposes "/a/ "
+      "http://h/p?\u0000&utm_x=1",            // junk-only param left "?<NUL>"
+      "http://h/p?\u0000",                    // junk-only sole param
+      "https://h/x\u0000////",                // interior NUL before slashes
+      "ftp://X/y \t#frag")                    // pass-through exposing trailing ws
+    for (u <- cases) {
+      val c1 = UrlKernel.canonical(u)
+      assert(UrlKernel.canonical(c1) == c1,
+        s"u=[${FuzzUtil.hex(u)}] c1=[${FuzzUtil.hex(c1)}] " +
+          s"c2=[${FuzzUtil.hex(UrlKernel.canonical(c1))}]")
+    }
+    assert(c("http://h/a/ ?utm_x=1") == "http://h/a")
+    assert(c("http://h/p?\u0000&utm_x=1") == "http://h/p")
+  }
+
   test("fuzz: canonical/host/path never throw and canonical is idempotent") {
     // crawl URLs are arbitrary bytes; a kernel throw kills the whole task.
     // Also pins IDEMPOTENCE: re-canonicalizing a stored canonical key must
     // be the identity, or an incremental crawl's keys drift between runs.
-    var z = 0x9e3779b97f4a7c15L
-    def nextInt(bound: Int): Int = {
-      z ^= z >>> 12; z ^= z << 25; z ^= z >>> 27
-      (((z * 0x2545f4914f6cdd1dL) >>> 33) % bound).toInt
-    }
+    val rng = new FuzzUtil.Rng(0x9e3779b97f4a7c15L)
+    def nextInt(bound: Int): Int = rng.nextInt(bound)
     val atoms = Array("http://", "HTTPS://", "//", "://", "#", "?", "&", "=",
       "%", "%2", "%2F", "%zz", "@", ":", ":80", ":443", "]", "[::1]", ".",
       "..", "/", "a", "Ex.Org", "é́", "😀", " ", "\t",
-      "utm_x=1", "fbclid=z", "%41", "%c3%a9", "\u0000", "+?", "a//b")
+      "utm_x=1", "fbclid=z", "%41", "%c3%a9", "\u0000", "+?", "a//b",
+      " ?utm_x=1", "/ ", "?\u0000&utm_x=1") // review-found drift shapes
     for (round <- 0 until 12000) {
       val sb = new StringBuilder
       if (round % 4 == 3) { // pure random BMP chars (lone surrogates included)
@@ -137,18 +156,14 @@ class UrlSpec extends AnyFunSuite {
       val c1 = UrlKernel.canonical(u) // must not throw
       UrlKernel.host(u); UrlKernel.path(u) // must not throw
       val c2 = UrlKernel.canonical(c1)
-      def hex(x: String) = x.map(c => f"${c.toInt}%04x").mkString(",")
-      assert(c2 == c1,
-        s"not idempotent for u=[${hex(u)}] c1=[${hex(c1)}] c2=[${hex(c2)}]")
+      assert(c2 == c1, s"not idempotent for u=[${FuzzUtil.hex(u)}] " +
+        s"c1=[${FuzzUtil.hex(c1)}] c2=[${FuzzUtil.hex(c2)}]")
     }
   }
 
   test("fuzz: resolve never throws; absolute refs are base-independent; stable") {
-    var z = 0x243f6a8885a308d3L
-    def nextInt(bound: Int): Int = {
-      z ^= z >>> 12; z ^= z << 25; z ^= z >>> 27
-      (((z * 0x2545f4914f6cdd1dL) >>> 33) % bound).toInt
-    }
+    val rng = new FuzzUtil.Rng(0x243f6a8885a308d3L)
+    def nextInt(bound: Int): Int = rng.nextInt(bound)
     val atoms = Array("../", "./", "..", ".", "/", "//", "a", "b/", "?q=1",
       "#f", "http://x/", "HTTPS://Y", ":", "%2e%2e/", "g;p=1", "", "?", "#",
       "\u0000", "😀", " ", "a:b", "//h:8080", "...", "/../")
@@ -165,7 +180,7 @@ class UrlSpec extends AnyFunSuite {
       }
       val ref = sb.toString
       val r1 = UrlKernel.resolve(base1, ref) // must not throw
-      def hex(x: String) = x.map(c => f"${c.toInt}%04x").mkString(",")
+      import FuzzUtil.hex
       // a ref with its own scheme resolves the same against ANY base (§5.2.2)
       if (ref.trim.matches("(?s)^[A-Za-z][A-Za-z0-9+.-]*:.*")) {
         val r2 = UrlKernel.resolve(base2, ref)
