@@ -1176,8 +1176,11 @@ object SparkEntry {
     // (e04): k-means coarse quantizer (Lloyd in DECIMAL — bit-deterministic
     // across parallelism), one inverted list per vector via the codegen'd
     // assignment kernel, candidates = equi-join on probed list ids, exact
-    // re-rank. No SQL oracle (DuckDB cannot reproduce the quantizer);
-    // recall vs knnBrute and determinism are spec-pinned.
+    // re-rank. FULL SQL oracle (r5): centroid cells are quantized to 9
+    // decimals after the DECIMAL-exact mean, which makes the whole Lloyd
+    // loop engine-portable — the oracle unrolls the 3 rounds as CTEs
+    // (ivfCentroidCtes) and reproduces search bit-for-bit; recall vs
+    // knnBrute and determinism stay spec-pinned on top.
     "e06_ivf_ann" -> ((s, dir) =>
       SimilarityFunctions.ivfSearch(emb(s, dir), nQueries = 5, kNN = 5,
         k = 16, iters = 3, nProbe = 4, dim = 64)),
@@ -1192,9 +1195,10 @@ object SparkEntry {
     // SemDeDup (Abbas et al. 2023): semantic dedup — IVF-cluster the
     // embedding space, compare only within a cluster (equi-join on list_id,
     // never all-pairs), drop vectors with a smaller-id in-cluster neighbor
-    // at cosine >= 0.95. No SQL oracle (the quantizer is the same
-    // DuckDB-irreproducible Lloyd as e06); planted-dup keep/drop behavior
-    // is spec-pinned (DedupSimilaritySpec).
+    // at cosine >= 0.95. FULL SQL oracle (r5): same unrolled-Lloyd CTE
+    // prefix as e06 (the 9-decimal centroid quantization makes the
+    // quantizer engine-portable) + the in-cluster smaller-id cosine join;
+    // planted-dup keep/drop behavior stays spec-pinned on top.
     "e08_semantic_dedup" -> ((s, dir) =>
       SimilarityFunctions.semanticDedup(emb(s, dir), minCos = 0.95,
         k = 16, iters = 3, dim = 64)),
@@ -1218,6 +1222,55 @@ object SparkEntry {
        |            WHEN x = $t.r AND (acc = $t.l OR ends_with(acc, ' ' || $t.l))
        |            THEN left(acc, length(acc) - length($t.l)) || $t.l || $t.r
        |            ELSE acc || ' ' || x END)""".stripMargin
+
+  /** Squared-L2 distance between two DOUBLE[] columns, summed left-to-right
+    * — DuckDB's `list_sum` over a per-row list folds sequentially, matching
+    * the assignment kernel's while-loop order bit-for-bit. */
+  private def ivfDistSql(v: String, cv: String): String =
+    s"""list_sum(list_transform(range(64), i ->
+       |             ($v[i+1]-$cv[i+1])*($v[i+1]-$cv[i+1])))""".stripMargin
+
+  /** CTE prefix shared by the e06/e08 oracles: the full DECIMAL-exact Lloyd
+    * loop of [[graft.functions.SimilarityFunctions.ivfCentroids]] unrolled
+    * (d45's discipline), then the corpus assignment table. Per round r:
+    * a_r = nearest-centroid assignment (row_number over (dist, list_id) —
+    * ties to the lower id, the kernel's strict-< rule), u_r = per-(list,pos)
+    * DECIMAL(38,18)-sum mean rounded to 9 decimals (the engine-portable
+    * quantization the Spark side applies — both engines land on the same
+    * 64-bit cell regardless of their decimal-division rounding chains),
+    * c_r = updated centroids with empty lists keeping their previous cell
+    * (COALESCE). `lists` is the final inverted-list table. */
+  private def ivfCentroidCtes(k: Int = 16, iters: Int = 3): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""a$r AS (
+         |  SELECT vec_id, v, list_id FROM (
+         |    SELECT e.vec_id, e.v, c.list_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${ivfDistSql("e.v", "c.cv")}, c.list_id) AS rn
+         |    FROM e, c${r - 1} c) WHERE rn = 1),
+         |u$r AS (
+         |  SELECT list_id, pos,
+         |         round(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)/COUNT(*), 9) AS m
+         |  FROM (SELECT list_id, unnest(v) AS x, generate_subscripts(v,1) AS pos
+         |        FROM a$r)
+         |  GROUP BY list_id, pos),
+         |c$r AS (
+         |  SELECT p.list_id, coalesce(u.cv, p.cv) AS cv
+         |  FROM c${r - 1} p LEFT JOIN
+         |    (SELECT list_id, list(m ORDER BY pos) AS cv FROM u$r GROUP BY list_id) u
+         |    USING (list_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |           FROM embeddings WHERE len(embedding) = 64),
+       |c0 AS (SELECT vec_id AS list_id, v AS cv FROM e WHERE vec_id < $k),
+       |$rounds,
+       |lists AS (
+       |  SELECT vec_id, v, list_id FROM (
+       |    SELECT e.vec_id, e.v, c.list_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${ivfDistSql("e.v", "c.cv")}, c.list_id) AS rn
+       |    FROM e, c$iters c) WHERE rn = 1)""".stripMargin
+  }
 
   /** CTE prefix shared by the BPE oracles: w0 = the doc_id<200 word
     * dictionary (char-split seqs × corpus freq), then per round i: pair
@@ -2426,6 +2479,38 @@ object SparkEntry {
         |               i -> a.v[i+1] * b.v[i+1])), 4) + 0.0 AS cos
         |  FROM s a JOIN s b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cos FROM scored
-        |WHERE cos >= 0.3 ORDER BY vec_a, vec_b""".stripMargin
+        |WHERE cos >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+    "e06_ivf_ann" ->
+      s"""${ivfCentroidCtes()},
+         |probes AS (
+         |  SELECT vec_id AS query_id, v AS q, list_id FROM (
+         |    SELECT e.vec_id, e.v, c.list_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${ivfDistSql("e.v", "c.cv")}, c.list_id) AS rn
+         |    FROM e, c3 c WHERE e.vec_id < 5) WHERE rn <= 4),
+         |scored AS (
+         |  SELECT p.query_id, l.vec_id,
+         |         round(list_sum(list_transform(range(64),
+         |               i -> p.q[i+1]*l.v[i+1])), 4) + 0.0 AS score
+         |  FROM lists l JOIN probes p USING (list_id)
+         |  WHERE l.vec_id <> p.query_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY score DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank::BIGINT AS rank, vec_id, score
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "e08_semantic_dedup" ->
+      s"""${ivfCentroidCtes()},
+         |dropped AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM lists a JOIN lists b
+         |    ON a.list_id = b.list_id AND b.vec_id < a.vec_id
+         |  WHERE round(list_sum(list_transform(range(64),
+         |          i -> a.v[i+1]*b.v[i+1])), 4) + 0.0 >= 0.95)
+         |SELECT l.vec_id, l.list_id::BIGINT AS list_id,
+         |       (d.vec_id IS NULL) AS kept
+         |FROM lists l LEFT JOIN dropped d USING (vec_id)
+         |ORDER BY l.vec_id""".stripMargin
   )
 }

@@ -154,7 +154,17 @@ object SimilarityFunctions {
     *  - update = per-(list, dim) mean where the sum runs in DECIMAL(38,18) —
     *    decimal addition is exact and order-independent, so the centroid is
     *    identical no matter how the shuffle interleaves partitions (a double
-    *    sum would drift with partitioning and flip borderline assignments).
+    *    sum would drift with partitioning and flip borderline assignments);
+    *  - each mean is then quantized to 9 decimals (round HALF_UP). 1e-9
+    *    jitter is semantically nothing at unit-scale embeddings, and the
+    *    quantization makes the centroid ENGINE-portable, not just
+    *    partition-portable: an independent engine that computes the same
+    *    decimal mean through a different rounding chain (e.g. DuckDB's
+    *    decimal÷int, which goes through double) lands on the identical
+    *    64-bit cell, so the whole Lloyd loop — and everything downstream
+    *    of it (e06/e07/e08) — is reproducible bit-for-bit in SQL. That is
+    *    what lets the driver run a full DuckDB oracle over the quantizer
+    *    instead of a rows-only check.
     * Each round is one narrow (list_id, pos, v) aggregation with map-side
     * partial combine; the k×dim result is collected as CONTROL-PLANE state
     * (same O(buckets) rationale as ExtractPipeline's bucket collect — the
@@ -177,8 +187,8 @@ object SimilarityFunctions {
         graft.expressions.GraftExpressions.ivfNearest(v, cents, 1), 1).as("list_id")
       val upd = clean.select(assign, posexplode(v).as(Seq("pos", "vd")))
         .groupBy(col("list_id"), col("pos"))
-        .agg((sum(col("vd").cast("decimal(38,18)")) / count(lit(1)))
-          .cast("double").as("c"))
+        .agg(round((sum(col("vd").cast("decimal(38,18)")) / count(lit(1)))
+          .cast("double"), 9).as("c"))
         .collect()
       val next = Array.tabulate(k)(i => cents(i).toArray.clone())
       upd.foreach { r =>
@@ -276,8 +286,8 @@ object SimilarityFunctions {
           element_at(col("codes"), (col("pos") / lit(dsub)).cast("int") + 1).as("code"),
           col("vd"))
         .groupBy(col("sub"), col("code"), col("spos"))
-        .agg((sum(col("vd").cast("decimal(38,18)")) / count(lit(1)))
-          .cast("double").as("c"))
+        .agg(round((sum(col("vd").cast("decimal(38,18)")) / count(lit(1)))
+          .cast("double"), 9).as("c"))
         .collect()
       val next = Array.tabulate(m)(s => cbs(s).map(_.toArray.clone()).toArray)
       upd.foreach { r =>
