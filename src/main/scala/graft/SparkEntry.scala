@@ -1135,7 +1135,11 @@ object SparkEntry {
         round(SimilarityFunctions.l2norm(col("embedding")), 4).as("l2"))
         .orderBy("vec_id")),
     "e03_label_centroids" -> ((s, dir) => SimilarityFunctions.labelCentroids(emb(s, dir))),
-    // LSH-bucketed ANN (scale path; recall measured vs e01 in SimilaritySpec)
+    // LSH-bucketed ANN (scale path; recall measured vs e01 in
+    // SimilaritySpec). FULL SQL oracle (r5): the splitmix64 plane table is
+    // pure integer mixing, reproduced in SQL via 32-bit-split wrapping
+    // multiplies (srpWeightCtes) — buckets, candidates and re-rank then
+    // match the kernel bit-for-bit.
     "e04_ann_bucketed" -> ((s, dir) =>
       SimilarityFunctions.annBucketed(emb(s, dir), 5, 5, nPlanes = 4, dim = 64)),
     // embedding-cosine near-dup pairs: oracle-checked brute on a bounded id
@@ -1150,9 +1154,11 @@ object SparkEntry {
     // exact copies of vecs 0..24 (cosine 1.0 collides in EVERY hash table by
     // construction, so rows > 0 is guaranteed) and one-coordinate-bumped
     // renormalized copies (cos ≥ 0.998 near dups; SRP recall for those is
-    // spec-tested in DedupSimilaritySpec). No SQL oracle: DuckDB cannot
-    // reproduce the splitmix64 plane table; pair-for-pair equality with the
-    // brute filter over the same input is spec-pinned instead.
+    // spec-tested in DedupSimilaritySpec). FULL SQL oracle (r5): the
+    // splitmix64 plane table is SQL-reproducible after all (srpWeightCtes'
+    // wrapping-multiply emulation), and the planted-twin construction —
+    // bump, renormalize, float-cast — is the same IEEE ops in both engines;
+    // pair-for-pair equality with the brute filter stays spec-pinned.
     "e05b_cosine_dups_srp" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
       val base = e.filter(col("vec_id") < 25)
@@ -1186,9 +1192,12 @@ object SparkEntry {
         k = 16, iters = 3, nProbe = 4, dim = 64)),
     // IVF-PQ ANN: the compressed-corpus scale path — vectors stored as
     // 1+M small ints, ADC scoring from codes (codegen'd kernel), exact
-    // re-rank over refine×kNN candidates only. No SQL analog for the
-    // quantizer (rows-only check); exactness of the returned scores and the
-    // planted-twin guarantee are spec-pinned (DedupSimilaritySpec).
+    // re-rank over refine×kNN candidates only. FULL SQL oracle (r5): the
+    // 9-decimal quantization applies to the subspace codebook means too,
+    // so the oracle unrolls coarse Lloyd + M=8 codebook rounds + encode
+    // as CTEs and reproduces the ADC fold order (coarse terms then
+    // subspace-major codeword terms) bit-for-bit; score exactness and the
+    // planted-twin guarantee stay spec-pinned (DedupSimilaritySpec).
     "e07_pq_ann" -> ((s, dir) =>
       SimilarityFunctions.pqSearch(emb(s, dir), nQueries = 5, kNN = 5,
         k = 16, m = 8, ksub = 16, iters = 3, nProbe = 4, refine = 4, dim = 64)),
@@ -1271,6 +1280,117 @@ object SparkEntry {
        |             ORDER BY ${ivfDistSql("e.v", "c.cv")}, c.list_id) AS rn
        |    FROM e, c$iters c) WHERE rn = 1)""".stripMargin
   }
+
+  /** Squared-L2 over an 8-dim subvector slice — the PQ codeword distance,
+    * same sequential fold as [[ivfDistSql]]. */
+  private def pqDistSql(v: String, cw: String): String =
+    s"""list_sum(list_transform(range(8), i ->
+       |             ($v[i+1]-$cw[i+1])*($v[i+1]-$cw[i+1])))""".stripMargin
+
+  /** CTE extension for the e07 oracle: PQ codebook training on top of
+    * [[ivfCentroidCtes]]'s `lists`/`c3`. `res` = per-vector residual
+    * against its coarse centroid; `subv` = the M=8 8-dim slices; `cb0` =
+    * the vec_id<ksub residual slices (the data-defined init rule); rounds
+    * 1..3 mirror the coarse Lloyd (assignment ties to the lower codeword
+    * id, DECIMAL-exact means quantized to 9 decimals, empty cells kept);
+    * round 4 is the final ENCODE assignment, and `cwflat` lays each
+    * vector's 8 chosen codewords out subspace-major — the order
+    * `graft_pq_score` walks, so the ADC fold below reproduces the kernel's
+    * accumulator bit-for-bit. */
+  private def pqCodebookCtes(iters: Int = 3): String = {
+    val rounds = (1 to (iters + 1)).map { r =>
+      val assign =
+        s"""s$r AS (
+           |  SELECT vec_id, sub, sv, code FROM (
+           |    SELECT t.vec_id, t.sub, t.sv, c.code,
+           |           row_number() OVER (PARTITION BY t.vec_id, t.sub
+           |             ORDER BY ${pqDistSql("t.sv", "c.cw")}, c.code) AS rn
+           |    FROM subv t JOIN cb${r - 1} c USING (sub)) WHERE rn = 1)""".stripMargin
+      if (r > iters) assign
+      else assign + s""",
+        |up$r AS (
+        |  SELECT sub, code, spos,
+        |         round(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)/COUNT(*), 9) AS m
+        |  FROM (SELECT sub, code, unnest(sv) AS x, generate_subscripts(sv,1) AS spos
+        |        FROM s$r)
+        |  GROUP BY sub, code, spos),
+        |cb$r AS (
+        |  SELECT p.sub, p.code, coalesce(u.cw, p.cw) AS cw
+        |  FROM cb${r - 1} p LEFT JOIN
+        |    (SELECT sub, code, list(m ORDER BY spos) AS cw FROM up$r GROUP BY sub, code) u
+        |    USING (sub, code))""".stripMargin
+    }.mkString(",\n")
+    s"""res AS (
+       |  SELECT l.vec_id, list_transform(range(64), i -> l.v[i+1] - c.cv[i+1]) AS r
+       |  FROM lists l JOIN c3 c USING (list_id)),
+       |subs AS (SELECT unnest(range(8))::INT AS sub),
+       |subv AS (
+       |  SELECT vec_id, sub, list_slice(r, sub*8+1, sub*8+8) AS sv FROM res, subs),
+       |cb0 AS (
+       |  SELECT sub, vec_id AS code, sv AS cw FROM subv WHERE vec_id < 16),
+       |$rounds,
+       |cwflat AS (
+       |  SELECT s.vec_id, flatten(list(c.cw ORDER BY s.sub)) AS w
+       |  FROM s${iters + 1} s JOIN cb$iters c ON s.sub = c.sub AND s.code = c.code
+       |  GROUP BY s.vec_id)""".stripMargin
+  }
+
+  /** 64-bit wrapping multiply in SQL: split both operands into 32-bit
+    * halves, combine the three sub-2^64 partial products mod 2^64 through
+    * HUGEINT — DuckDB integer arithmetic traps on overflow, so the wrap has
+    * to be spelled out. `x` must be a UBIGINT column, `k` a UBIGINT-ranged
+    * literal. */
+  private def wrapMulSql(x: String, k: String): String =
+    s"""CAST((CAST($x % 4294967296 * ($k % 4294967296) AS HUGEINT)
+       |        + CAST(((($x % 4294967296) * ($k // 4294967296)) % 4294967296
+       |               + (($x // 4294967296) * ($k % 4294967296)) % 4294967296)
+       |              % 4294967296 AS HUGEINT) * 4294967296)
+       |       % 18446744073709551616 AS UBIGINT)""".stripMargin
+
+  /** CTE block reproducing [[graft.expressions.SrpKernel]]'s splitmix64
+    * plane table for `planes` total planes × 64 dims (Steele et al.
+    * OOPSLA'14 — the same public mix the kernel uses; constants are the
+    * unsigned decimal forms of 0x9e3779b97f4a7c15 / 0xbf58476d1ce4e5b9 /
+    * 0x94d049bb133111eb). The final value routes UBIGINT → signed BIGINT →
+    * DOUBLE: casting the two's-complement HUGEINT straight to DOUBLE
+    * double-rounds 3/1024 cells by one ulp, while the BIGINT hop is exact.
+    * Ends with `wpl(p, wv)` — one ordered weight list per plane. */
+  private def srpWeightCtes(planes: Int): String =
+    s"""idx AS (
+       |  SELECT p::INT AS p, i::INT AS i
+       |  FROM unnest(range($planes)) t(p), unnest(range(64)) s(i)),
+       |m0 AS (SELECT p, i,
+       |       CAST(p*64 + i AS UBIGINT) + CAST(11400714819323198485 AS UBIGINT) AS z0
+       |       FROM idx),
+       |m1 AS (SELECT p, i, xor(z0, z0 >> 30) AS x1 FROM m0),
+       |m2 AS (SELECT p, i, ${wrapMulSql("x1", "13787848793156543929")} AS z1 FROM m1),
+       |m3 AS (SELECT p, i, xor(z1, z1 >> 27) AS x2 FROM m2),
+       |m4 AS (SELECT p, i, ${wrapMulSql("x2", "10723151780598845931")} AS z2 FROM m3),
+       |m5 AS (SELECT p, i, xor(z2, z2 >> 31) AS z FROM m4),
+       |weights AS (
+       |  SELECT p, i,
+       |         CAST(CASE WHEN z >= 9223372036854775808
+       |              THEN CAST(CAST(z AS HUGEINT) - 18446744073709551616 AS BIGINT)
+       |              ELSE CAST(z AS BIGINT) END AS DOUBLE)
+       |           / 9223372036854775807.0 AS w
+       |  FROM m5),
+       |wpl AS (SELECT p, list(w ORDER BY i) AS wv FROM weights GROUP BY p)""".stripMargin
+
+  /** CTE block computing the per-(vector, table) SRP bucket ids over a
+    * `corpus(vec_id, v)` relation — [[graft.expressions.SrpKernel]]'s
+    * `bits + (t << 32)` layout, sign bit = projection strictly positive,
+    * projection = the same sequential 64-term fold as the kernel's loop.
+    * Requires [[srpWeightCtes]] (`wpl`) in scope with
+    * `nTables * nPlanes` planes. */
+  private def srpBucketCtes(nPlanes: Int): String =
+    s"""proj AS (
+       |  SELECT c.vec_id, wpl.p,
+       |         list_sum(list_transform(range(64), i -> c.v[i+1]*wpl.wv[i+1])) AS pr
+       |  FROM corpus c, wpl),
+       |bucketed AS (
+       |  SELECT vec_id, (p // $nPlanes)::BIGINT * 4294967296
+       |         + SUM(CASE WHEN pr > 0 THEN 1::BIGINT << (p % $nPlanes) ELSE 0 END) AS bucket
+       |  FROM proj GROUP BY vec_id, p // $nPlanes)""".stripMargin
 
   /** CTE prefix shared by the BPE oracles: w0 = the doc_id<200 word
     * dictionary (char-split seqs × corpus freq), then per round i: pair
@@ -2480,6 +2600,60 @@ object SparkEntry {
         |  FROM s a JOIN s b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cos FROM scored
         |WHERE cos >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+    "e04_ann_bucketed" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |          FROM embeddings WHERE len(embedding) = 64),
+         |${srpWeightCtes(16)},
+         |${srpBucketCtes(4)},
+         |qb AS (SELECT vec_id AS query_id, bucket FROM bucketed WHERE vec_id < 5),
+         |cands AS (
+         |  SELECT DISTINCT q.query_id, b.vec_id
+         |  FROM bucketed b JOIN qb q
+         |    ON b.bucket = q.bucket AND b.vec_id <> q.query_id),
+         |qs AS (SELECT vec_id AS query_id, v AS q FROM corpus WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT c.query_id, c.vec_id,
+         |         round(list_sum(list_transform(range(64),
+         |               i -> qs.q[i+1]*e.v[i+1])), 4) + 0.0 AS score
+         |  FROM cands c JOIN corpus e ON e.vec_id = c.vec_id JOIN qs USING (query_id)),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY score DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank::BIGINT AS rank, vec_id, score
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "e05b_cosine_dups_srp" ->
+      s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |          FROM embeddings WHERE len(embedding) = 64),
+         |base AS (SELECT vec_id, v FROM raw WHERE vec_id < 25),
+         |bmp AS (
+         |  SELECT vec_id,
+         |         list_transform(v, (x, i) -> CASE WHEN i = 1 THEN x + 0.05 ELSE x END) AS b
+         |  FROM base),
+         |bn AS (
+         |  SELECT vec_id, b, sqrt(list_sum(list_transform(b, x -> x*x))) AS nrm FROM bmp),
+         |corpus AS (
+         |  SELECT vec_id, v FROM raw
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, v FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 2000000,
+         |         list_transform(b, x -> CAST(CAST(x / nrm AS FLOAT) AS DOUBLE))
+         |  FROM bn),
+         |${srpWeightCtes(32)},
+         |${srpBucketCtes(8)},
+         |cands AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT c.vec_a, c.vec_b,
+         |         round(list_sum(list_transform(range(64),
+         |               i -> ea.v[i+1]*eb.v[i+1])), 4) + 0.0 AS cos
+         |  FROM cands c JOIN corpus ea ON ea.vec_id = c.vec_a
+         |               JOIN corpus eb ON eb.vec_id = c.vec_b)
+         |SELECT vec_a, vec_b, cos FROM scored
+         |WHERE cos >= 0.95 ORDER BY vec_a, vec_b""".stripMargin,
     "e06_ivf_ann" ->
       s"""${ivfCentroidCtes()},
          |probes AS (
@@ -2498,6 +2672,41 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |                               ORDER BY score DESC, vec_id) AS rank
          |  FROM scored)
+         |SELECT query_id, rank::BIGINT AS rank, vec_id, score
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "e07_pq_ann" ->
+      s"""${ivfCentroidCtes()},
+         |${pqCodebookCtes()},
+         |probes AS (
+         |  SELECT vec_id AS query_id, v AS q, list_id FROM (
+         |    SELECT e.vec_id, e.v, c.list_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${ivfDistSql("e.v", "c.cv")}, c.list_id) AS rn
+         |    FROM e, c3 c WHERE e.vec_id < 5) WHERE rn <= 4),
+         |adc AS (
+         |  SELECT p.query_id, l.vec_id, p.q,
+         |         list_sum(list_concat(
+         |           list_transform(range(64), i -> p.q[i+1]*c.cv[i+1]),
+         |           list_transform(range(64), i -> p.q[i+1]*w.w[i+1]))) AS approx
+         |  FROM lists l
+         |  JOIN probes p USING (list_id)
+         |  JOIN c3 c ON c.list_id = l.list_id
+         |  JOIN cwflat w ON w.vec_id = l.vec_id
+         |  WHERE l.vec_id <> p.query_id),
+         |short AS (
+         |  SELECT query_id, vec_id, q FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |               ORDER BY approx DESC, vec_id) AS arank FROM adc)
+         |  WHERE arank <= 20),
+         |exact AS (
+         |  SELECT s.query_id, s.vec_id,
+         |         round(list_sum(list_transform(range(64),
+         |               i -> s.q[i+1]*ev.v[i+1])), 4) + 0.0 AS score
+         |  FROM short s JOIN e ev ON ev.vec_id = s.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY score DESC, vec_id) AS rank
+         |  FROM exact)
          |SELECT query_id, rank::BIGINT AS rank, vec_id, score
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "e08_semantic_dedup" ->
