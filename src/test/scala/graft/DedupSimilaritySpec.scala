@@ -167,6 +167,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // DECIMAL sums are order-independent: a different partitioning must give
     // the IDENTICAL quantizer, bit for bit
     assert(c1 == c2, "centroids drift across partitioning")
+    // engine-portability contract (the e06/e07/e08 oracle foundation):
+    // every trained cell is exactly a 9-decimal value — round-tripping
+    // through BigDecimal at scale 9 must be the identity. Init cells
+    // (untouched lists) are raw embeddings and exempt; trained cells are
+    // the ones that differ from the init vector.
+    val init = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 16)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toIndexedSeq)
+    val trained = c1.zip(init).flatMap { case (c, i0) =>
+      c.zip(i0).collect { case (cell, i) if cell != i => cell }
+    }
+    assert(trained.nonEmpty, "no cell was ever updated — Lloyd did nothing")
+    trained.foreach { cell =>
+      val rt = BigDecimal(cell).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      assert(rt == cell, s"trained centroid cell $cell is not 9-decimal-exact")
+    }
     // assignment partitions the corpus: every vector in exactly one list
     import org.apache.spark.sql.functions.{col, element_at}
     val lists = emb.select(col("vec_id"),
