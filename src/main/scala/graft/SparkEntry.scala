@@ -1248,7 +1248,15 @@ object SparkEntry {
     * quantization the Spark side applies — both engines land on the same
     * 64-bit cell regardless of their decimal-division rounding chains),
     * c_r = updated centroids with empty lists keeping their previous cell
-    * (COALESCE). `lists` is the final inverted-list table. */
+    * (COALESCE). `lists` is the final inverted-list table.
+    *
+    * Contract: the oracle models a CLEAN corpus (every embedding exactly
+    * `dim` wide — true of the driver fixtures at both SFs, asserted by the
+    * len filter). The engine's deliberate degenerate-row semantics for
+    * wrong-shape embeddings (kernel routes them to list 0 / the first
+    * nProbe lists) are hostile-input behavior pinned by ExpressionSpec's
+    * fuzz suite, not by SQL — a dirty fixture would make oracle and engine
+    * row counts diverge by design, not by bug. */
   private def ivfCentroidCtes(k: Int = 16, iters: Int = 3): String = {
     val rounds = (1 to iters).map { r =>
       s"""a$r AS (
@@ -1281,6 +1289,20 @@ object SparkEntry {
        |    FROM e, c$iters c) WHERE rn = 1)""".stripMargin
   }
 
+  /** Query-probe CTE shared by the e06/e07 oracles: the `nProbe` nearest
+    * final centroids per query vector — the kernel's partial selection
+    * (ascending distance, ties to the lower untaken id) as a windowed
+    * rank over the same (dist, list_id) order. `iters` must match the
+    * [[ivfCentroidCtes]] call that precedes it (names the c$iters table). */
+  private def ivfProbesCte(nQueries: Int = 5, nProbe: Int = 4,
+                           iters: Int = 3): String =
+    s"""probes AS (
+       |  SELECT vec_id AS query_id, v AS q, list_id FROM (
+       |    SELECT e.vec_id, e.v, c.list_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${ivfDistSql("e.v", "c.cv")}, c.list_id) AS rn
+       |    FROM e, c$iters c WHERE e.vec_id < $nQueries) WHERE rn <= $nProbe)""".stripMargin
+
   /** Squared-L2 over an 8-dim subvector slice — the PQ codeword distance,
     * same sequential fold as [[ivfDistSql]]. */
   private def pqDistSql(v: String, cw: String): String =
@@ -1296,8 +1318,9 @@ object SparkEntry {
     * round 4 is the final ENCODE assignment, and `cwflat` lays each
     * vector's 8 chosen codewords out subspace-major — the order
     * `graft_pq_score` walks, so the ADC fold below reproduces the kernel's
-    * accumulator bit-for-bit. */
-  private def pqCodebookCtes(iters: Int = 3): String = {
+    * accumulator bit-for-bit. `coarseIters` must match the preceding
+    * [[ivfCentroidCtes]] call (names its final c-table). */
+  private def pqCodebookCtes(iters: Int = 3, coarseIters: Int = 3): String = {
     val rounds = (1 to (iters + 1)).map { r =>
       val assign =
         s"""s$r AS (
@@ -1322,7 +1345,7 @@ object SparkEntry {
     }.mkString(",\n")
     s"""res AS (
        |  SELECT l.vec_id, list_transform(range(64), i -> l.v[i+1] - c.cv[i+1]) AS r
-       |  FROM lists l JOIN c3 c USING (list_id)),
+       |  FROM lists l JOIN c$coarseIters c USING (list_id)),
        |subs AS (SELECT unnest(range(8))::INT AS sub),
        |subv AS (
        |  SELECT vec_id, sub, list_slice(r, sub*8+1, sub*8+8) AS sv FROM res, subs),
@@ -2656,12 +2679,7 @@ object SparkEntry {
          |WHERE cos >= 0.95 ORDER BY vec_a, vec_b""".stripMargin,
     "e06_ivf_ann" ->
       s"""${ivfCentroidCtes()},
-         |probes AS (
-         |  SELECT vec_id AS query_id, v AS q, list_id FROM (
-         |    SELECT e.vec_id, e.v, c.list_id,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${ivfDistSql("e.v", "c.cv")}, c.list_id) AS rn
-         |    FROM e, c3 c WHERE e.vec_id < 5) WHERE rn <= 4),
+         |${ivfProbesCte()},
          |scored AS (
          |  SELECT p.query_id, l.vec_id,
          |         round(list_sum(list_transform(range(64),
@@ -2677,12 +2695,7 @@ object SparkEntry {
     "e07_pq_ann" ->
       s"""${ivfCentroidCtes()},
          |${pqCodebookCtes()},
-         |probes AS (
-         |  SELECT vec_id AS query_id, v AS q, list_id FROM (
-         |    SELECT e.vec_id, e.v, c.list_id,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${ivfDistSql("e.v", "c.cv")}, c.list_id) AS rn
-         |    FROM e, c3 c WHERE e.vec_id < 5) WHERE rn <= 4),
+         |${ivfProbesCte()},
          |adc AS (
          |  SELECT p.query_id, l.vec_id, p.q,
          |         list_sum(list_concat(

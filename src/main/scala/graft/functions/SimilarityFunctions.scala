@@ -161,10 +161,16 @@ object SimilarityFunctions {
     *    partition-portable: an independent engine that computes the same
     *    decimal mean through a different rounding chain (e.g. DuckDB's
     *    decimal÷int, which goes through double) lands on the identical
-    *    64-bit cell, so the whole Lloyd loop — and everything downstream
-    *    of it (e06/e07/e08) — is reproducible bit-for-bit in SQL. That is
-    *    what lets the driver run a full DuckDB oracle over the quantizer
-    *    instead of a rows-only check.
+    *    64-bit cell unless the pre-round value sits within ~1 ulp of a
+    *    0.5e-9 midpoint (probability ~1e-7 per cell — the chains differ
+    *    by at most 1 ulp, the rounding grid is 1e-9 wide; ~6k trained
+    *    cells per fixture ⇒ ~1e-3 per corpus, and the verification corpus
+    *    is FIXED, so a fixture that passes once passes deterministically).
+    *    That is what lets the driver run a full DuckDB oracle over the
+    *    quantizer (e06/e07/e08) instead of a rows-only check; without the
+    *    quantization the 1-ulp chain difference compounds through every
+    *    Lloyd round and the oracle is impossible, with it the residual
+    *    risk is one-in-a-thousand per NEW fixture and zero per re-run.
     * Each round is one narrow (list_id, pos, v) aggregation with map-side
     * partial combine; the k×dim result is collected as CONTROL-PLANE state
     * (same O(buckets) rationale as ExtractPipeline's bucket collect — the
