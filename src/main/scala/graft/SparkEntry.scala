@@ -1064,14 +1064,18 @@ object SparkEntry {
         .select(col("doc_id"),
           TextFunctions.predReverse(col("text")).as("reversed"))
         .orderBy("doc_id")),
-    // production 64-bit simhash (xxhash64 — no DuckDB analog; spec-tested)
+    // production 64-bit simhash. FULL SQL oracle (r5): the fixture's
+    // single-space tokens are ≤8 ASCII bytes, so Spark's XXH64 short path
+    // unrolls completely in SQL (simhashSigCtes — wrapping multiplies +
+    // mul/div rotates); spec-tested on top.
     "d10_simhash_pairs" -> ((s, dir) => DedupFunctions.simhashPairs(docs(s, dir), 12)),
     // PRODUCTION band width end-to-end: 32-bit bands (the 10^9-doc knob —
     // 4×10^18 bucket space, see DedupFunctions.simhashPairs scaladoc). Raw
     // sf-corpus texts have no near-dups at this selectivity, so the query
     // plants deterministic twins (exact + one-suffix-token mutants of docs
     // 0..49) — exact twins collide in EVERY band by construction, so rows>0
-    // is guaranteed; mutant recall at this width is spec-tested
+    // is guaranteed; mutant recall at this width is spec-tested. FULL SQL
+    // oracle (r5): d10's simhashSigCtes + the twin construction in SQL
     "d10b_simhash_pairs32" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       val exactTwins = d.filter(col("doc_id") < 50)
@@ -1083,7 +1087,8 @@ object SparkEntry {
         12, bandBits = 32)
     }),
     // the 10^12-doc shape: 128-bit signature × 32-bit bands (SCALE.md) —
-    // same planted-twin construction as d10b; exact twins guarantee rows
+    // same planted-twin construction as d10b; exact twins guarantee rows.
+    // FULL SQL oracle (r5): simhashSigCtes at BOTH seeds (42 + HI_SEED)
     "d10c_simhash_pairs128" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       val exactTwins = d.filter(col("doc_id") < 50)
@@ -1414,6 +1419,109 @@ object SparkEntry {
        |  SELECT vec_id, (p // $nPlanes)::BIGINT * 4294967296
        |         + SUM(CASE WHEN pr > 0 THEN 1::BIGINT << (p % $nPlanes) ELSE 0 END) AS bucket
        |  FROM proj GROUP BY vec_id, p // $nPlanes)""".stripMargin
+
+  /** `graft_token_count(text) >= 5` in SQL — the [[DedupFunctions]]
+    * trivial-doc guard (count of maximal non-whitespace runs; ' ', TAB, LF
+    * are the separators). Non-interpolated so the backslashes reach DuckDB's
+    * RE2 literally. */
+  private val nonTrivialSql: String =
+    """len(list_filter(string_split_regex(text, '[ \t\n]'), x -> x <> '')) >= 5"""
+
+  /** CTE chain reproducing [[graft.expressions.SimHash64Kernel]] in SQL:
+    * `src(doc_id, text)` → `sig_$tag(doc_id, usim UBIGINT)`. Feasible
+    * because the documents fixture is pure ASCII with single-space tokens
+    * of AT MOST 8 bytes (asserted by the probe that sized this oracle), so
+    * Spark's XXH64 only ever takes its short path — at most one 8-byte
+    * word, one 4-byte chunk, up to three tail bytes, then the avalanche —
+    * each wrapping multiply spelled out via [[wrapMulSql]] and each
+    * rotate-left as `(x % 2^(64-r))·2^r + x ÷ 2^(64-r)` (DuckDB shifts
+    * trap on overflow; the mul/div form cannot). Token split is Spark's
+    * `split(text, ' ')` WITH empty tokens — DuckDB `string_split` matches
+    * — and the per-bit majority vote / band layout mirror the kernel.
+    * Longer tokens or non-ASCII text would need the ≥32-byte stripe loop
+    * (a recursive CTE) — out of contract, same stance as the clean-corpus
+    * contract on [[ivfCentroidCtes]]. Seeds: 42 = the canonical signature,
+    * 11400714819323198485 = unsigned SimHash64Kernel.HI_SEED. */
+  private def simhashSigCtes(tag: String, src: String, seedU: String): String = {
+    val p1 = "11400714785074694791"; val p2 = "14029467366897019727"
+    val p3 = "1609587929392839161";  val p4 = "9650029242287828579"
+    val p5 = "2870177450012600261"
+    def addwrap(a: String, b: String) =
+      s"CAST((CAST($a AS HUGEINT) + CAST($b AS HUGEINT)) % 18446744073709551616 AS UBIGINT)"
+    def rotl(x: String, r: Int) = {
+      val lo = java.math.BigInteger.TWO.pow(64 - r)
+      val hi = java.math.BigInteger.TWO.pow(r)
+      s"(($x % $lo) * $hi + $x // $lo)"
+    }
+    def mulsmall(b: String, k: String) =
+      s"CAST((CAST($b AS HUGEINT) * $k) % 18446744073709551616 AS UBIGINT)"
+    def byte(j: String) = s"CAST(ord(substr(tok, $j, 1)) AS UBIGINT)"
+    val le64 = (1 to 8).map(j =>
+      s"${byte(j.toString)} * ${java.math.BigInteger.valueOf(256).pow(j - 1)}").mkString(" + ")
+    val k4 = (1 to 4).map(j =>
+      s"${byte(j.toString)} * ${java.math.BigInteger.valueOf(256).pow(j - 1)}").mkString(" + ")
+    val tails = (1 to 3).map { m =>
+      s"""t${m}_$tag AS (
+         |  SELECT doc_id, tid, tok, n, st,
+         |         CASE WHEN st + $m <= n THEN
+         |           ${wrapMulSql(rotl(s"xor(h, ${mulsmall(byte(s"st + $m"), p5)})", 11), p1)}
+         |         ELSE h END AS h
+         |  FROM t${m - 1}_$tag)""".stripMargin
+    }.mkString(",\n")
+    val av1 = wrapMulSql("xor(h, h >> 33)", p2)
+    val av2 = wrapMulSql(s"xor($av1, $av1 >> 29)", p3)
+    s"""tok_$tag AS (
+       |  SELECT doc_id, tid, tok, length(tok)::INT AS n
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |               generate_subscripts(string_split(text, ' '), 1) AS tid
+       |        FROM $src)),
+       |h0_$tag AS (
+       |  SELECT doc_id, tid, tok, n,
+       |         CASE WHEN n >= 4 AND n < 8 THEN 4
+       |              ELSE CASE WHEN n = 8 THEN 8 ELSE 0 END END AS st,
+       |         CAST($seedU + $p5 + n AS UBIGINT) AS h
+       |  FROM tok_$tag),
+       |w_$tag AS (
+       |  SELECT doc_id, tid, tok, n, st,
+       |         CASE WHEN n = 8 THEN
+       |           ${addwrap(wrapMulSql(rotl(s"xor(h, ${wrapMulSql(rotl(wrapMulSql(s"($le64)", p2), 31), p1)})", 27), p1), p4)}
+       |         ELSE h END AS h
+       |  FROM h0_$tag),
+       |t0_$tag AS (
+       |  SELECT doc_id, tid, tok, n, st,
+       |         CASE WHEN n >= 4 AND n < 8 THEN
+       |           ${addwrap(wrapMulSql(rotl(s"xor(h, ${wrapMulSql(s"($k4)", p1)})", 23), p2), p3)}
+       |         ELSE h END AS h
+       |  FROM w_$tag),
+       |$tails,
+       |fm_$tag AS (
+       |  SELECT doc_id, tid, xor($av2, $av2 >> 32) AS h FROM t3_$tag),
+       |bits_$tag AS (
+       |  SELECT b::INT AS b, CAST(power(2, b) AS UBIGINT) AS pw
+       |  FROM unnest(range(64)) t(b)),
+       |votes_$tag AS (
+       |  SELECT doc_id, b, pw,
+       |         SUM(CASE WHEN (h // pw) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM fm_$tag, bits_$tag GROUP BY doc_id, b, pw),
+       |sig_$tag AS (
+       |  SELECT doc_id,
+       |         CAST(COALESCE(SUM(CASE WHEN v > 0 THEN CAST(pw AS HUGEINT)
+       |                                ELSE 0 END), 0) AS UBIGINT) AS usim
+       |  FROM votes_$tag GROUP BY doc_id)""".stripMargin
+  }
+
+  /** The d10b/d10c planted-twin corpus (exact copies +1e6, one-suffix-token
+    * mutants +2e6) followed by the trivial-doc gate — mirrors the query
+    * construction verbatim. */
+  private val simhashTwinCorpusSql: String =
+    s"""corpus0 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text || ' twin' FROM documents WHERE doc_id < 50),
+       |eligible AS (
+       |  SELECT doc_id, text FROM corpus0 WHERE $nonTrivialSql)""".stripMargin
 
   /** CTE prefix shared by the BPE oracles: w0 = the doc_id<200 word
     * dictionary (char-split seqs × corpus freq), then per round i: pair
@@ -2733,6 +2841,63 @@ object SparkEntry {
          |SELECT l.vec_id, l.list_id::BIGINT AS list_id,
          |       (d.vec_id IS NULL) AS kept
          |FROM lists l LEFT JOIN dropped d USING (vec_id)
-         |ORDER BY l.vec_id""".stripMargin
+         |ORDER BY l.vec_id""".stripMargin,
+    "d10_simhash_pairs" ->
+      s"""WITH eligible AS (
+         |  SELECT doc_id, text FROM documents WHERE $nonTrivialSql),
+         |${simhashSigCtes("a", "eligible", "42")},
+         |bands AS (
+         |  SELECT doc_id, usim, b.band_idx,
+         |         (usim // CAST(power(2, 16*b.band_idx) AS UBIGINT)) % 65536 AS band
+         |  FROM sig_a,
+         |    (SELECT band_idx::INT AS band_idx FROM unnest(range(4)) t(band_idx)) b),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         bit_count(xor(a.usim, b.usim))::INT AS hamming
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band = b.band
+         |       AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 12
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d10b_simhash_pairs32" ->
+      s"""WITH $simhashTwinCorpusSql,
+         |${simhashSigCtes("a", "eligible", "42")},
+         |bands AS (
+         |  SELECT doc_id, usim, b.band_idx,
+         |         (usim // CAST(power(2, 32*b.band_idx) AS UBIGINT)) % 4294967296 AS band
+         |  FROM sig_a,
+         |    (SELECT band_idx::INT AS band_idx FROM unnest(range(2)) t(band_idx)) b),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         bit_count(xor(a.usim, b.usim))::INT AS hamming
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band = b.band
+         |       AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 12
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d10c_simhash_pairs128" ->
+      s"""WITH $simhashTwinCorpusSql,
+         |${simhashSigCtes("lo", "eligible", "42")},
+         |${simhashSigCtes("hi", "eligible", "11400714819323198485")},
+         |sig2 AS (
+         |  SELECT l.doc_id, l.usim AS ulo, h.usim AS uhi
+         |  FROM sig_lo l JOIN sig_hi h USING (doc_id)),
+         |bands AS (
+         |  SELECT doc_id, ulo, uhi, b.band_idx,
+         |         CASE WHEN b.band_idx < 2
+         |              THEN (ulo // CAST(power(2, 32*b.band_idx) AS UBIGINT)) % 4294967296
+         |              ELSE (uhi // CAST(power(2, 32*(b.band_idx-2)) AS UBIGINT)) % 4294967296
+         |         END AS band
+         |  FROM sig2,
+         |    (SELECT band_idx::INT AS band_idx FROM unnest(range(4)) t(band_idx)) b),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         (bit_count(xor(a.uhi, b.uhi)) +
+         |          bit_count(xor(a.ulo, b.ulo)))::INT AS hamming
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band = b.band
+         |       AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 24
+         |ORDER BY doc_a, doc_b""".stripMargin
   )
 }
