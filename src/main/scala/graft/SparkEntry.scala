@@ -1261,7 +1261,13 @@ object SparkEntry {
     * wrong-shape embeddings (kernel routes them to list 0 / the first
     * nProbe lists) are hostile-input behavior pinned by ExpressionSpec's
     * fuzz suite, not by SQL — a dirty fixture would make oracle and engine
-    * row counts diverge by design, not by bug. */
+    * row counts diverge by design, not by bug.
+    *
+    * Multiply-referenced CTEs carry MATERIALIZED (here and in the PQ/SRP/
+    * SimHash oracle builders): DuckDB inlines a CTE per reference by
+    * default, and these chains reference each round's tables 2-4× — e07's
+    * un-hinted oracle re-executed the whole quantizer per reference
+    * (41.7 s at sf0.01); materialized it reads 0.57 s, bit-identical. */
   private def ivfCentroidCtes(k: Int = 16, iters: Int = 3): String = {
     val rounds = (1 to iters).map { r =>
       s"""a$r AS (
@@ -1276,17 +1282,17 @@ object SparkEntry {
          |  FROM (SELECT list_id, unnest(v) AS x, generate_subscripts(v,1) AS pos
          |        FROM a$r)
          |  GROUP BY list_id, pos),
-         |c$r AS (
+         |c$r AS MATERIALIZED (
          |  SELECT p.list_id, coalesce(u.cv, p.cv) AS cv
          |  FROM c${r - 1} p LEFT JOIN
          |    (SELECT list_id, list(m ORDER BY pos) AS cv FROM u$r GROUP BY list_id) u
          |    USING (list_id))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
        |           FROM embeddings WHERE len(embedding) = 64),
-       |c0 AS (SELECT vec_id AS list_id, v AS cv FROM e WHERE vec_id < $k),
+       |c0 AS MATERIALIZED (SELECT vec_id AS list_id, v AS cv FROM e WHERE vec_id < $k),
        |$rounds,
-       |lists AS (
+       |lists AS MATERIALIZED (
        |  SELECT vec_id, v, list_id FROM (
        |    SELECT e.vec_id, e.v, c.list_id,
        |           row_number() OVER (PARTITION BY e.vec_id
@@ -1301,7 +1307,7 @@ object SparkEntry {
     * [[ivfCentroidCtes]] call that precedes it (names the c$iters table). */
   private def ivfProbesCte(nQueries: Int = 5, nProbe: Int = 4,
                            iters: Int = 3): String =
-    s"""probes AS (
+    s"""probes AS MATERIALIZED (
        |  SELECT vec_id AS query_id, v AS q, list_id FROM (
        |    SELECT e.vec_id, e.v, c.list_id,
        |           row_number() OVER (PARTITION BY e.vec_id
@@ -1342,22 +1348,22 @@ object SparkEntry {
         |  FROM (SELECT sub, code, unnest(sv) AS x, generate_subscripts(sv,1) AS spos
         |        FROM s$r)
         |  GROUP BY sub, code, spos),
-        |cb$r AS (
+        |cb$r AS MATERIALIZED (
         |  SELECT p.sub, p.code, coalesce(u.cw, p.cw) AS cw
         |  FROM cb${r - 1} p LEFT JOIN
         |    (SELECT sub, code, list(m ORDER BY spos) AS cw FROM up$r GROUP BY sub, code) u
         |    USING (sub, code))""".stripMargin
     }.mkString(",\n")
-    s"""res AS (
+    s"""res AS MATERIALIZED (
        |  SELECT l.vec_id, list_transform(range(64), i -> l.v[i+1] - c.cv[i+1]) AS r
        |  FROM lists l JOIN c$coarseIters c USING (list_id)),
        |subs AS (SELECT unnest(range(8))::INT AS sub),
-       |subv AS (
+       |subv AS MATERIALIZED (
        |  SELECT vec_id, sub, list_slice(r, sub*8+1, sub*8+8) AS sv FROM res, subs),
-       |cb0 AS (
+       |cb0 AS MATERIALIZED (
        |  SELECT sub, vec_id AS code, sv AS cw FROM subv WHERE vec_id < 16),
        |$rounds,
-       |cwflat AS (
+       |cwflat AS MATERIALIZED (
        |  SELECT s.vec_id, flatten(list(c.cw ORDER BY s.sub)) AS w
        |  FROM s${iters + 1} s JOIN cb$iters c ON s.sub = c.sub AND s.code = c.code
        |  GROUP BY s.vec_id)""".stripMargin
@@ -1415,7 +1421,7 @@ object SparkEntry {
        |  SELECT c.vec_id, wpl.p,
        |         list_sum(list_transform(range(64), i -> c.v[i+1]*wpl.wv[i+1])) AS pr
        |  FROM corpus c, wpl),
-       |bucketed AS (
+       |bucketed AS MATERIALIZED (
        |  SELECT vec_id, (p // $nPlanes)::BIGINT * 4294967296
        |         + SUM(CASE WHEN pr > 0 THEN 1::BIGINT << (p % $nPlanes) ELSE 0 END) AS bucket
        |  FROM proj GROUP BY vec_id, p // $nPlanes)""".stripMargin
@@ -1503,7 +1509,7 @@ object SparkEntry {
        |  SELECT doc_id, b, pw,
        |         SUM(CASE WHEN (h // pw) % 2 = 1 THEN 1 ELSE -1 END) AS v
        |  FROM fm_$tag, bits_$tag GROUP BY doc_id, b, pw),
-       |sig_$tag AS (
+       |sig_$tag AS MATERIALIZED (
        |  SELECT doc_id,
        |         CAST(COALESCE(SUM(CASE WHEN v > 0 THEN CAST(pw AS HUGEINT)
        |                                ELSE 0 END), 0) AS UBIGINT) AS usim
@@ -1514,13 +1520,13 @@ object SparkEntry {
     * mutants +2e6) followed by the trivial-doc gate — mirrors the query
     * construction verbatim. */
   private val simhashTwinCorpusSql: String =
-    s"""corpus0 AS (
+    s"""corpus0 AS MATERIALIZED (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
        |  UNION ALL
        |  SELECT doc_id + 2000000, text || ' twin' FROM documents WHERE doc_id < 50),
-       |eligible AS (
+       |eligible AS MATERIALIZED (
        |  SELECT doc_id, text FROM corpus0 WHERE $nonTrivialSql)""".stripMargin
 
   /** CTE prefix shared by the BPE oracles: w0 = the doc_id<200 word
@@ -2732,7 +2738,7 @@ object SparkEntry {
         |SELECT vec_a, vec_b, cos FROM scored
         |WHERE cos >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
     "e04_ann_bucketed" ->
-      s"""WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      s"""WITH corpus AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
          |          FROM embeddings WHERE len(embedding) = 64),
          |${srpWeightCtes(16)},
          |${srpBucketCtes(4)},
@@ -2763,7 +2769,7 @@ object SparkEntry {
          |  FROM base),
          |bn AS (
          |  SELECT vec_id, b, sqrt(list_sum(list_transform(b, x -> x*x))) AS nrm FROM bmp),
-         |corpus AS (
+         |corpus AS MATERIALIZED (
          |  SELECT vec_id, v FROM raw
          |  UNION ALL
          |  SELECT vec_id + 1000000, v FROM base
@@ -2843,10 +2849,10 @@ object SparkEntry {
          |FROM lists l LEFT JOIN dropped d USING (vec_id)
          |ORDER BY l.vec_id""".stripMargin,
     "d10_simhash_pairs" ->
-      s"""WITH eligible AS (
+      s"""WITH eligible AS MATERIALIZED (
          |  SELECT doc_id, text FROM documents WHERE $nonTrivialSql),
          |${simhashSigCtes("a", "eligible", "42")},
-         |bands AS (
+         |bands AS MATERIALIZED (
          |  SELECT doc_id, usim, b.band_idx,
          |         (usim // CAST(power(2, 16*b.band_idx) AS UBIGINT)) % 65536 AS band
          |  FROM sig_a,
@@ -2862,7 +2868,7 @@ object SparkEntry {
     "d10b_simhash_pairs32" ->
       s"""WITH $simhashTwinCorpusSql,
          |${simhashSigCtes("a", "eligible", "42")},
-         |bands AS (
+         |bands AS MATERIALIZED (
          |  SELECT doc_id, usim, b.band_idx,
          |         (usim // CAST(power(2, 32*b.band_idx) AS UBIGINT)) % 4294967296 AS band
          |  FROM sig_a,
@@ -2882,7 +2888,7 @@ object SparkEntry {
          |sig2 AS (
          |  SELECT l.doc_id, l.usim AS ulo, h.usim AS uhi
          |  FROM sig_lo l JOIN sig_hi h USING (doc_id)),
-         |bands AS (
+         |bands AS MATERIALIZED (
          |  SELECT doc_id, ulo, uhi, b.band_idx,
          |         CASE WHEN b.band_idx < 2
          |              THEN (ulo // CAST(power(2, 32*b.band_idx) AS UBIGINT)) % 4294967296
