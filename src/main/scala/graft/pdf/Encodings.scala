@@ -262,7 +262,11 @@ object Encodings {
     var code = -1
     while (m.find()) {
       if (m.group(1) != null) {
-        code = m.group(1).toInt
+        // toIntOption (the scanObjects idiom): an overlong integer in a
+        // hostile /Differences array must invalidate the CURSOR only (-1 =
+        // following names are ignored), not throw out of parse() and void
+        // the whole document to pdf_unparsed
+        code = m.group(1).toIntOption.getOrElse(-1)
       } else if (code >= 0 && code < 256) {
         t(code) = glyph(m.group(2)).orNull
         code += 1

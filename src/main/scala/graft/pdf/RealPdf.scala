@@ -121,6 +121,14 @@ object RealPdf {
           else if (sc == ')') d -= 1
           i += 1
         }
+      } else if (c == '<') {
+        // hex string `<AABB>` (single '<' — the '<<' case matched above):
+        // skip to its '>', else `<AABB>>>` pairs the hex close with the
+        // first dict '>' and ends the dict one char early — the trailing
+        // '>' then shadows a following `stream` keyword and the object's
+        // stream is silently lost
+        val e = s.indexOf('>', i + 1)
+        i = if (e < 0) n else e + 1
       } else i += 1
     }
     -1
@@ -181,8 +189,12 @@ object RealPdf {
         // bare (non-dict) object — `9 0 obj 90 endobj` — capture the short
         // body so indirect scalar values (e.g. /Rotate 9 0 R) can resolve;
         // capped: a bare body longer than 64 chars is nothing we dereference
+        // — EXCEPT bare arrays (an indirect `/Contents 4 0 R` targets
+        // `[5 0 R 6 0 R …]`, legal per §7.7.3.3), which get a larger but
+        // still bounded budget
         val eo = s.indexOf("endobj", i)
-        if (eo > i && eo - i <= 64) dict = s.substring(i, eo).trim
+        if (eo > i && (eo - i <= 64 || (s.charAt(i) == '[' && eo - i <= 4096)))
+          dict = s.substring(i, eo).trim
       }
       if (num >= 0 && !out.contains(num))
         out += num -> PdfObj(num, dict, streamRaw, m.start)
@@ -312,12 +324,19 @@ object RealPdf {
       catalog.flatMap(c => ref(c.dict, "Pages")).map { rootNum =>
         val out = Vector.newBuilder[PdfObj]
         val seen = scala.collection.mutable.Set.empty[Int] // cycle guard
-        def walk(num: Int): Unit =
+        // explicit-stack DFS (preorder, kids pushed reversed = document
+        // order): a crafted 50k-deep /Kids chain in a KB-sized file would
+        // StackOverflowError a recursive walk — an Error no NonFatal catch
+        // contains, killing the task instead of degrading to pdf_unparsed
+        val stack = scala.collection.mutable.ArrayDeque(rootNum)
+        while (stack.nonEmpty) {
+          val num = stack.removeHead()
           if (seen.add(num)) objs.get(num).foreach { o =>
-            if (hasName(o.dict, "Type", "Pages")) refArray(o.dict, "Kids").foreach(walk)
+            if (hasName(o.dict, "Type", "Pages"))
+              refArray(o.dict, "Kids").reverseIterator.foreach(stack.prepend)
             else if (hasName(o.dict, "Type", "Page")) out += o
           }
-        walk(rootNum)
+        }
         out.result()
       }.getOrElse(Vector.empty)
     }
@@ -325,18 +344,25 @@ object RealPdf {
     else objs.values.filter(o => hasName(o.dict, "Type", "Page")).toVector.sortBy(_.num)
   }
 
-  /** MediaBox with /Parent inheritance (default US-Letter 612×792). */
-  private def pageBox(page: PdfObj, objs: Map[Int, PdfObj]): (Double, Double) = {
+  /** First defined value along the page→/Parent chain, ≤32 hops (cycle
+    * cap) — the §7.7.3.4 inheritable-attribute walk shared by MediaBox /
+    * Rotate / Resources (one loop, not three copies to keep in sync). */
+  private def inherited[A](page: PdfObj, objs: Map[Int, PdfObj])
+                          (read: String => Option[A]): Option[A] = {
     var cur: Option[PdfObj] = Some(page)
     var hops = 0
     while (cur.isDefined && hops < 32) {
-      mediaBox(cur.get.dict) match {
-        case Some(wh) => return wh
-        case None     => cur = ref(cur.get.dict, "Parent").flatMap(objs.get); hops += 1
+      read(cur.get.dict) match {
+        case some @ Some(_) => return some
+        case None => cur = ref(cur.get.dict, "Parent").flatMap(objs.get); hops += 1
       }
     }
-    (612.0, 792.0)
+    None
   }
+
+  /** MediaBox with /Parent inheritance (default US-Letter 612×792). */
+  private def pageBox(page: PdfObj, objs: Map[Int, PdfObj]): (Double, Double) =
+    inherited(page, objs)(mediaBox).getOrElse((612.0, 792.0))
 
   /** /Rotate with /Parent inheritance (ISO 32000 §7.7.3.3) — the viewer's
     * clockwise display rotation in degrees, normalized to {0, 90, 180, 270};
@@ -347,33 +373,21 @@ object RealPdf {
   private def pageRotate(page: PdfObj, objs: Map[Int, PdfObj]): Int = {
     def norm(v: String): Int =
       v.toIntOption.map(r => ((r % 360) + 360) % 360).filter(_ % 90 == 0).getOrElse(0)
-    var cur: Option[PdfObj] = Some(page)
-    var hops = 0
-    while (cur.isDefined && hops < 32) {
-      val dict = cur.get.dict
-      // the (?!…R) lookahead keeps an indirect `/Rotate n 0 R` from being
-      // misread as a literal n-degree rotation, and (?!\d) keeps regex
-      // backtracking from matching a prefix of the object number (same
-      // guards as directInt); the indirect form resolves through the
-      // target object's body
-      firstGroup(raw"/Rotate\s+(-?\d+)(?!\d)(?!\s+\d+\s+R)", dict) match {
-        case Some(v) => return norm(v)
-        case None =>
-          ref(dict, "Rotate") match {
-            case Some(num) =>
-              // the target must BE a bare integer object — a dangling ref or
-              // object-number reuse pointing at a dict (`<< /Kids [90 0 R] >>`)
-              // must not surrender its first embedded integer as a rotation;
-              // a conforming viewer treats such a page as unrotated (spec
-              // default 0)
-              return norm(objs.get(num)
-                .flatMap(o => firstGroup(raw"\A\s*(-?\d+)\s*\z", o.dict))
-                .getOrElse("0"))
-            case None => cur = ref(dict, "Parent").flatMap(objs.get); hops += 1
-          }
-      }
-    }
-    0
+    // the (?!…R) lookahead keeps an indirect `/Rotate n 0 R` from being
+    // misread as a literal n-degree rotation, and (?!\d) keeps regex
+    // backtracking from matching a prefix of the object number (same
+    // guards as directInt); the indirect form resolves through the
+    // target object's body, which must BE a bare integer — a dangling ref
+    // or object-number reuse pointing at a dict (`<< /Kids [90 0 R] >>`)
+    // must not surrender its first embedded integer as a rotation (a
+    // conforming viewer treats such a page as unrotated, spec default 0)
+    inherited(page, objs) { dict =>
+      firstGroup(raw"/Rotate\s+(-?\d+)(?!\d)(?!\s+\d+\s+R)", dict).map(norm)
+        .orElse(ref(dict, "Rotate").map(num =>
+          norm(objs.get(num)
+            .flatMap(o => firstGroup(raw"\A\s*(-?\d+)\s*\z", o.dict))
+            .getOrElse("0"))))
+    }.getOrElse(0)
   }
 
   // ---------------------------------------------------------------- streams
@@ -510,8 +524,11 @@ object RealPdf {
     * mismatch (truncated rows) — the caller flags the loss. */
   private def applyPredictor(data: Array[Byte], predictor: Int, columns: Int,
                              colors: Int, bpc: Int): Option[Array[Byte]] = {
-    val bpp = math.max(1, colors * bpc / 8)
-    val rowLen = math.max(1, columns * colors * bpc / 8)
+    val bpp = math.max(1, colors * bpc / 8) // PNG bpp: bytes/pixel, min 1
+    // row length CEILS to whole bytes (PNG scanlines are byte-padded): the
+    // floor form mis-sized sub-byte-bpc rows (/BitsPerComponent 1, Columns
+    // 10 → 2 bytes, not 1) and wrongly flagged valid streams as failed
+    val rowLen = math.max(1, (columns * colors * bpc + 7) / 8)
     if (predictor == 2) { // TIFF: add left neighbour (8-bit components only)
       if (bpc != 8) return None
       val out = data.clone()
@@ -928,7 +945,10 @@ object RealPdf {
         while (i < n && !isDelim(s.charAt(i))) i += 1
         val op = s.substring(os, i)
         op match {
-          case "BT" => inText = true; lineX = 0; lineY = 0; leading = 0
+          // §9.4.1: BT resets the text matrices only — TL (leading) is TEXT
+          // STATE that persists across BT/ET like fontSize/curDec do; a
+          // `12 TL` in one text object governs `'`/`T*` in the next
+          case "BT" => inText = true; lineX = 0; lineY = 0
           case "ET" => inText = false
           case "Tf" =>
             if (nums.nonEmpty) fontSize = nums.last
@@ -944,8 +964,16 @@ object RealPdf {
           case "TJ" => if (strs.nonEmpty) show(strs.last)
           case "'" => lineY -= leading; if (strs.nonEmpty) show(strs.last)
           case "\"" => lineY -= leading; if (strs.nonEmpty) show(strs.last)
-          case "BI" => // inline image: skip to EI
-            val e = s.indexOf("EI", i); i = if (e < 0) n else e + 2
+          case "BI" => // inline image: skip to EI AS A STANDALONE TOKEN —
+            // the raw pixel bytes after ID can contain the pair 'EI', and
+            // resuming mid-image tokenizes binary garbage (phantom '('
+            // opens a string, stray letters form operators → mojibake)
+            var e = s.indexOf("EI", i)
+            while (e > 0 && !(Character.isWhitespace(s.charAt(e - 1)) &&
+                (e + 2 >= n || isDelim(s.charAt(e + 2)) ||
+                  Character.isWhitespace(s.charAt(e + 2)))))
+              e = s.indexOf("EI", e + 1)
+            i = if (e < 0) n else e + 2
           case "q" => gsStack += ctm.clone()
           case "Q" => if (gsStack.nonEmpty) ctm = gsStack.remove(gsStack.length - 1)
           case "cm" => if (nums.length >= 6) {
@@ -1134,16 +1162,8 @@ object RealPdf {
     * neither simply don't appear (their shows keep the Latin-ish fallback). */
   /** The page's /Resources dict (inline or indirect), inherited through
     * /Parent like MediaBox (ISO 32000 §7.7.3.4). */
-  private def pageResources(page: PdfObj, objs: Map[Int, PdfObj]): Option[String] = {
-    var res: Option[String] = None
-    var cur: Option[PdfObj] = Some(page)
-    var hops = 0
-    while (res.isEmpty && cur.isDefined && hops < 32) {
-      res = subDict(cur.get.dict, "Resources", objs)
-      if (res.isEmpty) { cur = ref(cur.get.dict, "Parent").flatMap(objs.get); hops += 1 }
-    }
-    res
-  }
+  private def pageResources(page: PdfObj, objs: Map[Int, PdfObj]): Option[String] =
+    inherited(page, objs)(subDict(_, "Resources", objs))
 
   /** Per-page image XObjects: /Resources → /XObject → each `/Name N 0 R`
     * entry whose object is `/Subtype /Image`, in dict order. */
@@ -1227,11 +1247,39 @@ object RealPdf {
           case _   => (x, y)
         }
         val fonts = pageFonts(p, objs, tuCache, ttCache)
-        val contentRefs = refArray(p.dict, "Contents")
+        val directRefs = refArray(p.dict, "Contents")
+        // §7.7.3.3: /Contents may be an indirect reference TO an array of
+        // stream refs — the target is a bare (non-stream) object whose body
+        // is the array. Without the expansion every stream ref resolves to
+        // nothing and the page loses all text with status "ok" — silent
+        // loss, which this file's contract forbids.
+        val contentRefs = directRefs match {
+          case Vector(one) =>
+            objs.get(one) match {
+              case Some(o) if o.streamRaw == null && o.dict.startsWith("[") =>
+                val m = pat(raw"(\d+)\s+\d+\s+R").matcher(o.dict)
+                val b = Vector.newBuilder[Int]
+                while (m.find()) m.group(1).toIntOption.foreach(b += _)
+                val v = b.result()
+                if (v.nonEmpty) v else directRefs
+              case _ => directRefs
+            }
+          case v => v
+        }
+        // aggregate bomb ceiling: the per-stream cap bounds ONE stream, but
+        // `/Contents [5 0 R 5 0 R …]` re-decodes the same bomb per mention
+        // (legal refs, no cache) — bound the page's TOTAL decoded content
+        // the same way, keep the prefix, FLAG the loss once
+        var contentBudget = MaxDecodedStream.toLong
+        var contentCapped = false
         val datas = contentRefs.flatMap { r =>
-          objs.get(r).map { o =>
+          if (contentBudget <= 0) {
+            if (!contentCapped) { decodeFailures += 1; contentCapped = true }
+            None
+          } else objs.get(r).map { o =>
             val d = decodeStream(o)
             if (d.failed) decodeFailures += 1
+            contentBudget -= d.data.length
             d.data
           }
         }

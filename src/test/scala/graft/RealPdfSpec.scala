@@ -703,4 +703,120 @@ class RealPdfSpec extends AnyFunSuite {
     assert(RealPdf.isReal("%PDF-1.4\n".getBytes("UTF-8")))
     assert(PdfBranch.isPdf("%PDF-1.4\n".getBytes("UTF-8")))
   }
+
+  // ---- r5 review hardening: each case failed before its fix ----
+
+  private def reviewDoc(fontDict: String, contents: String,
+                        extraObjs: String): Array[Byte] =
+    ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 800 1200] " +
+      s"/Contents $contents /Resources << /Font << /F1 $fontDict >> >> >> endobj\n" +
+      extraObjs +
+      "trailer << /Size 9 /Root 1 0 R >>\n%%EOF")
+      .getBytes(StandardCharsets.ISO_8859_1)
+  private val helv = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+
+  test("hex string flush against dict close does not end the dict early") {
+    // `<AABB>>>` — pre-fix dictEnd paired the hex '>' with the first dict
+    // '>', leaving a stray '>' that shadowed `stream` and lost the text
+    val pdf = reviewDoc(helv, "4 0 R",
+      "4 0 obj << /ID <AABB>>>\nstream\n" +
+        "BT /F1 12 Tf 50 1150 Td (Hex dict survives.) Tj ET\nendstream endobj\n")
+    assert(Extractor.extract("u", pdf).text.contains("Hex dict survives."))
+  }
+
+  test("indirect-array /Contents (ref to a bare array object) keeps all text") {
+    val pdf = reviewDoc(helv, "4 0 R",
+      "4 0 obj [5 0 R 6 0 R] endobj\n" +
+        "5 0 obj << >> stream\nBT /F1 12 Tf 50 1150 Td (Part one) Tj ET\nendstream endobj\n" +
+        "6 0 obj << >> stream\nBT /F1 12 Tf 50 1100 Td (part two.) Tj ET\nendstream endobj\n")
+    val t = Extractor.extract("u", pdf).text
+    assert(t.contains("Part one") && t.contains("part two."), t)
+  }
+
+  test("a 20k-deep /Kids chain parses iteratively (no stack overflow)") {
+    val depth = 20000
+    val sb = new StringBuilder("%PDF-1.4\n")
+    sb ++= "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+    for (i <- 2 until (depth + 2))
+      sb ++= s"$i 0 obj << /Type /Pages /Kids [${i + 1} 0 R] /Count 1 >> endobj\n"
+    val leaf = depth + 2
+    sb ++= s"$leaf 0 obj << /Type /Page /Parent ${leaf - 1} 0 R " +
+      s"/MediaBox [0 0 800 1200] /Contents ${leaf + 1} 0 R " +
+      s"/Resources << /Font << /F1 $helv >> >> >> endobj\n"
+    sb ++= s"${leaf + 1} 0 obj << >> stream\n" +
+      "BT /F1 12 Tf 50 1150 Td (Deep but fine.) Tj ET\nendstream endobj\n"
+    sb ++= "trailer << /Size 1 /Root 1 0 R >>\n%%EOF"
+    val pdf = sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+    assert(Extractor.extract("u", pdf).text.contains("Deep but fine."))
+  }
+
+  test("TL persists across BT/ET (graphics state, not per-text-object)") {
+    // second text object relies on the TL set in the first; pre-fix BT
+    // cleared leading, so the `'` advanced zero and both shows collided on
+    // one line
+    // leading of 200pt: post-fix the `'` drops c2 a full block below c1
+    // (own paragraph); pre-fix leading reset to 0 and both collide on one
+    // line ("c1 c2" — paragraph lines merge with spaces, so a small
+    // leading would be indistinguishable from the collision)
+    val pdf = reviewDoc(helv, "4 0 R",
+      "4 0 obj << >> stream\n" +
+        "BT /F1 12 Tf 200 TL 50 1150 Td (Line a.) Tj ET\n" +
+        "BT /F1 12 Tf 50 1100 Td (c1) Tj (c2) ' ET\nendstream endobj\n")
+    val lines = Extractor.extract("u", pdf).text.linesIterator.toVector
+    assert(lines.exists(_.trim == "c1"), lines)
+    assert(lines.exists(_.trim == "c2"), lines)
+  }
+
+  test("'EI' bytes inside inline-image data do not resume tokenizing mid-image") {
+    val pdf = reviewDoc(helv, "4 0 R",
+      "4 0 obj << >> stream\n" +
+        "BT /F1 12 Tf 50 1150 Td (Before.) Tj ET\n" +
+        "BI /W 2 /H 2 ID ÿþEI (MOJIBAKE) Tj ÿþ EI\n" +
+        "BT /F1 12 Tf 50 1100 Td (After.) Tj ET\nendstream endobj\n")
+    val t = Extractor.extract("u", pdf).text
+    assert(!t.contains("MOJIBAKE"), t)
+    assert(t.contains("Before.") && t.contains("After."), t)
+  }
+
+  test("overlong integer in /Differences skips the cursor, not the document") {
+    val font = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding << /BaseEncoding /WinAnsiEncoding " +
+      "/Differences [99999999999 /a] >> >>"
+    val pdf = reviewDoc(font, "4 0 R",
+      "4 0 obj << >> stream\n" +
+        "BT /F1 12 Tf 50 1150 Td (Still parses.) Tj ET\nendstream endobj\n")
+    assert(Extractor.extract("u", pdf).text.contains("Still parses."))
+  }
+
+  test("PNG predictor row length ceils for sub-byte BitsPerComponent") {
+    // predictor 15, Columns 10, bpc 1 → true row = ceil(10/8) = 2 bytes;
+    // the floor form computed 1 and rejected (or garbled) the stream
+    val content = "BT /F1 12 Tf 50 1150 Td (Predictor ok.) Tj ET \n"
+    val plain = content.getBytes(StandardCharsets.ISO_8859_1)
+    val padded = if (plain.length % 2 == 0) plain else plain :+ ' '.toByte
+    val withFilters = new java.io.ByteArrayOutputStream()
+    padded.grouped(2).foreach { row => withFilters.write(0); withFilters.write(row) }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(withFilters.toByteArray); deflater.finish()
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) bos.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val z = bos.toByteArray
+    val head = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 800 1200] " +
+      s"/Contents 4 0 R /Resources << /Font << /F1 $helv >> >> >> endobj\n" +
+      s"4 0 obj << /Length ${z.length} /Filter /FlateDecode " +
+      "/DecodeParms << /Predictor 15 /Columns 10 /BitsPerComponent 1 >> >> stream\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val tail = "\nendstream endobj\ntrailer << /Size 5 /Root 1 0 R >>\n%%EOF"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val pdf = head ++ z ++ tail
+    assert(Extractor.extract("u", pdf).text.contains("Predictor ok."))
+  }
 }
