@@ -97,6 +97,9 @@ object PubTab {
         }
       }
       .toDF("filename", "table_text")
-      .orderBy("filename")
+      // numeric order, not lexical: 'table_1000.png' sorts before
+      // 'table_999.png' lexically once the %03d pad overflows
+      .orderBy(regexp_extract(col("filename"), "(\\d+)", 1).cast("long"),
+        col("filename"))
   }
 }

@@ -268,7 +268,10 @@ object RealPdfGen {
     }
     val inStmIdx = contained.map(_._1).zipWithIndex.toMap
     for (num <- 0 to maxNum) {
-      if (num == 0) entry(0, 0xffff, 0)
+      // free head: field2 = next free object (0), field3 = generation
+      // (65535) — ISO 32000 Table 18; the classic-table form
+      // `0000000000 65535 f` in the same order
+      if (num == 0) entry(0, 0, 0xffff)
       else inStmIdx.get(num) match {
         case Some(idx) => entry(2, stmNum, idx)
         case None => entry(1, offsets.getOrElse(num, 0), 0)

@@ -62,7 +62,11 @@ object Warc {
   // ======================== record serialization =========================
 
   private def record(headers: Seq[(String, String)], block: Array[Byte]): Array[Byte] = {
-    val h = new StringBuilder("WARC/1.0").append(CRLF)
+    // WARC/1.1: the emitted WARC-Date carries microseconds, which ISO 28500
+    // restricts to WARC 1.1 (1.0 is second-granularity only) — declaring
+    // 1.0 here would hand a strict validator malformed dates. The reader
+    // side is version-agnostic (frames on headers, not the version line).
+    val h = new StringBuilder("WARC/1.1").append(CRLF)
     headers.foreach { case (k, v) => h.append(k).append(": ").append(v).append(CRLF) }
     h.append("Content-Length: ").append(block.length).append(CRLF).append(CRLF)
     val head = h.toString.getBytes(StandardCharsets.UTF_8)
@@ -251,7 +255,21 @@ object Warc {
     * header/body split yields the whole block (bare-payload tolerance). */
   def httpBody(block: Array[Byte]): Array[Byte] = {
     val i = indexOfBlankLine(block, 0)
-    if (i < 0) block else java.util.Arrays.copyOfRange(block, i + 4, block.length)
+    if (i >= 0) return java.util.Arrays.copyOfRange(block, i + 4, block.length)
+    // LF-only HTTP messages (sloppy origin servers; WARC stores the message
+    // verbatim): accept \n\n, but ONLY when the block actually starts with
+    // an HTTP status line — a bare payload containing blank lines is
+    // content, not headers, and must pass through whole
+    if (block.length >= 5 && block(0) == 'H' && block(1) == 'T' &&
+        block(2) == 'T' && block(3) == 'P' && block(4) == '/') {
+      var j = 0
+      while (j + 1 < block.length) {
+        if (block(j) == '\n' && block(j + 1) == '\n')
+          return java.util.Arrays.copyOfRange(block, j + 2, block.length)
+        j += 1
+      }
+    }
+    block // bare-payload tolerance
   }
 
   // ==================== CDX index (gzip member offsets) ==================
@@ -366,7 +384,10 @@ object Warc {
     * never dropped silently — the pageRows rule). */
   def cdxRows(raw: Array[Byte]): Vector[CdxRow] =
     gzipMembers(raw).flatMap { m =>
-      parseRecords(m.bytes).filter(_.warcType == "response").map { r =>
+      // equalsIgnoreCase — the pageRows rule: 'WARC-Type: Response' writers
+      // exist, and a case-sensitive match here would index FEWER pages than
+      // the extraction pipeline processes
+      parseRecords(m.bytes).filter(_.warcType.equalsIgnoreCase("response")).map { r =>
         val ts = try parseDate(r.date) catch { case _: Exception => new Timestamp(0L) }
         CdxRow(surtKey(r.targetUri), ts, r.targetUri,
           md5Hex(httpBody(r.block)), m.offset, m.length)
@@ -378,7 +399,7 @@ object Warc {
     * to parse keep the record with epoch ts (a real crawl's malformed-date
     * rows are flagged downstream, not dropped silently). */
   def pageRows(raw: Array[Byte]): Iterator[PageRow] =
-    parseRecords(raw).iterator
+    allRecords(raw)
       .filter(_.warcType.equalsIgnoreCase("response"))
       .map { r =>
         val ts = try parseDate(r.date) catch {
@@ -386,6 +407,16 @@ object Warc {
         }
         PageRow(r.targetUri, ts, httpBody(r.block), "", "")
       }
+
+  /** All records of a `.warc(.gz)` payload. Gzipped input walks the gzip
+    * MEMBERS (one record per member, the CC convention) so only the
+    * per-member bomb ceiling applies — the whole-file inflate ceiling sits
+    * just under the 2 GiB array limit, and routing a real ~1 GB segment
+    * (≈4 GiB inflated) through it would silently drop every record past
+    * the cap while the sibling [[cdx]] path indexed them all. */
+  private def allRecords(raw: Array[Byte]): Iterator[Record] =
+    if (isGzip(raw)) gzipMembers(raw).iterator.flatMap(m => parseRecords(m.bytes))
+    else parseRecords(raw).iterator
 
   /** Scan a directory/glob of `.warc` / `.warc.gz` files into page rows —
     * one task per file (binaryFile source), flatMap parse, no shuffle. */
@@ -440,9 +471,13 @@ object Warc {
   /** Conversion records of a WET segment, parsed back to rows — the reader
     * side of [[wetSegment]] (round-trip pinned byte-exactly in WarcSpec). */
   def wetRows(raw: Array[Byte]): Vector[WetDoc] =
-    parseRecords(raw).filter(_.warcType == "conversion")
-      .map(r => WetDoc(r.targetUri, parseDate(r.date),
-        new String(r.block, StandardCharsets.UTF_8)))
+    allRecords(raw).filter(_.warcType.equalsIgnoreCase("conversion"))
+      .map { r =>
+        // epoch-on-malformed, the pageRows/cdxRows rule — one bad date must
+        // not throw the whole segment (and the task) away
+        val ts = try parseDate(r.date) catch { case _: Exception => new Timestamp(0L) }
+        WetDoc(r.targetUri, ts, new String(r.block, StandardCharsets.UTF_8))
+      }.toVector
 
   /** The WET-extraction job: crawl pages in, `.warc.wet.gz` segment bytes
     * out — ONE mapPartitions (parse upstream, row-local extraction with
@@ -459,11 +494,28 @@ object Warc {
     import pages.sparkSession.implicits._
     pages.mapPartitions { it =>
       val state = new graft.extract.ExtractorState()
+      // STREAM records into the segment buffer as the iterator advances —
+      // materializing the partition's texts into a Vector first held the
+      // whole partition's extracted text AND its compressed copy live at
+      // once; here live memory is one record plus the growing gzip output
+      // (bytes identical to the wetSegment formulation, spec-pinned)
       val docs = it.map { p =>
         val e = graft.extract.Extractor.extract(p.url, p.html, cfg, state)
         WetDoc(p.url, p.warc_ts, e.text)
-      }.toVector
-      if (docs.isEmpty) Iterator.empty else Iterator.single(wetSegment(docs))
+      }
+      if (!docs.hasNext) Iterator.empty
+      else {
+        val out = new ByteArrayOutputStream(1 << 20)
+        var first = true
+        docs.foreach { d =>
+          if (first) {
+            out.write(gzipMember(warcinfoRecord(formatDate(d.ts)))); first = false
+          }
+          out.write(gzipMember(conversionRecord(d.url, formatDate(d.ts),
+            d.text.getBytes(StandardCharsets.UTF_8))))
+        }
+        Iterator.single(out.toByteArray)
+      }
     }
   }
 }

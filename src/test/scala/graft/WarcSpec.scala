@@ -228,4 +228,60 @@ class WarcSpec extends AnyFunSuite {
     // warcinfo leader is present but wetRows filters to conversion records
     assert(segs.map(s => Warc.parseRecords(s).size).sum == N + segs.length)
   }
+
+  // ---- r5 review hardening ----
+
+  test("LF-only HTTP message: status/header lines do not leak into page bytes") {
+    val body = "<html><body>LF body.</body></html>"
+    val http = s"HTTP/1.1 200 OK\nContent-Type: text/html\n\n$body"
+    val manual = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Target-URI: http://x.example/lf\r\n" +
+      "WARC-Date: 2024-01-02T03:04:05.000000Z\r\n" +
+      s"Content-Length: ${http.length}\r\n" +
+      "\r\n" + http + "\r\n\r\n").getBytes("UTF-8")
+    val rows = Warc.pageRows(manual).toVector
+    assert(rows.length == 1)
+    assert(new String(rows.head.html, "UTF-8") == body)
+    // a bare payload that CONTAINS \n\n but is not an HTTP message stays whole
+    val bare = "first para\n\nsecond para".getBytes("UTF-8")
+    assert(Warc.httpBody(bare).sameElements(bare))
+  }
+
+  test("mixed-case WARC-Type values classify identically in pages, cdx, and wet") {
+    val body = "<html><body>Cased.</body></html>"
+    def rec(t: String) = ("WARC/1.0\r\n" +
+      s"WARC-Type: $t\r\n" +
+      "WARC-Target-URI: http://x.example/c\r\n" +
+      "WARC-Date: 2024-01-02T03:04:05.000000Z\r\n" +
+      s"Content-Length: ${body.length}\r\n" +
+      "\r\n" + body + "\r\n\r\n").getBytes("UTF-8")
+    assert(Warc.pageRows(rec("Response")).size == 1)
+    val gz = {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(rec("Response")); g.close(); out.toByteArray
+    }
+    assert(Warc.cdxRows(gz).size == 1, "cdx must index what pages processes")
+  }
+
+  test("malformed WARC-Date in a conversion record keeps the record with epoch ts") {
+    val text = "wet text"
+    val manual = ("WARC/1.0\r\n" +
+      "WARC-Type: conversion\r\n" +
+      "WARC-Target-URI: http://x.example/w\r\n" +
+      "WARC-Date: not-a-date\r\n" +
+      s"Content-Length: ${text.length}\r\n" +
+      "\r\n" + text + "\r\n\r\n").getBytes("UTF-8")
+    val rows = Warc.wetRows(manual)
+    assert(rows.length == 1)
+    assert(rows.head.ts.getTime == 0L)
+    assert(rows.head.text == text)
+  }
+
+  test("emitted records declare WARC/1.1 (microsecond WARC-Date needs 1.1)") {
+    val f = Warc.sampleFile(7L, 2, gzip = false)
+    val head = new String(f, 0, 10, "UTF-8")
+    assert(head.startsWith("WARC/1.1"), head)
+  }
 }
