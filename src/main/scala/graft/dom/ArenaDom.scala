@@ -178,6 +178,49 @@ final class DomArena(initialCapacity: Int = 512) {
               k -= 1
             }
           }
+          // HTML5 implied end tags ACROSS names (§13.2 in-table / in-dl
+          // modes): a new row closes open cells AND the previous row, a new
+          // cell closes the open cell, a new dt/dd closes the open dt/dd —
+          // each clearing EVERYTHING above its section barrier (browsers'
+          // "clear stack back to table-row context"). Without these, legal
+          // omitted-end-tag markup like '<table><tr><td>A<tr><td>B' nested
+          // the second row INSIDE the first cell (same-name auto-close
+          // stopped at the td block boundary), corrupting depth/tagPath and
+          // the table-assembly anchors.
+          locally {
+            def clearAbove(target: String => Boolean,
+                           barrier: String => Boolean): Unit = {
+              var k = sp - 1
+              var bi = -1
+              var sawTarget = false
+              while (k >= 0 && bi < 0) {
+                val nk = if (tagId(stack(k)) >= 0) name(stack(k)) else ""
+                if (barrier(nk)) bi = k
+                else if (target(nk)) sawTarget = true
+                k -= 1
+              }
+              // only clear when a closable element is actually open above
+              // the barrier — a stray cell/row tag with no table context
+              // must not close unrelated ancestors
+              if (bi >= 0 && sawTarget) sp = bi + 1
+            }
+            nm match {
+              case "tr" => clearAbove(
+                n => n == "td" || n == "th" || n == "tr",
+                n => n == "table" || n == "thead" || n == "tbody" || n == "tfoot")
+              case "td" | "th" => clearAbove(
+                n => n == "td" || n == "th",
+                n => n == "tr" || n == "table")
+              case "thead" | "tbody" | "tfoot" => clearAbove(
+                n => n == "td" || n == "th" || n == "tr" ||
+                  n == "thead" || n == "tbody" || n == "tfoot",
+                n => n == "table")
+              case "dt" | "dd" => clearAbove(
+                n => n == "dt" || n == "dd",
+                n => n == "dl")
+              case _ => ()
+            }
+          }
           // implicit closes
           if (HtmlNames.autoCloses(nm)) {
             // close an open same-name sibling up to the nearest block boundary

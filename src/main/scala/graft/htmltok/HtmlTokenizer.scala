@@ -152,7 +152,11 @@ object Charsets {
         try Charset.forName(other)
         catch { case _: Exception => Utf8 }
     }
-    resolveCache.put(key, cs)
+    // bounded: the key is an arbitrary page-supplied label (attacker bytes);
+    // an unbounded process-lifetime map would grow with label cardinality
+    // over a long-lived executor. 4096 covers every real label web; past it
+    // the resolve still works, it just isn't memoized
+    if (resolveCache.size < 4096) resolveCache.put(key, cs)
     cs
   }
 
@@ -244,8 +248,24 @@ object Charsets {
     if (b.length >= 2 && b(0) == 0xfe.toByte && b(1) == 0xff.toByte)
       return (StandardCharsets.UTF_16BE, 2)
     val n = math.min(b.length, 1024)
-    val head = new String(b, 0, n, StandardCharsets.ISO_8859_1)
+    val rawHead = new String(b, 0, n, StandardCharsets.ISO_8859_1)
       .toLowerCase(java.util.Locale.ROOT)
+    // blank out comment spans before the meta scan (the HTML5 prescan this
+    // mirrors skips <!-- … -->): a charset declaration inside a conditional
+    // comment ('<!--[if lt IE 9]><meta charset=windows-1250><![endif]-->')
+    // must not hijack the document charset from the real one that follows
+    val head = if (rawHead.indexOf("<!--") < 0) rawHead else {
+      val sb = new java.lang.StringBuilder(rawHead)
+      var c = rawHead.indexOf("<!--")
+      while (c >= 0) {
+        val e = rawHead.indexOf("-->", c + 4)
+        val stop = if (e < 0) rawHead.length else e + 3
+        var x = c
+        while (x < stop) { sb.setCharAt(x, ' '); x += 1 }
+        c = rawHead.indexOf("<!--", stop)
+      }
+      sb.toString
+    }
     var m = head.indexOf("<meta")
     while (m >= 0) {
       val tagEnd = { val e = head.indexOf('>', m); if (e < 0) head.length else e }
@@ -311,7 +331,10 @@ object Charsets {
           declaredUp.startsWith("UTF-32")) Utf8 else declared
         return (cs, 0)
       }
-      m = head.indexOf("<meta", m + 5)
+      // resume past THIS tag's end — restarting at m+5 would let a literal
+      // '<meta charset=…>' inside this meta's quoted content value be
+      // parsed as a real tag and hijack the charset
+      m = head.indexOf("<meta", math.max(m + 5, tagEnd))
     }
     (Utf8, 0)
   }
@@ -430,7 +453,14 @@ object HtmlTokenizer {
           textStart = i
           val parsed = parseStartTag(input, i, n, arena)
           if (parsed < 0) {
-            i += 1 // malformed (no '>' before EOF); '<' stays in the text run
+            // EOF in tag (HTML5: the partial tag emits nothing): cover
+            // '<'..EOF with a Comment token — no DOM node, no text, and the
+            // token-partition invariant (every byte covered) holds. The old
+            // '<' -> text retry was also quadratic: a '>'-free payload with
+            // ~300k '<letter' runs rescanned to EOF per occurrence, pinning
+            // a task for minutes on one hostile row
+            arena.add(Tok.Comment, i, n, -1, 0)
+            i = n; textStart = n
           } else {
             val tokIdx = arena.size - 1 // parseStartTag added the token
             i = parsed; textStart = i
@@ -467,8 +497,30 @@ object HtmlTokenizer {
     * Values are entity-decoded (`&amp;` in query strings) and stripped of
     * leading/trailing ASCII whitespace per the URL spec. Assumes an
     * ASCII-compatible byte encoding (true post-transcode in the pipeline). */
-  def anchorHrefs(input: Array[Byte], arena: TokenArena): Vector[String] = {
-    arena.reset()
+  /** Charset-normalized payload for the flat link/meta walks below: the
+    * SAME sniff extraction performs, then UTF-8 bytes out — a UTF-8 page
+    * passes through (BOM sliced), anything else (windows-1252, Shift_JIS,
+    * GBK, UTF-16/32 …) transcodes, so the walks' hardcoded UTF-8 text
+    * decodes and ASCII attribute scans are correct for every charset the
+    * extraction path accepts. Without this, a Shift_JIS page's anchors and
+    * title decoded as U+FFFD runs and a BOM'd UTF-16 page yielded zero
+    * links — the two surfaces disagreed on the same input. (Extraction
+    * keeps its finer raw-byte routing — it decodes per block; these side
+    * surfaces trade one whole-payload transcode for correctness.) */
+  def normalizeHtml(input: Array[Byte]): Array[Byte] = {
+    if (input == null || input.isEmpty) return Array.emptyByteArray
+    val (cs, bom) = Charsets.sniff(input)
+    if (cs == Charsets.Utf8) {
+      if (bom == 0) input else java.util.Arrays.copyOfRange(input, bom, input.length)
+    } else {
+      val decoded = new String(input, bom, input.length - bom, cs)
+      val start = if (decoded.nonEmpty && decoded.charAt(0) == '\uFEFF') 1 else 0
+      decoded.substring(start).getBytes(Charsets.Utf8)
+    }
+  }
+
+  def anchorHrefs(raw: Array[Byte], arena: TokenArena): Vector[String] = {
+    val input = normalizeHtml(raw)
     tokenize(input, arena)
     val out = Vector.newBuilder[String]
     var t = 0
@@ -492,8 +544,8 @@ object HtmlTokenizer {
     * markup contributes its text; a nested/implicitly-closing `<a>` or EOF
     * terminates the span, per the HTML no-nested-anchors rule),
     * entity-decoded, whitespace-normalized to single spaces. */
-  def anchorTexts(input: Array[Byte], arena: TokenArena): Vector[(String, String)] = {
-    arena.reset()
+  def anchorTexts(raw: Array[Byte], arena: TokenArena): Vector[(String, String)] = {
+    val input = normalizeHtml(raw)
     tokenize(input, arena)
     val out = Vector.newBuilder[(String, String)]
     var t = 0
@@ -507,22 +559,32 @@ object HtmlTokenizer {
           val sb = new java.lang.StringBuilder()
           var j = t + 1
           var open = k == Tok.Start
+          var skipDepth = 0 // svg/noscript/iframe/object/… subtree depth
           while (open && j < arena.size) {
             val kj = arena.kinds(j)
+            val nj = if (arena.tagIds(j) >= 0) arena.tagName(arena.tagIds(j)) else null
             if (kj == Tok.Text) {
-              sb.append(new String(input, arena.starts(j),
-                arena.ends(j) - arena.starts(j), java.nio.charset.StandardCharsets.UTF_8))
-            } else if ((kj == Tok.End || kj == Tok.Start) &&
-                arena.tagName(arena.tagIds(j)) == "a") {
+              // invisible subtrees contribute NO anchor text — the same
+              // HtmlNames.isSkip set the DOM walk excludes, so
+              // '<a><svg><text>42</text></svg>Home</a>' reads "Home", not
+              // "42 Home" (the flat walk previously skipped only rawtext)
+              if (skipDepth == 0)
+                sb.append(new String(input, arena.starts(j),
+                  arena.ends(j) - arena.starts(j), java.nio.charset.StandardCharsets.UTF_8))
+            } else if ((kj == Tok.End || kj == Tok.Start) && nj == "a" && skipDepth == 0) {
               open = false
-            } else if (kj == Tok.Start &&
-                HtmlNames.isRawtext(arena.tagName(arena.tagIds(j)))) {
+            } else if (kj == Tok.Start && nj != null && HtmlNames.isRawtext(nj)) {
               // rawtext bodies (script/style/…) are emitted as Text tokens —
               // skip to the matching End so code never leaks into anchor text
               val rid = arena.tagIds(j)
               j += 1
               while (j < arena.size &&
                   !(arena.kinds(j) == Tok.End && arena.tagIds(j) == rid)) j += 1
+            } else if (kj == Tok.Start && nj != null && HtmlNames.isSkip(nj)) {
+              skipDepth += 1
+            } else if (kj == Tok.End && nj != null && HtmlNames.isSkip(nj) &&
+                skipDepth > 0) {
+              skipDepth -= 1
             }
             j += 1
           }
@@ -542,9 +604,9 @@ object HtmlTokenizer {
     * URL when absent. One tokenize pass; script/comment fake anchors are
     * skipped by construction. The x21 host shortcut resolves hosts only;
     * this is the full-URL frontier feed. */
-  def resolvedLinks(input: Array[Byte], arena: TokenArena,
+  def resolvedLinks(raw: Array[Byte], arena: TokenArena,
                     docUrl: String): Vector[String] = {
-    arena.reset()
+    val input = normalizeHtml(raw)
     tokenize(input, arena)
     var base = docUrl
     var baseSeen = false
@@ -591,8 +653,8 @@ object HtmlTokenizer {
     * token stream — HTML5 tolerates metadata outside `<head>` — but rawtext
     * bodies cannot fake tags by construction (script/style bodies tokenize
     * as Text), so `<meta>` written inside a script string is never seen. */
-  def headMeta(input: Array[Byte], arena: TokenArena): HeadMeta = {
-    arena.reset()
+  def headMeta(raw: Array[Byte], arena: TokenArena): HeadMeta = {
+    val input = normalizeHtml(raw)
     tokenize(input, arena)
     var title: String = null; var desc: String = null
     var canonical: String = null; var robots: String = null
@@ -773,16 +835,16 @@ object HtmlTokenizer {
         }
       } else j += 1
     }
-    if (j >= n) return -1 // no '>' — malformed tag at EOF; treat as text
+    if (j >= n) return -1 // no '>' — EOF in tag; caller drops '<'..EOF
     j += 1 // consume '>'
     val name = nameSb.toString
-    // browsers ignore the self-closing slash on non-void HTML elements; for
-    // rawtext/RCDATA elements that matters: "<script src=x/>" OPENS a script
-    // (its body must be skipped), it does not close one
-    val kind =
-      if (HtmlNames.isVoid(name)) Tok.SelfClose
-      else if (selfClose && !HtmlNames.isRawtext(name)) Tok.SelfClose
-      else Tok.Start
+    // browsers IGNORE the self-closing slash on non-void HTML elements
+    // (HTML5 tree construction): '<div id=x/>' OPENS a div whose content
+    // follows as children — honoring the slash would orphan the content as
+    // siblings and lose the tag's class/id hints for classification; for
+    // rawtext elements the same rule means '<script src=x/>' opens a script
+    // whose body must be skipped. Only genuinely void elements self-close.
+    val kind = if (HtmlNames.isVoid(name)) Tok.SelfClose else Tok.Start
     arena.add(kind, i0, j, arena.intern(name), flag)
     j
   }

@@ -95,4 +95,58 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(got == want.toMap, s"got ${got.size} edges, want ${want.size}")
     assert(!got.keys.exists(_._2.contains("evil")), "script-body phantom leaked")
   }
+
+  // ---- r5 review hardening ----
+
+  test("link/meta surfaces honor the sniffed charset (non-UTF-8 pages)") {
+    val arena = new TokenArena()
+    // windows-1252 page: curly-quoted anchor text (0x93/0x94) and a é title
+    val html1252 = ("<html><head><meta charset=\"windows-1252\">" +
+      "<title>café</title></head>" +
+      "<body><a href=\"/a\">“quoted”</a></body></html>")
+      .getBytes("windows-1252")
+    val pairs = HtmlTokenizer.anchorTexts(html1252, arena)
+    assert(pairs == Vector("/a" -> "“quoted”"), pairs)
+    val meta = HtmlTokenizer.headMeta(html1252, arena)
+    assert(meta.title == "café", meta.title)
+    // BOM'd UTF-16LE page: previously yielded ZERO links (raw tokenizer
+    // cannot see tags through the interleaved NULs)
+    val html16 = "\uFEFF<html><body><a href=\"/u\">utf sixteen</a></body></html>"
+      .getBytes(StandardCharsets.UTF_16LE)
+    val pairs16 = HtmlTokenizer.anchorTexts(html16, arena)
+    assert(pairs16 == Vector("/u" -> "utf sixteen"), pairs16)
+  }
+
+  test("anchor text excludes skip subtrees (svg/noscript), like the DOM walk") {
+    val arena = new TokenArena()
+    val html = ("<a href=\"/home\"><svg viewBox=\"0 0 1 1\"><text>42</text></svg>" +
+      "Home</a> <a href=\"/x\"><noscript>Enable JS</noscript>Go</a>")
+      .getBytes("UTF-8")
+    val pairs = HtmlTokenizer.anchorTexts(html, arena)
+    assert(pairs == Vector("/home" -> "Home", "/x" -> "Go"), pairs)
+  }
+
+  test("charset declared inside a comment does not hijack the document") {
+    val arena = new TokenArena()
+    val html = ("<html><head><!--[if lt IE 9]><meta charset=\"utf-16le\"><![endif]-->" +
+      "<meta charset=\"utf-8\"></head><body><a href=\"/c\">ok</a></body></html>")
+      .getBytes("UTF-8")
+    assert(HtmlTokenizer.anchorTexts(html, arena) == Vector("/c" -> "ok"))
+  }
+
+  test("EOF-in-tag drops the partial tag and stays linear on '>'-free payloads") {
+    val arena = new TokenArena()
+    // partial tag at EOF emits nothing (browser rule), not leaked text:
+    // the anchor text is exactly "text" — the dangling '<i xyz' vanishes
+    val pairs = HtmlTokenizer.anchorTexts(
+      "<a href=\"/p\">text<i xyz".getBytes("UTF-8"), arena)
+    assert(pairs == Vector("/p" -> "text"), pairs)
+    // hostile '>'-free payload: ~200k '<a' runs must tokenize in linear
+    // time (the old one-byte retry rescanned to EOF per occurrence)
+    val hostile = ("<a" * 200000).getBytes("UTF-8")
+    val t0 = System.nanoTime()
+    HtmlTokenizer.anchorHrefs(hostile, arena)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 5.0, s"hostile tokenize took $sec s")
+  }
 }

@@ -73,4 +73,26 @@ class TokenizerPropSpec extends AnyFunSuite {
       a == b && a.groupBy(identity).map { case (k, v) => (k, v.size) } == blocks.groupBy(identity).map { case (k, v) => (k, v.size) }
     })
   }
+
+  test("implied end tags: a new tr/td/dt closes open cells/rows/items") {
+    import graft.dom.DomArena
+    def paths(html: String): Vector[String] = {
+      val toks = new TokenArena()
+      HtmlTokenizer.tokenize(html.getBytes(StandardCharsets.UTF_8), toks)
+      val dom = new DomArena().build(toks)
+      (0 until dom.nNodes).map(dom.tagPath).toVector
+    }
+    // omitted </td></tr>: the second row must be a SIBLING of the first,
+    // never nested inside the first cell
+    val p1 = paths("<table><tr><td>A<tr><td>B</table>")
+    assert(p1.exists(_.endsWith("table/tr/td")), p1)
+    assert(!p1.exists(_.contains("td/tr")), s"row nested in cell: $p1")
+    // omitted </dt>: dd is a sibling item under dl, not a child of dt
+    val p2 = paths("<dl><dt>Term<dd>Def</dl>")
+    assert(p2.exists(_.endsWith("dl/dd")), p2)
+    assert(!p2.exists(_.contains("dt/dd")), s"dd nested in dt: $p2")
+    // a new cell closes the open cell even across a div wrapper
+    val p3 = paths("<table><tr><td><div>x<td>y</table>")
+    assert(!p3.exists(_.contains("td/div/td")), s"cell nested in cell: $p3")
+  }
 }
