@@ -178,11 +178,10 @@ object ChunkedExtract {
           minChunkBytes: Int = 256 * 1024): Dataset[ExtractedDoc] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    val small = pages.filter(p => p.html == null || p.html.length < chunkThreshold)
-      .mapPartitions { it =>
-        val state = new ExtractorState()
-        it.map(p => Extractor.extract(p.url, p.html, cfg, state))
-      }
+    // the plain path IS Extract.run — reuse it (one per-partition kernel
+    // loop to maintain, not two copies that can drift)
+    val small = Extract.run(
+      pages.filter(p => p.html == null || p.html.length < chunkThreshold), cfg)
     val big = RowIds.keyed(
         pages.filter(p => p.html != null && p.html.length >= chunkThreshold))
       .flatMap { case (uid, p) => chunkRows(p, cfg, chunkThreshold, minChunkBytes, uid) }

@@ -12,17 +12,29 @@ import graft.model.{ExtractedDoc, PageRow}
   * sandbox proxy for reading the 10^12-row Iceberg pages table).
   */
 object CorpusSource {
+  /** spark.range index → fixture index. The synthetic generators are
+    * Int-indexed (Corpus.page takes Int); a silent `i.toInt` past 2^31
+    * wrapped NEGATIVE and re-emitted earlier fixtures as duplicates while
+    * claiming to extend the corpus. Honest contract: the synthetic corpus
+    * is a test/bench artifact bounded at 2^31 rows — the 10^12-row design
+    * path reads REAL tables — so fail loudly at the boundary instead of
+    * fabricating a corpus that silently repeats. */
+  private def fixtureIdx(i: Long): Int = {
+    require(i <= Int.MaxValue, s"synthetic corpus index $i exceeds the Int fixture space")
+    i.toInt
+  }
+
   def pages(spark: SparkSession, n: Long, seed: Long = 42L,
             partitions: Int = 0): Dataset[PageRow] = {
     import spark.implicits._
     val base = if (partitions > 0) spark.range(0, n, 1, partitions) else spark.range(n)
-    base.mapPartitions(_.map(i => Corpus.page(seed, i.toInt).row))
+    base.mapPartitions(_.map(i => Corpus.page(seed, fixtureIdx(i)).row))
   }
 
   def goldenExpected(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[(String, String)] = {
     import spark.implicits._
     spark.range(n).mapPartitions(_.map { i =>
-      val g = Corpus.page(seed, i.toInt)
+      val g = Corpus.page(seed, fixtureIdx(i))
       (g.row.url, g.expectedText)
     })
   }
@@ -30,7 +42,7 @@ object CorpusSource {
   def goldenLabels(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[(String, Seq[String])] = {
     import spark.implicits._
     spark.range(n).mapPartitions(_.map { i =>
-      val g = Corpus.page(seed, i.toInt)
+      val g = Corpus.page(seed, fixtureIdx(i))
       (g.row.url, g.expectedLabels: Seq[String])
     })
   }
@@ -43,7 +55,7 @@ object CorpusSource {
   def mediaPages(spark: SparkSession, n: Long): Dataset[PageRow] = {
     import spark.implicits._
     spark.range(n).mapPartitions(_.map { i =>
-      val idx = i.toInt
+      val idx = fixtureIdx(i)
       val (w, h) = mediaDims(idx)
       // alternate rounds: header-only payloads (exercise the header-parse
       // fallback) vs REAL ImageIO-decodable images (exercise pixel decode)
@@ -72,7 +84,7 @@ object CorpusSource {
   def audioPages(spark: SparkSession, n: Long): Dataset[PageRow] = {
     import spark.implicits._
     spark.range(n).mapPartitions(_.map { i =>
-      val idx = i.toInt
+      val idx = fixtureIdx(i)
       val full = graft.corpus.MediaFixtures.wav(
         freqHz = 220 * (1 + idx % 4), ms = 40 + (idx % 5) * 20,
         amp = 0.25 * (1 + idx % 3), rate = 8000,
@@ -100,7 +112,7 @@ object CorpusSource {
   def videoPages(spark: SparkSession, n: Long): Dataset[PageRow] = {
     import spark.implicits._
     spark.range(n).mapPartitions(_.map { i =>
-      val idx = i.toInt
+      val idx = fixtureIdx(i)
       val frames = 3 + idx % 8
       val full =
         if (idx % 2 == 0)
@@ -137,7 +149,7 @@ object CorpusSource {
   def mathPages(spark: SparkSession, n: Long): Dataset[PageRow] = {
     import spark.implicits._
     spark.range(n).mapPartitions(_.map { i =>
-      val idx = i.toInt
+      val idx = fixtureIdx(i)
       val a = 1 + idx % 7
       val b = 2 + idx % 5
       val body = (idx % 8) match {
@@ -180,7 +192,7 @@ object CorpusSource {
   def linkPages(spark: SparkSession, n: Long): Dataset[PageRow] = {
     import spark.implicits._
     spark.range(n).mapPartitions(_.map { i =>
-      val idx = i.toInt
+      val idx = fixtureIdx(i)
       val url = s"https://w${idx % 5}.example.org/doc$idx"
       val hub = if (idx % 7 == 0)
         """<p><a href="https://hub.example.org/">hub</a></p>""" else ""
@@ -211,7 +223,7 @@ object CorpusSource {
   def templatePages(spark: SparkSession, n: Long): Dataset[PageRow] = {
     import spark.implicits._
     spark.range(n).mapPartitions(_.map { i =>
-      val idx = i.toInt
+      val idx = fixtureIdx(i)
       val host = s"t${idx % 5}.example.org"
       val url = s"https://$host/article$idx"
       val promo = if (idx % 4 == 0)
@@ -242,7 +254,7 @@ object CorpusSource {
   def metaPages(spark: SparkSession, n: Long): Dataset[PageRow] = {
     import spark.implicits._
     spark.range(n).mapPartitions(_.map { i =>
-      val idx = i.toInt
+      val idx = fixtureIdx(i)
       val host = s"m${idx % 5}.example.org"
       val url = s"https://$host/page$idx"
       val canonical = if (idx % 2 == 0) {
@@ -338,7 +350,7 @@ object CorpusSource {
   def basePages(spark: SparkSession, n: Long): Dataset[PageRow] = {
     import spark.implicits._
     spark.range(n).mapPartitions(_.map { i =>
-      val idx = i.toInt
+      val idx = fixtureIdx(i)
       val url = s"https://b${idx % 4}.example.org/sec/sub/page$idx.html"
       val base = if (idx % 3 == 0)
         s"""<base href="https://cdn${idx % 2}.example.net/assets/">""" +
@@ -396,7 +408,7 @@ object CorpusSource {
   def sitemapPages(spark: SparkSession, n: Long): Dataset[PageRow] = {
     import spark.implicits._
     spark.range(n).mapPartitions(_.map { i =>
-      val idx = i.toInt
+      val idx = fixtureIdx(i)
       PageRow(s"https://h${idx % 5}.example.org/sitemap$idx.xml",
         new java.sql.Timestamp(1577836800000L + idx.toLong * 60000L),
         sitemapXml(idx).getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -438,7 +450,7 @@ object CorpusSource {
   def pdfImagePages(spark: SparkSession, n: Long): Dataset[PageRow] = {
     import spark.implicits._
     spark.range(n).mapPartitions(_.map { i =>
-      val idx = i.toInt
+      val idx = fixtureIdx(i)
       val (w0, h0) = pdfImageDims(idx)
       val jpeg = graft.corpus.MediaFixtures.jpeg(w0, h0, 256 + idx)
       val gray = Array.tabulate(16 * 12)(j => ((j * 31 + idx) & 0xff).toByte)

@@ -93,7 +93,23 @@ object ExtractPipeline {
           conf: PipelineConf = PipelineConf(), resume: Boolean = false,
           onlyBuckets: Option[Set[Int]] = None, attempt: Int = 0): Long = {
     import spark.implicits._
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // save/restore (the StreamHarness discipline): leaving `dynamic` set on
+    // the shared session would silently change every LATER partitioned
+    // overwrite in it from replace-table to replace-touched-partitions
+    val overwriteKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevOverwrite = spark.conf.getOption(overwriteKey)
+    spark.conf.set(overwriteKey, "dynamic")
+    try runGuarded(spark, pages, outDir, conf, resume, onlyBuckets, attempt)
+    finally prevOverwrite match {
+      case Some(v) => spark.conf.set(overwriteKey, v)
+      case None    => spark.conf.unset(overwriteKey)
+    }
+  }
+
+  private def runGuarded(spark: SparkSession, pages: Dataset[PageRow],
+                         outDir: String, conf: PipelineConf, resume: Boolean,
+                         onlyBuckets: Option[Set[Int]], attempt: Int): Long = {
+    import spark.implicits._
 
     val done: Set[Int] = if (resume) completedBuckets(spark, outDir) else Set.empty
 

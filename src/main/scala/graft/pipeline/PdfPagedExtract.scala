@@ -51,6 +51,13 @@ object PdfPagedExtract {
   def splitPages(rowUid: Long, url: String, payload: Array[Byte],
                  cfg: graft.extract.ExtractConfig,
                  byteTruncated: Boolean = false): Seq[PdfPage] = {
+    // non-PDF (incl. null) payloads yield NOTHING here by CONTRACT, not by
+    // accident (PdfPagedSpec pins it): this surface runs over a MIXED
+    // corpus and extracts only the PDF branch — HTML rows flow through the
+    // HTML path, and a sentinel row here would duplicate their urls across
+    // the two branches. The cannot-vanish sentinel below covers payloads
+    // that ARE PDFs but fail to parse — the loss that would otherwise be
+    // silent within this branch.
     if (!PdfBranch.isPdf(payload)) return Nil
     val parsed = PdfBranch.parsePayload(payload, cfg)
     val truncated = byteTruncated || parsed.pagesTruncated

@@ -135,7 +135,14 @@ object EventStream {
     val parts = new java.io.File(staging).listFiles()
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
     val mtimeBase = System.currentTimeMillis() - 1000000
-    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(mtimeBase + i * 10000) }
+    parts.zipWithIndex.foreach { case (f, i) =>
+      // fail LOUDLY: setLastModified returns false (no exception) on some
+      // mounts, and with arbitrary task-completion mtimes the file source
+      // replays out of event-time order — append-mode surfaces then drop
+      // whole files as late data and silently diverge from the oracle
+      require(f.setLastModified(mtimeBase + i * 10000),
+        s"setLastModified failed for $f — replay order cannot be guaranteed")
+    }
   }
 
   /** Exactly-once ingest dedup over an AT-LEAST-ONCE replay — the streaming
@@ -250,11 +257,11 @@ object EventStream {
         // batch/oracle surface (s01).
         .withColumn("ts", col("ts").cast("timestamp"))
         .withWatermark("ts", delay)
-        .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
-        .select(col("w.start").cast("timestamp_ntz").as("window_start"),
-          col("event_type"), col("n"), col("sum_value"))
+        // the SHARED windowedAgg expressions (the file's one-definition
+        // invariant — an inline copy here could silently diverge from the
+        // batch/oracle surface); only the NTZ cast-back is layered on top
+        .transform(windowedAgg)
+        .withColumn("window_start", col("window_start").cast("timestamp_ntz"))
     }.orderBy("window_start", "event_type")
   }
 }

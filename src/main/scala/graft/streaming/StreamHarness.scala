@@ -12,7 +12,6 @@ private[streaming] object StreamHarness {
   def runDrained(spark: SparkSession, prefix: String, outputMode: String)
                 (stage: String => Unit)(build: String => DataFrame): DataFrame = {
     val staging = java.nio.file.Files.createTempDirectory(prefix).toString
-    stage(staging)
     val queryName = s"${prefix}_${System.nanoTime()}"
     // Stateful micro-batches are STATE-STORE-bound here, not data-bound: every
     // shuffle partition materializes its own store instance per stateful
@@ -27,6 +26,9 @@ private[streaming] object StreamHarness {
     val prev = spark.conf.get(key)
     spark.conf.set(key, math.min(prev.toInt, 8).toString)
     try {
+      // stage INSIDE the try: a staging failure (disk full mid-write) must
+      // not leak the temp directory past the finally below
+      stage(staging)
       val q = build(staging).writeStream
         .outputMode(outputMode)
         .format("memory")
@@ -38,6 +40,14 @@ private[streaming] object StreamHarness {
       spark.conf.set(key, prev)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
     }
-    spark.table(queryName)
+    // materialize the drained rows (localCheckpoint — the repo's own
+    // materialization discipline; released when the returned DF is GC'd),
+    // then DROP the memory-sink table: each call registers a uniquely-named
+    // temp view holding the whole result in driver memory, and without the
+    // drop a long-lived session accumulates one per streaming invocation,
+    // unbounded and unreleasable
+    val out = spark.table(queryName).localCheckpoint()
+    spark.catalog.dropTempView(queryName)
+    out
   }
 }
