@@ -34,13 +34,19 @@ object GraphFunctions {
     * lineage (the x13 discipline). N is O(1) control-plane state. */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1, s"iters=$iters d=$damping")
+    // localCheckpoint nodes AND the normalized edge table (the x13
+    // discipline): both feed EVERY iteration's job — unmaterialized, the
+    // union-distinct and the outW join replan per iteration, iters× the
+    // documented one-time normalization cost
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRank over an empty edge list")
     val outW = edges.groupBy(col("src")).agg(sum(col("cnt")).as("w"))
     val e = edges.join(outW, Seq("src"))
       .select(col("src"), col("dst"), (col("cnt").cast("double") / col("w")).as("p"))
+      .localCheckpoint()
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to iters) {
       val contribs = e.join(ranks, e("src") === ranks("node"))

@@ -82,13 +82,22 @@ object ImageHeaders {
       if (w > 0 && h > 0) Some(Dims(w, h)) else None
     } else None
 
-  /** BMP: BITMAPINFOHEADER width/height at offsets 18/22 (little-endian
-    * int32; negative height = top-down rows — dimensions are the absolute
-    * value). */
+  /** BMP: dispatch on the DIB header size at offset 14 — BITMAPINFOHEADER
+    * (≥40) carries int32 width/height at 18/22 (negative height = top-down
+    * rows, dimensions are the absolute value); the OS/2 BITMAPCOREHEADER
+    * (12) carries uint16 width/height at 18/20 — reading it with the int32
+    * layout would fuse width|height into one garbage dimension. */
   private def bmpDims(b: Array[Byte]): Option[Dims] =
     if (b.length >= 26) {
-      val w = le32(b, 18); val h = math.abs(le32(b, 22))
-      if (w > 0 && h > 0) Some(Dims(w, h)) else None
+      le32(b, 14) match {
+        case 12 =>
+          val w = le16(b, 18); val h = le16(b, 20)
+          if (w > 0 && h > 0) Some(Dims(w, h)) else None
+        case sz if sz >= 40 =>
+          val w = le32(b, 18); val h = math.abs(le32(b, 22))
+          if (w > 0 && h > 0) Some(Dims(w, h)) else None
+        case _ => None
+      }
     } else None
 
   /** Real dimensions for any recognized image container, else None (caller

@@ -264,7 +264,14 @@ object RobotsFunctions {
         .cast("long"), lit(workers.toLong))
     urls.select(col("host"), col("url"), col("delay_ms"),
         slot.as("slot"), worker.as("worker"))
-      .withColumn("fetch_at_ms", col("slot") * col("delay_ms"))
+      // spacing = the per-HOST max delay, not the per-row value: the input
+      // schema permits inconsistent delay_ms within one host, and slot *
+      // row-delay would interleave fetches out of order and break the
+      // politeness gap this schedule exists to guarantee; max is the
+      // conservative (most polite) reconciliation, and a no-op when the
+      // host's rows agree (the robots-derived normal case)
+      .withColumn("fetch_at_ms",
+        col("slot") * max(col("delay_ms")).over(Window.partitionBy(col("host"))))
       .withColumn("host_makespan_ms",
         max(col("fetch_at_ms")).over(Window.partitionBy(col("host"))))
       .orderBy("host", "slot")

@@ -95,8 +95,12 @@ object SimilarityFunctions {
     * (cosine 1.0) collides in EVERY table by construction. */
   def cosineDupPairs(emb: DataFrame, minCos: Double, nPlanes: Int, dim: Int,
                      nTables: Int = 4): DataFrame = {
+    // localCheckpoint: the bucket table feeds BOTH self-join sides (the
+    // simhashPairs/ivfSearch materialization discipline) — unmaterialized,
+    // the SRP kernel runs per side plus the join keys' pushed isnotnull
     val bucketed = srpBuckets(emb, nPlanes, nTables, dim)
       .select(col("vec_id"), col("bucket"))
+      .localCheckpoint()
     val cands = bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
@@ -117,8 +121,11 @@ object SimilarityFunctions {
     */
   def annBucketed(emb: DataFrame, nQueries: Int, k: Int, nPlanes: Int, dim: Int,
                   nTables: Int = 4): DataFrame = {
+    // localCheckpoint: consumed by the corpus side AND the query-bucket
+    // derivation (same rationale as cosineDupPairs above)
     val bucketed = srpBuckets(emb, nPlanes, nTables, dim)
       .select(col("vec_id"), col("bucket"))
+      .localCheckpoint()
     val queryBuckets = bucketed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("bucket").as("qbucket"))
     // Candidate union across tables as ID PAIRS only: the distinct's exchange
@@ -370,7 +377,11 @@ object SimilarityFunctions {
     * kernel expression exactly as `graft_srp_buckets` did for plane weights. */
   private def sq8Raw(emb: DataFrame, dim: Int): DataFrame = {
     val v = col("embedding").cast("array<double>")
-    val scales = emb.select(posexplode(v).as(Seq("pos", "x")))
+    // training-hygiene filter (the ivfCentroids/pqTrain rule): a wrong-shape
+    // embedding would either abort the whole job (65-dim row -> 65 scales ->
+    // require fails) or silently skew the per-dim max for every clean vector
+    val clean = emb.filter(size(col("embedding")) === dim)
+    val scales = clean.select(posexplode(v).as(Seq("pos", "x")))
       .groupBy(col("pos")).agg(max(abs(col("x"))).as("s"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     require(scales.size == dim, s"expected $dim dims, saw ${scales.size}")
@@ -383,7 +394,10 @@ object SimilarityFunctions {
       when(s === 0d, abs(x))
         .otherwise(abs(x - code(x, s) * s / lit(127.0)))
     })
-    emb.select(col("vec_id"), codes.as("codes"), array_max(errs).as("max_abs_err"))
+    // quantize the clean rows only, too: a wrong-shape row would index past
+    // the scale array (null codes) — production routes such rows to a
+    // dead-letter, they never enter the compressed corpus
+    clean.select(col("vec_id"), codes.as("codes"), array_max(errs).as("max_abs_err"))
   }
 
   def sq8Quantize(emb: DataFrame, dim: Int = 64): DataFrame =

@@ -76,11 +76,20 @@ object TextFunctions {
     * (ja/ko/th) vote via [[shingleMarkers]] substring counts instead. The DuckDB
     * oracle builds its VALUES tables from these same Seqs, so the two sides
     * can never drift. */
+  // Markers must be UNAMBIGUOUS across the covered set — that is the whole
+  // contract of a tiny marker vote. The r5 audit replaced the offenders the
+  // original lists carried: en "a"/"is" (pt/es/it article; nl copula),
+  // es "de"/"es" (Portuguese's most frequent word; German pronoun),
+  // fr "la" (es/it article), de "das" (pt contraction) — each had other
+  // languages' top function words voting for the wrong label on REAL text
+  // (a Portuguese page's 'de'≈4% of tokens out-voted every pt marker).
+  // Replacements are language-exclusive within the set: with/this (en),
+  // muy/pero (es; it has 'però'), dans (fr), nicht (de; nl has 'niet').
   val langMarkers: Seq[(String, String)] = Seq(
-    "en" -> "the", "en" -> "and", "en" -> "of", "en" -> "is", "en" -> "a",
-    "de" -> "der", "de" -> "die", "de" -> "und", "de" -> "ist", "de" -> "das",
-    "fr" -> "le", "fr" -> "la", "fr" -> "et", "fr" -> "est", "fr" -> "les",
-    "es" -> "el", "es" -> "los", "es" -> "y", "es" -> "es", "es" -> "de",
+    "en" -> "the", "en" -> "and", "en" -> "of", "en" -> "this", "en" -> "with",
+    "de" -> "der", "de" -> "die", "de" -> "und", "de" -> "ist", "de" -> "nicht",
+    "fr" -> "le", "fr" -> "dans", "fr" -> "et", "fr" -> "est", "fr" -> "les",
+    "es" -> "el", "es" -> "los", "es" -> "y", "es" -> "pero", "es" -> "muy",
     "zh" -> "的", "zh" -> "是", "zh" -> "了", "zh" -> "在", "zh" -> "我",
     "ru" -> "и", "ru" -> "в", "ru" -> "не", "ru" -> "на", "ru" -> "что",
     "pt" -> "não", "pt" -> "uma", "pt" -> "você", "pt" -> "são", "pt" -> "também",
@@ -346,8 +355,13 @@ object TextFunctions {
     * never ships. Tokens stay in the scan stage via explode; both per-doc
     * counts combine map-side before their one narrow exchange. */
   def dictionaryHitRate(docs: DataFrame, k: Int): DataFrame = {
+    // localCheckpoint (the d18/x13 discipline): this table feeds the hits
+    // join, the per-doc count, AND the dictionary derivation — without it
+    // the tokenize+explode scan (the dominant cost) plans three times
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val dict = vocabTopK(docs, k).select(col("token"))
+      .localCheckpoint()
+    val dict = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(k).select(col("token"))
     val hits = toks.join(broadcast(dict), Seq("token"))
       .groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("n_in_dict"))
     val nid = coalesce(col("n_in_dict"), lit(0L)).cast("long")
@@ -686,7 +700,10 @@ object TextFunctions {
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
     val top = counts.orderBy(col("c").desc, col("token")).limit(vocabK).collect()
-    val total = counts.agg(sum(col("c"))).head.getLong(0)
+    // empty corpus: sum() is SQL-null (getLong would NPE); total 0 keeps the
+    // add-one-smoothed denominator valid and the per-doc pass emits nothing
+    val totalRow = counts.agg(sum(col("c"))).head
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
     val denom = (total + vocabK + 1).toDouble
     val m = map(top.flatMap(r => Seq(lit(r.getString(0)), lit(r.getLong(1)))): _*)
     val ws = tokens(col("text"))
@@ -754,6 +771,18 @@ object TextFunctions {
     val ws = tokens(col("text"))
     val stats = docs.agg(count(lit(1)), sum(size(ws).cast("long"))).head
     val nDocs = stats.getLong(0)
+    // empty corpus: sum() is SQL-null and getLong would NPE; an empty
+    // result is the honest answer (no division by zero either)
+    if (nDocs == 0 || stats.isNullAt(1))
+      return docs.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.DoubleType))))
     val avgdl = stats.getLong(1).toDouble / nDocs
     val tf = docs.select(col("doc_id"), explode(ws).as("t"))
       .filter(col("t").isin(terms: _*))
@@ -801,9 +830,11 @@ object TextFunctions {
     val wTot = Window.partitionBy("source")
     val cum = cnt.select(col("source"), col("len"),
       sum(col("c")).over(wCum).as("cum"), sum(col("c")).over(wTot).as("n"))
+    // math.round, not toInt: (0.29*100).toInt floor-truncates the binary
+    // product to 28, mislabeling the column (and 0.99/0.999 could collide)
     val aggs = ps.map(p =>
       min(when(col("cum") >= ceil(lit(p) * col("n")), col("len")))
-        .as(s"p${(p * 100).toInt}"))
+        .as(s"p${math.round(p * 100)}"))
     cum.groupBy(col("source"))
       .agg(max(col("n")).as("n_docs"), aggs: _*)
       .orderBy("source")

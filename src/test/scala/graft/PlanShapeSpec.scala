@@ -176,10 +176,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(keyLines.nonEmpty, plan)
     assert(keyLines.forall(l => !l.contains("embedding") && !l.contains("q#")), keyLines.mkString("\n"))
     assert(!plan.contains("CartesianProduct"), plan)
-    // bucketing runs through the graft_srp_buckets kernel — the plan carries
-    // three int knobs, not nTables × nPlanes × dim literal weight doubles
-    // (at dim 1024 the r3 literal-array shape was ~16k literals per query)
-    assert(plan.contains("graft_srp_buckets"), plan)
+    // bucketing runs through the graft_srp_buckets kernel behind a
+    // localCheckpoint (the ivf/pq signature-table discipline, r5) — the
+    // SERVED plan carries zero kernel occurrences and, as before, no
+    // nTables × nPlanes × dim literal weight doubles (at dim 1024 the r3
+    // literal-array shape was ~16k literals per query)
+    assert(!plan.contains("graft_srp_buckets"), plan)
     assert(!plan.contains("zip_with(embedding"), plan)
   }
 
